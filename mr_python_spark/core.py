@@ -1,0 +1,302 @@
+"""Spark-backed parity layer for the reference's ``MapReduce`` contract.
+
+The reference (``/root/reference/tinymr.py``) is an in-memory MapReduce:
+subclass ``MapReduce``, implement ``mapper()`` / ``reducer()``, call the
+instance on an iterable, get a dict back.  This module re-expresses that
+contract on Spark RDDs so the same user code distributes:
+
+* map phase        → ``rdd.flatMap`` (narrow stage)
+* partition + sort → ``groupByKey`` + per-group Python sort (shuffle)
+* reduce phase     → ``flatMap`` over grouped keys (narrow stage)
+* second shuffle   → ``groupByKey`` again (reducers may re-key)
+* output           → ``collect()`` into a dict + ``output()`` hook
+
+Behavioral parity targets (all verified against the reference — see
+SURVEY.md Appendix; citations are to /root/reference/tinymr.py):
+
+* 2-tuple ``(key, value)`` vs 3-tuple ``(key, sort, value)`` dispatch,
+  validated on the first element only (tinymr.py:301-308).
+* Four sort modes from (tuple arity × ``sort_*_with_value``), each ×
+  ``reverse`` — the mode table at docs.rst:300-307 / tinymr.py:316-343.
+  Sorting is *stable* and the sort element is stripped before the
+  reducer sees values.
+* ``yield`` vs ``return`` semantics switch on whether the *subclass*
+  hook is a generator function (tinymr.py:186, 198, 214, 226).
+* Return-style reducers unwrap to a single value per key, first value
+  wins on re-key collisions (tinymr.py:226-227).
+* ``ElementCountError`` on 1- or 4-element tuples (tinymr.py:305-308);
+  empty input raises ``StopIteration`` (tinymr.py:302).
+* Output dict keys appear in first-appearance order of reducer output.
+
+Scale note: this layer is **correctness-first** — ``groupByKey`` +
+arbitrary Python objects is the faithful semantics, and ``collect()``
+is the faithful action.  The capability layer
+(:mod:`mr_python_spark.operators` and friends) is the **scale-first**
+path: native DataFrame aggregates with map-side partial aggregation,
+no driver materialization.
+"""
+
+from __future__ import annotations
+
+import abc
+from inspect import isgeneratorfunction
+from typing import Any, Callable, Iterable
+
+__all__ = ["ElementCountError", "MapReduce"]
+
+
+class ElementCountError(Exception):
+    """Raised when a mapper/reducer tuple does not have 2 or 3 elements."""
+
+
+def _emit(hook: Callable, is_gen: bool, *args):
+    """Normalize a hook's output to an iterable of tuples.
+
+    Generator hooks yield many tuples; plain hooks return exactly one
+    (the reference flattens generators with ``chain.from_iterable`` and
+    passes returned tuples through unchanged).
+    """
+    out = hook(*args)
+    if is_gen:
+        return out
+    return (out,)
+
+
+def _tag_order(rdd):
+    """Attach a globally ordered id ``(partition_index, offset)`` to rows.
+
+    Replaces the reference's implicit encounter order (it buckets into an
+    insertion-ordered dict in one process) without triggering an extra
+    job the way ``zipWithIndex`` would.
+    """
+    return rdd.mapPartitionsWithIndex(
+        lambda pi, rows: (((pi, i), t) for i, t in enumerate(rows)),
+        preservesPartitioning=False,
+    )
+
+
+def _shape_rows(tagged, has_sort: bool):
+    """Reshape ``(order, tuple)`` rows to ``(key, (order, payload))``.
+
+    When ``has_sort`` the payload is the ``(sort, value)`` tail; a stray
+    2-tuple degrades to a 1-tuple tail (the reference's slice does the
+    same).  When not ``has_sort`` the tuple is unpacked as exactly
+    ``(key, value)`` so a stray 3-tuple raises the same ``ValueError``
+    the reference hits in its partition loop.
+    """
+    if has_sort:
+
+        def reshape(row):
+            order, t = row
+            return (t[0], (order, tuple(t[1:3])))
+
+    else:
+
+        def reshape(row):
+            order, t = row
+            key, value = t
+            return (key, (order, value))
+
+    return tagged.map(reshape)
+
+
+def _sorted_group(
+    entries: Iterable, has_sort: bool, sort_with_value: bool, reverse: bool
+) -> tuple[Any, list]:
+    """Order one key's ``(order, payload)`` entries and strip sort keys.
+
+    Returns ``(first_appearance_order, values)``.  Encounter order is
+    restored first so the subsequent mode sort is stable with respect to
+    it, exactly like sorting an insertion-ordered list in one process.
+    """
+    entries = sorted(entries, key=lambda e: e[0])
+    first_order = entries[0][0] if entries else None
+    payloads = [e[1] for e in entries]
+
+    if has_sort:
+        # payload is the (sort, value) tail
+        if sort_with_value:
+            payloads.sort(reverse=reverse)
+        else:
+            payloads.sort(key=lambda p: p[0], reverse=reverse)
+        values = [p[1] for p in payloads]
+    elif sort_with_value:
+        payloads.sort(reverse=reverse)
+        values = payloads
+    else:
+        values = payloads
+    return first_order, values
+
+
+class MapReduce(abc.ABC):
+    """Distributed MapReduce with the reference's user contract.
+
+    Subclassers implement ``mapper()`` and ``reducer()`` (each may
+    ``return`` one tuple or ``yield`` many), optionally override
+    ``output()`` and the four sort-flag properties, then call the
+    instance on any iterable (or an existing RDD)::
+
+        class WordCount(MapReduce):
+            def mapper(self, item):
+                for word in item.split():
+                    yield word.lower(), 1
+            def reducer(self, key, values):
+                return key, sum(values)
+
+        WordCount()(["a b a"])  # {'a': 2, 'b': 1}
+
+    ``mapper_map`` / ``reducer_map`` (caller-injected thread/process
+    pools in the reference, docs.rst:309-331) are accepted for API
+    compatibility but ignored: Spark owns parallelism here, which is
+    precisely what those hooks existed to approximate.
+    """
+
+    #: Optional SparkSession; resolved lazily if left None.
+    spark = None
+
+    def __getstate__(self):
+        # Hooks are shipped to executors as bound methods, which pickles
+        # the instance; the session is driver-only state (SPARK-5063).
+        state = self.__dict__.copy()
+        state.pop("spark", None)
+        return state
+
+    # -- user hooks ----------------------------------------------------
+
+    @abc.abstractmethod
+    def mapper(self, item):
+        """Produce ``(key, value)`` or ``(key, sort, value)`` tuples.
+
+        May ``return`` a single tuple or ``yield`` any number of them.
+        The presence of the ``sort`` element triggers sorting before
+        ``reducer()`` runs.
+        """
+        raise NotImplementedError  # pragma: no cover
+
+    @abc.abstractmethod
+    def reducer(self, key, values):
+        """Reduce one key's values; emit tuples like ``mapper()``.
+
+        ``values`` is a list, sorted according to the sort flags, with
+        any sort elements already stripped.  May emit a different key
+        than it received (re-keying).
+        """
+        raise NotImplementedError  # pragma: no cover
+
+    def output(self, mapping: dict):
+        """Final hook over the result dict; default is identity."""
+        return mapping
+
+    # -- sort flags (overridable as plain class attributes) ------------
+
+    @property
+    def sort_map_with_value(self) -> bool:
+        """Include the value when sorting mapper output."""
+        return False
+
+    @property
+    def sort_map_reverse(self) -> bool:
+        """Sort mapper output descending."""
+        return False
+
+    @property
+    def sort_reduce_with_value(self) -> bool:
+        """Include the value when sorting reducer output."""
+        return False
+
+    @property
+    def sort_reduce_reverse(self) -> bool:
+        """Sort reducer output descending."""
+        return False
+
+    # -- execution -----------------------------------------------------
+
+    def _get_spark(self):
+        if self.spark is not None:
+            return self.spark
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            return active
+        from mr_python_spark.session import get_spark
+
+        return get_spark()
+
+    def _phase(self, rdd, hook_name: str, sort_with_value: bool, reverse: bool):
+        """One partition-and-sort round: validate, group, order, strip.
+
+        Returns an RDD of ``(key, (first_order, values_list))``.
+        """
+        tagged = _tag_order(rdd)
+        tagged.cache()
+        try:
+            first = tagged.first()[1]
+        except ValueError:
+            # Empty input is unsupported, exactly like the reference's
+            # unprotected peek (tinymr.py:302).
+            tagged.unpersist()
+            raise StopIteration(f"empty {hook_name} output")
+        if len(first) not in (2, 3):
+            tagged.unpersist()
+            raise ElementCountError(
+                f"Expected data of size 2 or 3, not {len(first)}. "
+                f"Example: {first!r}"
+            )
+        has_sort = len(first) == 3
+        keyed = _shape_rows(tagged, has_sort)
+        grouped = keyed.groupByKey()
+        result = grouped.mapValues(
+            lambda entries: _sorted_group(entries, has_sort, sort_with_value, reverse)
+        )
+        return result, tagged
+
+    def __call__(self, sequence, map=None, mapper_map=None, reducer_map=None):
+        """Run the full map → shuffle → reduce → shuffle → output pipeline."""
+        spark = self._get_spark()
+        sc = spark.sparkContext
+
+        from pyspark import RDD
+
+        if isinstance(sequence, RDD):
+            rdd = sequence
+        else:
+            items = list(sequence)
+            rdd = sc.parallelize(items, max(1, min(len(items), sc.defaultParallelism)))
+
+        mapper = self.mapper
+        mapper_is_gen = isgeneratorfunction(mapper)
+        reducer = self.reducer
+        reducer_is_gen = isgeneratorfunction(reducer)
+
+        cached = []
+        try:
+            mapped = rdd.flatMap(lambda item: _emit(mapper, mapper_is_gen, item))
+            partitioned, c1 = self._phase(
+                mapped, "mapper", self.sort_map_with_value, self.sort_map_reverse
+            )
+            cached.append(c1)
+
+            reduced = partitioned.flatMap(
+                lambda kv: _emit(reducer, reducer_is_gen, kv[0], kv[1][1])
+            )
+            partitioned2, c2 = self._phase(
+                reduced, "reducer", self.sort_reduce_with_value, self.sort_reduce_reverse
+            )
+            cached.append(c2)
+
+            rows = partitioned2.collect()
+        finally:
+            for c in cached:
+                c.unpersist()
+
+        # Reference output order = first-appearance order of reducer
+        # output keys (insertion-ordered dict in one process).
+        rows.sort(key=lambda kv: kv[1][0])
+        if reducer_is_gen:
+            mapping = {k: values for k, (_, values) in rows}
+        else:
+            # Return-style reducer: single value per key; on re-key
+            # collisions the first value (post-sort) wins.
+            mapping = {k: values[0] for k, (_, values) in rows}
+        return self.output(mapping)

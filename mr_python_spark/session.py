@@ -1,0 +1,97 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror what a production deployment would set
+cluster-wide: AQE on (runtime re-planning, skew-join splitting,
+partition coalescing), Arrow for the Python boundary, shuffle
+partitions sized to cores rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+# Python workers must hash strings identically for groupByKey on string
+# keys; set before any worker is forked so every interpreter agrees.
+os.environ.setdefault("PYTHONHASHSEED", "0")
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "mr_python_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-minded defaults.
+
+    On a real cluster the ``master`` and memory settings come from
+    spark-submit; everything under ``spark.sql.*`` here is what we would
+    ship in the cluster conf.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # Python workers must be able to import this package even when it is
+    # used from a source checkout rather than a pip install.  Local-mode
+    # workers inherit the driver environment, so extend PYTHONPATH before
+    # the JVM (and the worker daemon) starts.  On a real cluster the same
+    # is achieved with --py-files; see ship_package().
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
+        )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Ship this package to executors as a zip (for real clusters).
+
+    Local mode relies on the PYTHONPATH propagation in :func:`get_spark`;
+    on a multi-node cluster call this once after session creation (or
+    pass the zip via ``spark-submit --py-files``).
+    """
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(tempfile.gettempdir(), "mr_python_spark_pkg")
+    zip_path = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir), "mr_python_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    return zip_path
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver parquet table (TESTDATA.md schema)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str):
+    """Load every driver table as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,226 @@
+"""Text analysis: tokenization, word count, stats, quality scoring.
+
+Word count is the reference's iconic query (docs.rst:27-34,137-159);
+here it is ``split → explode → groupBy().count()`` — partial+final
+hash aggregation gives the in-mapper-combining optimization
+(docs.rst:199-276) for free.  The rest is the LLM-pipeline text
+toolkit: per-document stats, regex token counting, stopword-based
+quality scores — all JVM-side (split/filter/size/higher-order
+functions), no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_python_spark.registry import register
+from mr_python_spark.session import load_table
+
+#: tiny English stopword list used by quality scoring (deterministic)
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "be")
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokenization with empty-token removal (JVM-side)."""
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+
+
+_WC_ORACLE = """
+SELECT word, COUNT(*) AS cnt
+FROM (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+  FROM documents
+)
+WHERE word <> ''
+GROUP BY word
+"""
+
+
+@register("word_count", _WC_ORACLE)
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query: corpus-wide word frequencies."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_TOPK_ORACLE = """
+SELECT word, COUNT(*) AS cnt
+FROM (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+  FROM documents
+)
+WHERE word <> ''
+GROUP BY word
+ORDER BY cnt DESC, word
+LIMIT 10
+"""
+
+
+@register("word_topk", _TOPK_ORACLE)
+def word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 words — the ``Counter.most_common(k)`` analog
+    (docs.rst:57-58) as TakeOrderedAndProject."""
+    return (
+        word_count(spark, sf_dir)
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(10)
+    )
+
+
+_WC_PER_DOC_ORACLE = """
+SELECT doc_id, lang, CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_tokens
+FROM documents
+"""
+
+
+@register("word_count_per_doc", _WC_PER_DOC_ORACLE)
+def word_count_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts (no explode: size() on the array)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", F.size(tokens_col()).alias("n_tokens"))
+
+
+_STATS_ORACLE = """
+SELECT
+  doc_id,
+  CAST(length(text) AS INTEGER) AS n_chars,
+  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS INTEGER) AS n_tokens,
+  CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))) AS INTEGER) AS n_unique_tokens,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+    / len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS avg_token_len
+FROM documents
+"""
+
+
+@register("text_stats", _STATS_ORACLE)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: chars, tokens, unique tokens, avg token length."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+_TOKREGEX_ORACLE = """
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_alpha_tokens,
+  CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS n_num_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("token_count_regex", _TOKREGEX_ORACLE)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex (BPE-ish pre-tokenizer) token counting per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("alpha"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)).alias("num"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("alpha").alias("n_alpha_tokens"),
+            F.sum("num").alias("n_num_tokens"),
+        )
+    )
+
+
+_QUALITY_ORACLE = f"""
+SELECT
+  doc_id,
+  n_tokens,
+  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+  CAST(least(n_tokens, 100) AS DOUBLE) / 100.0
+    * (0.5 + 0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)) AS quality_score
+FROM (
+  SELECT
+    doc_id,
+    CAST(len(toks) AS INTEGER) AS n_tokens,
+    CAST(len(list_filter(toks, t -> t IN {STOPWORDS!r})) AS INTEGER) AS n_stop
+  FROM (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+  )
+)
+WHERE n_tokens > 0
+"""
+
+
+@register("quality_score", _QUALITY_ORACLE)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation × stopword ratio.
+
+    The kind of cheap, fully-vectorized filter a 100 TB pretraining
+    pipeline runs before anything expensive.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    score = (F.least(n_tokens, F.lit(100)).cast("double") / 100.0) * (
+        0.5 + 0.5 * stop_ratio
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            stop_ratio.alias("stopword_ratio"),
+            score.alias("quality_score"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+_LANGDIST_ORACLE = """
+SELECT
+  lang,
+  source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@register("lang_source_distribution", _LANGDIST_ORACLE)
+def lang_source_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by (lang, source) — pipeline bookkeeping."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register("doc_fingerprint")  # rows-only: md5-based hashing is not portable SQL
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 64-bit document fingerprint (rolling token hash).
+
+    xxhash64 over the normalized token stream — a cheap stand-in for
+    winnowing/rolling fingerprints used in near-dup candidate keying.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.xxhash64(F.concat_ws(" ", tokens_col())).alias("fingerprint"),
+    )

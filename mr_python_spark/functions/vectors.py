@@ -1,0 +1,93 @@
+"""Vector math over ``array<float>`` columns — JVM higher-order functions.
+
+Dot products / norms / cosine are expressed with ``zip_with`` +
+``aggregate`` (sequential left-to-right fold → deterministic double
+arithmetic, bit-identical to any other engine folding in index order).
+The blocked-numpy path for all-pairs work lives in
+:mod:`mr_python_spark.similarity`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_python_spark.registry import register
+from mr_python_spark.session import load_table
+
+
+def to_double(arr: Column) -> Column:
+    """Cast array<float> → array<double> (do all math in f64)."""
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    """Euclidean norm (sequential fold, IEEE-exact sqrt)."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+_NORM_ORACLE = """
+SELECT
+  vec_id,
+  label,
+  CAST(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS DOUBLE) AS l2,
+  CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS comp_sum
+FROM embeddings
+"""
+
+
+@register("vector_norms", _NORM_ORACLE)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm and component sum (fold-based, no UDF)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = to_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        "label",
+        l2_norm(v).alias("l2"),
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x).alias("comp_sum"),
+    )
+
+
+_CENTROID_ORACLE = """
+SELECT
+  label,
+  COUNT(*) AS n_vectors,
+  CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS centroid_c1,
+  CAST(SUM(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS centroid_c2
+FROM embeddings
+GROUP BY label
+"""
+
+
+@register("label_centroids", _CENTROID_ORACLE)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (grouped vector aggregation).
+
+    Full-vector centroids at scale: ``Summarizer.mean`` or an Arrow
+    pandas UDF; the leading components here keep the oracle exact
+    (f32→f64 casts are lossless, sums of ≤2k values are stable).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # decimal-cast sums: order-independent under any partitioning
+    c1 = F.element_at("embedding", 1).cast("double").cast("decimal(38,12)")
+    c2 = F.element_at("embedding", 2).cast("double").cast("decimal(38,12)")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.sum(c1).cast("double") / F.count(F.lit(1))).alias("centroid_c1"),
+        (F.sum(c2).cast("double") / F.count(F.lit(1))).alias("centroid_c2"),
+    )

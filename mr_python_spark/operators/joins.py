@@ -1,0 +1,306 @@
+"""Joins: inner/left/semi/anti, broadcast, range (theta), as-of.
+
+The reference has NO join operator — the classic reduce-side join
+(union tagged streams under a shared key, pair in the reducer) is the
+only way to express one, and even that is undocumented (SURVEY.md §2c).
+Here joins are first-class and Catalyst picks the physical strategy.
+
+Scale notes (100 TB posture):
+
+* Dimension tables (region/nation/supplier/tiers) are broadcast —
+  no shuffle of the fact table.  ``F.broadcast`` is explicit where the
+  stats-based planner wouldn't see the size.
+* Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; both
+  sides hash-partition on the same key so AQE can pick shuffled-hash
+  vs sort-merge and split skewed partitions.
+* The as-of join avoids a nested-loop entirely: union the two tagged
+  streams, one shuffle on user_id, and a running ``last(..)`` window —
+  O(n log n) per key vs O(n·m) pairwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mr_python_spark.operators.aggregates import dec_sum, dec_sum_expr
+from mr_python_spark.registry import register
+from mr_python_spark.session import load_table
+
+
+_Q3_ORACLE = """
+SELECT
+  l_orderkey,
+  CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-06-30 00:00:00'
+  AND l_shipdate > TIMESTAMP '1999-06-30 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", _Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective 3-way join → agg → top-k.
+
+    customer is filtered then joined (small side); orders⋈lineitem is
+    the shuffle join.  Top-k plans TakeOrderedAndProject — no global
+    sort materialization.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1999-06-30 00:00:00").cast("timestamp")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum_expr(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q5_ORACLE = """
+SELECT
+  n_name,
+  CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
+  COUNT(*) AS n_items
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+@register("q5_local_supplier", _Q5_ORACLE)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way star join, dims broadcast, facts shuffled."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(
+                customer.join(
+                    F.broadcast(
+                        nation.join(
+                            F.broadcast(region),
+                            F.col("n_regionkey") == F.col("r_regionkey"),
+                        )
+                    ),
+                    F.col("c_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("n_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            dec_sum_expr(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_INNER_ORACLE = """
+SELECT o_orderkey, c_name, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+"""
+
+
+@register("join_inner_basic", _INNER_ORACLE)
+def join_inner_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi-join with projection (customer side broadcast-able)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+_LEFT_AGG_ORACLE = """
+SELECT
+  c_custkey,
+  c_name,
+  COUNT(o_orderkey) AS n_orders,
+  COALESCE(CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 0.0) AS total_spent
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+@register("join_left_outer_agg", _LEFT_AGG_ORACLE)
+def join_left_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join keeping order-less customers (NULL-safe agg)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dec_sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 400000
+)
+"""
+
+
+@register("join_left_semi", _SEMI_ORACLE)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers with at least one big order."""
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return customer.join(
+        big, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+)
+"""
+
+
+@register("join_left_anti", _ANTI_ORACLE)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers that never ordered."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_TIER_ORACLE = """
+SELECT
+  t.tier,
+  COUNT(o_orderkey) AS n_orders,
+  COALESCE(CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 0.0) AS sum_price
+FROM (VALUES
+    ('T1_SMALL',       0.0,  100000.0),
+    ('T2_MEDIUM', 100000.0,  250000.0),
+    ('T3_LARGE',  250000.0,  400000.0),
+    ('T4_JUMBO',  400000.0, 1000000000.0)
+) t(tier, lo, hi)
+LEFT JOIN orders ON o_totalprice >= t.lo AND o_totalprice < t.hi
+GROUP BY t.tier
+"""
+
+PRICE_TIERS = [
+    ("T1_SMALL", 0.0, 100000.0),
+    ("T2_MEDIUM", 100000.0, 250000.0),
+    ("T3_LARGE", 250000.0, 400000.0),
+    ("T4_JUMBO", 400000.0, 1000000000.0),
+]
+
+
+@register("join_range_tiers", _TIER_ORACLE)
+def join_range_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: banding a fact column against interval dims.
+
+    The tier table is tiny → broadcast nested-loop join, which is the
+    right plan: every executor bands its partition locally, zero
+    shuffle of the fact side before aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(PRICE_TIERS, ["tier", "lo", "hi"])
+    cond = (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi"))
+    return (
+        F.broadcast(tiers)
+        .join(orders, cond, "left")
+        .groupBy("tier")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dec_sum("o_totalprice"), F.lit(0.0)).alias("sum_price"),
+        )
+    )
+
+
+_ASOF_ORACLE = """
+SELECT
+  p.event_id,
+  p.user_id,
+  p.ts,
+  c.ts AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register("join_asof_events", _ASOF_ORACLE)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's latest click at-or-before.
+
+    Implemented shuffle-once: union the two tagged streams, window per
+    user ordered by (ts, tag) — clicks sort before purchases at equal
+    ts — and carry the last non-null click ts forward.  This scales as
+    one shuffle + one sort per key, vs the O(n·m) pairwise theta join.
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_purchase"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("is_purchase"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )

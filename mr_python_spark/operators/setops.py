@@ -1,0 +1,73 @@
+"""Set operations: union / intersect / except.
+
+ABSENT from the reference (input concatenation is the caller's job,
+SURVEY.md §2c).  Native here; all three shuffle on the full row as the
+key, so project to the minimal column set first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_python_spark.registry import register
+from mr_python_spark.session import load_table
+
+
+_UNION_ORACLE = """
+SELECT nationkey, COUNT(*) AS n_accounts
+FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+)
+GROUP BY nationkey
+"""
+
+
+@register("setop_union_all", _UNION_ORACLE)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two keyed streams + count (no dedup shuffle)."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    unioned = customer.select(F.col("c_nationkey").alias("nationkey")).unionByName(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return unioned.groupBy("nationkey").agg(F.count(F.lit(1)).alias("n_accounts"))
+
+
+_INTERSECT_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@register("setop_intersect", _INTERSECT_ORACLE)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations having both customers and suppliers."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+_EXCEPT_ORACLE = """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+"""
+
+
+@register("setop_except", _EXCEPT_ORACLE)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference): customers who ordered but
+    never placed a large order.  ``subtract`` = SQL EXCEPT; the
+    multiset variant is ``exceptAll``."""
+    orders = load_table(spark, sf_dir, "orders")
+    all_cust = orders.select(F.col("o_custkey").alias("custkey"))
+    big_cust = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return all_cust.subtract(big_cust)

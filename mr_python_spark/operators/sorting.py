@@ -1,0 +1,103 @@
+"""Sorts, limits, top-k, and in-group secondary sort.
+
+The reference sorts per-partition value lists (tinymr.py:336-343) and
+does global top-k driver-side via ``Counter.most_common``
+(docs.rst:57-58).  Spark equivalents:
+
+* global top-k: ``orderBy().limit(k)`` → TakeOrderedAndProject, a
+  per-partition heap + driver merge — no global sort at any scale.
+* in-group ordering: ``sort_array(collect_list(struct(sort, value)))``
+  for bounded groups (the direct analog of the reference's in-memory
+  per-key sort), window functions for unbounded ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_python_spark.registry import register
+from mr_python_spark.session import load_table
+
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15
+"""
+
+
+@register("topk_orders", _TOPK_ORACLE)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject; unique tiebreaker)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+    )
+
+
+_MULTISORT_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_shipdate
+FROM lineitem
+ORDER BY l_shipdate DESC, l_orderkey, l_linenumber
+LIMIT 20
+"""
+
+
+@register("multisort_limit_lineitem", _MULTISORT_ORACLE)
+def multisort_limit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column lexicographic sort + limit (the (year, month)
+    composite-sort pattern of test_mapreduce_sorting.py:125-167)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy(F.desc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(20)
+    )
+
+
+_SECSORT_ORACLE = """
+SELECT
+  l_orderkey,
+  ROW_NUMBER() OVER (
+    PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber
+  ) AS seq,
+  l_linenumber,
+  l_shipdate
+FROM lineitem
+"""
+
+
+@register("secondary_sort_lineitems", _SECSORT_ORACLE)
+def secondary_sort_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary sort inside bounded groups, tinymr-style.
+
+    The direct Spark analog of the reference's 3-tuple
+    ``(key, sort, value)`` flow: collect each order's lineitems,
+    ``sort_array`` orders them by the struct's leading (sort) fields,
+    then posexplode re-emits rows with their in-group sequence.  Groups
+    are bounded (≤7 lineitems/order) so collect_list is safe at any
+    scale; for unbounded groups use a window (see operators.windows).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("l_shipdate", "l_linenumber"))
+            ).alias("items")
+        )
+        .select(
+            "l_orderkey",
+            F.posexplode("items").alias("pos", "item"),
+        )
+        .select(
+            "l_orderkey",
+            (F.col("pos") + 1).cast("long").alias("seq"),
+            F.col("item.l_linenumber").alias("l_linenumber"),
+            F.col("item.l_shipdate").alias("l_shipdate"),
+        )
+    )

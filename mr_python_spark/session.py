@@ -64,6 +64,9 @@ def get_spark(app_name: str = "mr_python_spark", cpus: int | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the events table stores TIMESTAMP(NANOS) parquet, which Spark
+        # rejects by default; read as long and convert in load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -88,8 +91,18 @@ def ship_package(spark: SparkSession) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver parquet table (TESTDATA.md schema)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one driver parquet table (TESTDATA.md schema).
+
+    ``events.ts`` is nano-precision parquet (read as long under
+    ``nanosAsLong``); convert to a micro-precision timestamp the way
+    DuckDB/Arrow do — truncation.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str):

@@ -1,0 +1,178 @@
+"""Similarity search over embeddings: brute-force top-k + pruned variants.
+
+* ``ann_brute_topk`` — exact cosine top-k, blocked-numpy execution:
+  the query matrix is broadcast, every partition computes a
+  (partition × queries) GEMM via Arrow/pandas, emits per-partition
+  top-k, and a final window takes global top-k.  This is the
+  map-side-combine shape: shuffle volume is O(partitions·q·k), never
+  O(rows).
+* ``ann_ivf_label`` — IVF-style partition pruning: ``label`` plays the
+  coarse-quantizer cell; search only the query's own cell.  At 100 TB
+  the cell id comes from a trained k-means (Spark ML) and the table is
+  bucketed/partitioned by it → partition pruning turns top-k into a
+  fraction-of-corpus scan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mr_python_spark.functions.vectors import cosine, to_double
+from mr_python_spark.registry import register
+from mr_python_spark.session import load_table
+
+#: every QUERY_STRIDE-th vector is a query point (deterministic subset)
+QUERY_STRIDE = 25
+TOP_K = 5
+
+
+_BRUTE_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+), q AS (
+  SELECT * FROM n WHERE vec_id % {QUERY_STRIDE} = 0
+), scored AS (
+  SELECT
+    q.vec_id AS query_id,
+    n.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(q.e, n.e), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (q.nrm * n.nrm) AS score
+  FROM q JOIN n ON q.vec_id <> n.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+@register("ann_brute_topk", _BRUTE_ORACLE)
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k via broadcast queries + blocked GEMM.
+
+    Scores stay internal (f64 GEMM); output is (query, neighbor, rank)
+    with a total ordering, so results are engine-comparable.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select("vec_id", "embedding")
+    qrows = queries.collect()  # small, deterministic subset
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def score_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm = bc.value
+        k = TOP_K
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cand_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cm = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            scores = qm @ cm.T  # (q, rows) GEMM — the vectorized hot path
+            out = []
+            for qi, qid in enumerate(ids):
+                s = scores[qi]
+                mask = cand_ids != qid
+                s_m, c_m = s[mask], cand_ids[mask]
+                if len(c_m) == 0:
+                    continue
+                top = min(k, len(c_m))
+                # partial top-k per partition (ties broken by id later)
+                part = np.argpartition(-s_m, top - 1)[: top + 8 if top + 8 <= len(c_m) else len(c_m)]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": c_m[part],
+                            "score": s_m[part],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(score_block, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+_IVF_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+), q AS (
+  SELECT * FROM n WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT
+    q.vec_id AS query_id,
+    n.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(q.e, n.e), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (q.nrm * n.nrm) AS score
+  FROM q JOIN n ON q.label = n.label AND q.vec_id <> n.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+"""
+
+
+@register("ann_ivf_label", _IVF_ORACLE)
+def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style pruned search: only the query's own label cell.
+
+    Pure JVM: broadcast the (tiny) query set, equi-join on the cell id
+    — Catalyst prunes everything else — sequential-fold cosine,
+    window top-3.  Deterministic end to end.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", to_double(F.col("embedding")).alias("e"))
+    q = v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("qe"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(v, (F.col("qlabel") == F.col("label")) & (F.col("query_id") != F.col("vec_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("e")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,192 @@
+"""Event-time windowing: tumbling / sliding / session — batch + streaming.
+
+The reference is strictly batch, fully materialized (tinymr.py:1,29);
+nothing like watermarks or windows exists there (SURVEY.md §2c).  The
+batch queries here use the exact operators Structured Streaming uses
+(``window()``, ``session_window()``), so the same code runs under
+``readStream`` — :func:`run_streaming_tumbling` proves it with an
+availableNow trigger + memory sink.
+
+Window starts surface as epoch-second BIGINTs: timezone-free and
+identical across engines.
+
+Scale notes: tumbling/sliding aggregation is algebraic → partial
+aggregation before the shuffle; session windows need the per-key
+gap-merge (Spark keeps per-key state; the batch oracle is the
+gaps-and-islands window trick).  Watermarks bound state for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_python_spark.operators.aggregates import dec_sum
+from mr_python_spark.registry import register
+from mr_python_spark.session import load_table
+
+
+_TUMBLE_ORACLE = """
+SELECT
+  CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("tumbling_window_events", _TUMBLE_ORACLE)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type (``F.window``)."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        events.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SLIDE_ORACLE = """
+SELECT
+  CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT) AS win_start,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events
+CROSS JOIN (VALUES (0), (1800)) o(off)
+GROUP BY 1
+"""
+
+
+@register("sliding_window_events", _SLIDE_ORACLE)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min (each event in 2 windows)."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        events.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT
+    user_id,
+    ts,
+    CASE
+      WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+      WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1
+      ELSE 0
+    END AS new_session
+  FROM events
+), numbered AS (
+  SELECT
+    user_id,
+    ts,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_no
+  FROM marked
+)
+SELECT
+  user_id,
+  CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+  COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+@register("session_window_events", _SESSION_ORACLE)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessions per user (``F.session_window``).
+
+    The oracle is the classic gaps-and-islands construction — the
+    hand-written reducer a tinymr user would need; here it is one
+    stateful operator.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        events.groupBy(sw.alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register("streaming_tumbling_live")  # rows-only: exercises real readStream
+def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling query under actual Structured Streaming.
+
+    readStream(parquet) → withWatermark → window agg → availableNow
+    trigger → memory sink.  Proves the batch window queries are
+    streaming-ready (same operators, plus state + late-data bounds).
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    events = load_table(spark, sf_dir, "events")
+    # the file-stream source wants a directory; stage the single file
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"mrps_stream_{os.path.basename(sf_dir)}"
+    )
+    os.makedirs(stage_dir, exist_ok=True)
+    staged = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(staged):
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), staged)
+    raw_schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+    from pyspark.sql import functions as F2
+
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F2.timestamp_micros(F2.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)

@@ -1,0 +1,90 @@
+"""Capability-layer smoke + oracle tests at sf0.001 (fast subset).
+
+Mirrors the driver's DuckDB comparison for a representative query per
+category; the full sweep lives in tools/check_correctness.py (run at
+sf0.01).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.check_correctness import TABLES, compare  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+REPRESENTATIVE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_left_anti",
+    "join_asof_events",
+    "window_top3_per_customer",
+    "cube_orders",
+    "setop_intersect",
+    "string_funcs_part",
+    "json_funcs_events",
+    "word_count",
+    "text_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "tumbling_window_events",
+    "session_window_events",
+    "vector_norms",
+    "ann_ivf_label",
+]
+
+
+@pytest.fixture(scope="module")
+def entrymod(spark):
+    import __spark_entry__ as m
+
+    return m
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_query_matches_oracle(spark, entrymod, duck, name):
+    fn = entrymod.queries()[name]
+    oracle = entrymod.oracle_sql()[name]
+    spark_pdf = fn(spark, SF).toPandas()
+    duck_pdf = duck.sql(oracle).df()
+    problems = compare(name, spark_pdf, duck_pdf)
+    assert not problems, problems
+
+
+def test_entry_smoke(spark, entrymod):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"word", "cnt"}
+
+
+def test_every_query_has_callable(entrymod):
+    qs = entrymod.queries()
+    assert len(qs) >= 50
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+
+
+def test_rows_only_queries_run(spark, entrymod):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    for name in sorted(set(qs) - set(oracles)):
+        if name == "streaming_tumbling_live":
+            continue  # exercised in test_streaming
+        df = qs[name](spark, SF)
+        assert df.count() >= 0, name

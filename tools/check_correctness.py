@@ -1,0 +1,137 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and, when an oracle exists, the
+matching SQL on DuckDB over the same parquet tables; compares row
+count, column names, and an order-insensitive value comparison (exact
+for ints/strings/timestamps, exact-bits for doubles — our queries are
+designed to be bit-deterministic cross-engine).
+
+Usage::
+
+    python tools/check_correctness.py              # all queries at sf0.01
+    python tools/check_correctness.py q1 word_count
+    SPARK_GRAFT_CHECK_SF=/root/testdata/sf0.001 python tools/check_correctness.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connection():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize cell values, sort rows."""
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def canon(v):
+        if v is None or v is pd.NaT:
+            return "<NULL>"
+        if isinstance(v, float):
+            if np.isnan(v):
+                return "<NULL>"
+            return repr(v)
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+        if isinstance(v, (np.integer,)):
+            return str(int(v))
+        if isinstance(v, (np.floating,)):
+            return repr(float(v))
+        if isinstance(v, (list, np.ndarray)):
+            return "[" + ",".join(canon(x) for x in v) + "]"
+        return str(v)
+
+    out = df.map(canon)
+    return out.sort_values(by=list(out.columns), ignore_index=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count {len(spark_pdf)} vs oracle {len(duck_pdf)}")
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        problems.append(f"columns {s_cols} vs oracle {d_cols}")
+        return problems
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    if len(a) == len(b) and not a.equals(b):
+        neq = (a != b).any(axis=1)
+        idx = list(a.index[neq])[:3]
+        for i in idx:
+            problems.append(f"row diff @{i}: spark={a.loc[i].tolist()} oracle={b.loc[i].tolist()}")
+    return problems
+
+
+def main(selected: list[str]) -> int:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    from mr_python_spark.session import get_spark
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("correctness-check")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    if selected:
+        qs = {k: v for k, v in qs.items() if any(s in k for s in selected)}
+    con = duck_connection()
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in sorted(qs.items()):
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            spark_pdf = sdf.toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark query raised")
+            traceback.print_exc(limit=4)
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            ok = len(spark_pdf) >= 0
+            print(f"rows  {name}: {len(spark_pdf)} rows ({dt:.1f}s) [rows-only]")
+            n_rows_only += 1
+            continue
+        try:
+            duck_pdf = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL raised: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems[:4]))
+            n_fail += 1
+        else:
+            print(f"pass  {name}: {len(spark_pdf)} rows ({dt:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -1,0 +1,147 @@
+"""Python UDF surfaces: pandas_udf, Python UDTF, applyInPandas.
+
+In the reference these ARE the whole engine surface: ``mapper`` is a
+row→rows UDTF, ``reducer`` is a UDAF over grouped values, ``output``
+a result hook (tinymr.py:39-114; SURVEY.md §2c).  The capability
+layer keeps hot paths JVM-side, but exposes each Python escape hatch
+as a first-class, tested operator for logic Spark genuinely can't
+express:
+
+* scalar ``pandas_udf``    — Arrow-batched columnar compute (numpy in,
+  numpy out); ~10-100× over row-at-a-time ``udf``.
+* Python UDTF (Spark ≥3.5) — the literal ``mapper`` contract: one
+  input row, zero-to-many output rows, via ``LATERAL``.
+* ``applyInPandas``        — the literal ``reducer`` contract: one
+  pandas frame per key, arbitrary Python, re-keying allowed.
+
+Scale notes (100 TB posture): all three ship data Python-side through
+Arrow in ``spark.sql.execution.arrow.maxRecordsPerBatch``-sized
+batches — per-batch overhead is amortized and memory is bounded.
+``applyInPandas`` materializes ONE KEY's rows in one worker (same
+contract as the reference's per-key value list, tinymr.py:332-334) —
+keys must fit in executor memory; use salting/pre-aggregation for
+heavy keys before falling back to it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from mr_python_spark.registry import register
+from mr_python_spark.session import load_table
+
+
+# --------------------------------------------------------------------
+# scalar pandas_udf
+
+_PUDF_TOKENS_ORACLE = """
+SELECT doc_id, CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_tokens
+FROM documents
+"""
+
+
+@register("pandas_udf_token_count", _PUDF_TOKENS_ORACLE)
+def pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count via a scalar pandas_udf.
+
+    Same answer as the JVM-side ``word_count_per_doc`` — registered
+    separately to keep the Arrow batch path itself under test.
+    (The udf is built lazily: pandas_udf creation requires an active
+    session, so it can't happen at module import.)
+    """
+
+    @pandas_udf("int")
+    def n_tokens(text: pd.Series) -> pd.Series:
+        return text.str.lower().str.split().str.len().astype("int32")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", n_tokens(F.col("text")).alias("n_tokens"))
+
+
+# --------------------------------------------------------------------
+# Python UDTF — the reference's mapper contract (1 row → 0..N rows)
+
+_UDTF_ORACLE = """
+SELECT word, COUNT(*) AS cnt
+FROM (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+  FROM documents
+)
+WHERE word <> ''
+GROUP BY word
+ORDER BY cnt DESC, word
+LIMIT 15
+"""
+
+
+@register("udtf_word_explode", _UDTF_ORACLE)
+def udtf_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count through a Python UDTF (``LATERAL split_words(text)``).
+
+    The UDTF is the exact ``mapper`` contract from the reference
+    (tinymr.py:39-59: one item in, yield many tuples out) as a native
+    Spark operator.  Hot-path word count stays JVM-side
+    (:func:`mr_python_spark.functions.text.word_count`); this keeps
+    the UDTF surface itself tested.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string")
+    class SplitWords:
+        def eval(self, text: str):  # noqa: D102 — UDTF contract
+            if text is None:
+                return
+            for tok in text.lower().split():
+                if tok:
+                    yield (tok,)
+
+    spark.udtf.register("split_words", SplitWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT t.word, COUNT(*) AS cnt
+        FROM docs_udtf, LATERAL split_words(text) t
+        GROUP BY t.word
+        ORDER BY cnt DESC, t.word
+        LIMIT 15
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# applyInPandas — the reference's reducer contract (key, values) → rows
+
+_GROUPED_ORACLE = """
+SELECT user_id, event_id, event_type, CAST(value AS DOUBLE) AS value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+)
+WHERE rn <= 2
+"""
+
+
+@register("grouped_map_top2", _GROUPED_ORACLE)
+def grouped_map_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top-2 events via ``applyInPandas`` grouped map.
+
+    The literal ``reducer`` contract (tinymr.py:61-91): all of one
+    key's rows arrive as a single pandas frame, arbitrary Python runs,
+    any rows come back.  Pure row selection (sort + head), zero float
+    arithmetic → bit-exact against the window-function oracle.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).head(2)
+
+    return events.groupBy("user_id").applyInPandas(top2, events.schema)

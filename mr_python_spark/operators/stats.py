@@ -1,0 +1,148 @@
+"""Statistical aggregates: variance/stddev (deterministic), median, pivot.
+
+The reference's only statistics are whatever users hand-write in a
+reducer over the value list (SURVEY.md §2c "aggregations").  Native
+``stddev``/``var_samp`` stream doubles in partition order, so their
+low bits depend on partitioning — useless for a cross-engine
+correctness gate AND a real reproducibility problem at scale.  Here
+the moments are accumulated as exact fixed-point longs (associative,
+any partitioning, any order), and the float formula is applied once
+at the end — bit-identical on Spark, DuckDB, or a 1000-executor
+cluster.
+
+Pivot is the classic reshape: Spark's ``pivot`` plans a single
+partial+final aggregate with one output column per pivot value —
+give it the value list explicitly to avoid an extra distinct-scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_python_spark.operators.aggregates import fixed_point
+from mr_python_spark.registry import register
+from mr_python_spark.session import load_table
+
+
+_VAR_ORACLE = """
+SELECT
+  l_returnflag,
+  n,
+  (CAST(s2 AS DOUBLE) / 10000.0 - (CAST(s1 AS DOUBLE) / 100.0) * (CAST(s1 AS DOUBLE) / 100.0) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_qty,
+  sqrt((CAST(s2 AS DOUBLE) / 10000.0 - (CAST(s1 AS DOUBLE) / 100.0) * (CAST(s1 AS DOUBLE) / 100.0) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS stddev_qty,
+  CAST(s1 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS mean_qty
+FROM (
+  SELECT
+    l_returnflag,
+    COUNT(*) AS n,
+    SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS s1,
+    SUM(CAST(round(l_quantity * 100, 0) AS BIGINT) * CAST(round(l_quantity * 100, 0) AS BIGINT)) AS s2
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+"""
+
+
+@register("stats_variance_quantity", _VAR_ORACLE)
+def stats_variance_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev / mean of l_quantity per return flag.
+
+    Two exact integer moments (Σx, Σx²) accumulate map-side in any
+    order; one closed-form float evaluation at the end.  This is how
+    the engine keeps statistics reproducible under repartitioning —
+    native ``var_samp`` over doubles is not.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qfp = fixed_point(F.col("l_quantity"), 2)
+    grouped = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qfp).alias("s1"),
+        F.sum(qfp * qfp).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double") / 100.0
+    s2d = F.col("s2").cast("double") / 10000.0
+    nd = F.col("n").cast("double")
+    var = (s2d - s1d * s1d / nd) / (F.col("n") - 1).cast("double")
+    return grouped.select(
+        "l_returnflag",
+        "n",
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+        (s1d / nd).alias("mean_qty"),
+    )
+
+
+_MEDIAN_ORACLE = """
+SELECT
+  o_orderpriority,
+  CAST(median(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS median_price,
+  CAST(quantile_disc(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.9) AS DOUBLE) / 100.0 AS p90_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("median_price_by_priority", _MEDIAN_ORACLE)
+def median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + discrete p90 of order price per priority.
+
+    Computed over fixed-point longs so interpolation (median of an
+    even count averages two integers) is deterministic; p90 uses the
+    discrete quantile (an actual data value — no interpolation
+    ambiguity).  Scale path: ``percentile_approx`` (t-digest sketch,
+    one pass, mergeable) replaces exact ``percentile`` when the value
+    list per group no longer fits an executor.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pfp = fixed_point(F.col("o_totalprice"), 2)
+    return (
+        orders.select("o_orderpriority", pfp.alias("pfp"))
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.expr("percentile(pfp, 0.5)")).alias("median_fp"),
+            (F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY pfp)")).alias("p90_fp"),
+        )
+        .select(
+            "o_orderpriority",
+            (F.col("median_fp") / 100.0).alias("median_price"),
+            (F.col("p90_fp").cast("double") / 100.0).alias("p90_price"),
+        )
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT
+  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) FILTER (event_type = 'click')    AS DOUBLE) / 100.0 AS click,
+  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) FILTER (event_type = 'view')     AS DOUBLE) / 100.0 AS view,
+  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) FILTER (event_type = 'purchase') AS DOUBLE) / 100.0 AS purchase,
+  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) FILTER (event_type = 'signup')   AS DOUBLE) / 100.0 AS signup,
+  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) FILTER (event_type = 'error')    AS DOUBLE) / 100.0 AS error
+FROM events
+GROUP BY 1
+"""
+
+
+@register("pivot_daily_event_values", _PIVOT_ORACLE)
+def pivot_daily_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily value totals pivoted to one column per event type.
+
+    The pivot value list is explicit — no pre-scan for distinct
+    values, and the output schema is stable regardless of which types
+    appear in a given slice (absent type → NULL, matching SQL FILTER
+    semantics).
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    pivoted = (
+        events.select(day.alias("day"), "event_type", fixed_point(F.col("value"), 2).alias("vfp"))
+        .groupBy("day")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.sum("vfp"))
+    )
+    keep = [F.col("day")] + [
+        (F.col(c).cast("double") / 100.0).alias(c)
+        for c in ("click", "view", "purchase", "signup", "error")
+    ]
+    return pivoted.select(*keep)

@@ -1,0 +1,252 @@
+"""TPC-H-shaped analytical queries adapted to the driver's star schema.
+
+The reference has no joins or multi-table queries at all (SURVEY.md
+§2c: users would hand-write reduce-side joins inside mapper/reducer);
+these queries are the capability layer's proof that the classic
+warehouse workload is expressible and fast.  q1/q3/q5 live in
+:mod:`mr_python_spark.operators.aggregates` / ``joins``; this module
+adds the q4/q6/q10/q14/q18 shapes (adapted: the synthetic schema has
+no partsupp/shipmode/commitdate, so predicates use the columns that
+exist — FIXTURES.md §2).
+
+Scale notes (100 TB posture):
+
+* q6 is the pure scan benchmark: predicate + projection pushdown means
+  the scan reads 4 columns and skips row groups by ``l_shipdate``
+  min/max stats — I/O-bound, no shuffle at all.
+* q4 is a semi join: EXISTS never materializes the probe side's
+  matches, and Spark plans a left-semi hash join with only the
+  (orderkey) key shuffled.
+* q10/q18 shuffle lineitem once on its natural key (l_orderkey);
+  dimension sides (customer, nation) are broadcast.  At 100 TB the
+  orders⋈lineitem join wants both sides bucketed by orderkey
+  (see docs/SCALE.md); the plan here is the AQE-friendly shape.
+* q14 broadcasts ``part`` (a dimension at any scale factor under
+  Spark's 64 MB threshold); the CASE-sum promo ratio is a single
+  partial+final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_python_spark.operators.aggregates import dec_sum, dec_sum_expr
+from mr_python_spark.registry import register
+from mr_python_spark.session import load_table
+
+
+_Q6_ORACLE = """
+SELECT
+  CAST(SUM(CAST(round((l_extendedprice * l_discount) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", _Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter+aggregate — the scan-throughput query.
+
+    No join, no grouping: Catalyst pushes all three predicates into the
+    parquet scan (row-group skipping on l_shipdate) and reads exactly
+    four columns; the aggregate is a single partial+final pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec_sum_expr(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("q4_order_priority", _Q4_ORACLE)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join, then count by priority.
+
+    (Adapted: no l_commitdate/l_receiptdate in the synthetic schema;
+    the EXISTS predicate is ``l_shipdate > o_orderdate``.)  The semi
+    join shuffles only the join key + predicate columns and stops
+    probing an order at its first matching lineitem.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+_Q10_ORACLE = """
+SELECT
+  c_custkey,
+  c_name,
+  n_name,
+  CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+  CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", _Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns.
+
+    lineitem is filtered on l_returnflag at the scan, then shuffled
+    once on l_orderkey to meet orders; customer and nation broadcast.
+    The top-20 is TakeOrderedAndProject (no global sort), tie-broken
+    on c_custkey so the limit is deterministic.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            dec_sum_expr(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q14_ORACLE = """
+SELECT
+  100.0 * (
+    CAST(SUM(CAST(round(
+      CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0
+  ) / (
+    CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0
+  ) AS promo_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+@register("q14_promo_revenue", _Q14_ORACLE)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one ship month.
+
+    part is a broadcast dimension — the month-filtered lineitem scan
+    never shuffles.  Both sums use exact fixed-point accumulation, so
+    the final ratio is one IEEE division on identical operands in any
+    engine, any partitioning.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_price = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * dec_sum_expr(promo_price)
+                / dec_sum_expr(disc_price)
+            ).alias("promo_pct")
+        )
+    )
+
+
+_Q18_ORACLE = """
+SELECT
+  c_custkey,
+  c_name,
+  o_orderkey,
+  o_orderdate,
+  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+  CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 30000
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("q18_large_volume", _Q18_ORACLE)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders (HAVING over a grouped sum).
+
+    The quantity rollup groups lineitem on its natural key
+    (l_orderkey) — co-partitioned with the orders join that follows,
+    so AQE reuses one shuffle for both; customer broadcasts.  The
+    HAVING predicate compares exact fixed-point longs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("qty_fp")
+    ).filter(F.col("qty_fp") > 30000)
+    return (
+        qty.join(orders, qty.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            (F.col("qty_fp").cast("double") / 100.0).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )

@@ -38,12 +38,15 @@ def register(name: str, oracle: str | None = None):
 
 def load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
-    from mr_python_spark import dedup, multimodal, similarity, streaming  # noqa: F401
-    from mr_python_spark.functions import scalars, text, vectors  # noqa: F401
+    from mr_python_spark import dedup, multimodal, similarity, sources, streaming  # noqa: F401
+    from mr_python_spark.streaming import stateful  # noqa: F401
+    from mr_python_spark.functions import pyudf, scalars, text, vectors  # noqa: F401
     from mr_python_spark.operators import (  # noqa: F401
         aggregates,
         joins,
         setops,
         sorting,
+        stats,
+        tpch,
         windows,
     )

@@ -1,0 +1,191 @@
+"""Sources & sinks: csv / json / text scans, parquet sink, roundtrips.
+
+The reference has NO I/O layer — the caller passes any Python iterable
+and docs demo ``open()`` on text files inside mappers (tinymr.py:156,
+docs.rst:333-371); output is a returned dict (tinymr.py:230).  Here
+every format goes through Spark's DataSource V2 scans, which is what
+makes the engine a real engine: distributed reads with schema
+inference or explicit schemas, and distributed writes.
+
+Each roundtrip query WRITES a derived dataset to a scratch directory
+and READS it back through the format under test, so both directions
+are exercised; the DuckDB oracle computes the same answer straight
+from the parquet source, proving the roundtrip is lossless.
+
+Scale notes (100 TB posture):
+
+* Parquet is the only format for big tables: columnar pruning,
+  predicate pushdown, row-group statistics.  csv/json scans are
+  splittable but read-everything — supported for ingest, not storage.
+* Writes are per-partition parallel; the scratch roundtrips write
+  from all executors (no coalesce(1) driver funnel).
+* Explicit schemas on csv/json avoid the full inference pre-scan.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mr_python_spark.operators.aggregates import dec_sum
+from mr_python_spark.registry import register
+from mr_python_spark.session import load_table
+
+#: scratch root for sink roundtrips (ephemeral, per-process)
+_SCRATCH = os.path.join(
+    tempfile.gettempdir(), f"mr_python_spark_io_{os.getpid()}"
+)
+
+
+def _scratch(name: str) -> str:
+    return os.path.join(_SCRATCH, name)
+
+
+_CSV_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@register("csv_scan_nation", _CSV_ORACLE)
+def csv_scan_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + scan roundtrip with an explicit schema.
+
+    nation (int/string/int) is written as headered CSV and read back
+    with a declared ``StructType`` — no inference pre-scan, the
+    pattern for ingesting text-format data at scale.
+    """
+    path = _scratch("nation_csv")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+_JSON_ORACLE = """
+SELECT
+  o_orderstatus,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("json_scan_orders", _JSON_ORACLE)
+def json_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + scan roundtrip, then aggregate.
+
+    Doubles survive the roundtrip exactly (Spark writes shortest
+    round-trippable repr); the aggregate downstream matches the
+    parquet-direct oracle bit-for-bit.
+    """
+    path = _scratch("orders_json")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .json(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+_PQ_SINK_ORACLE = """
+SELECT
+  l_returnflag,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+FROM lineitem
+WHERE l_quantity > 45
+GROUP BY l_returnflag
+"""
+
+
+@register("parquet_sink_roundtrip", _PQ_SINK_ORACLE)
+def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + scan with partition pruning.
+
+    The filtered projection is written partitioned by l_returnflag
+    (``partitionBy`` → directory layout), read back, and aggregated.
+    At scale the same layout gives partition pruning on the read path:
+    a filter on l_returnflag would skip whole directories.
+    """
+    path = _scratch("lineitem_pq")
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        li.filter(F.col("l_quantity") > 45)
+        .select("l_returnflag", "l_extendedprice")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum("l_extendedprice").alias("sum_price"),
+    )
+
+
+_TEXT_ORACLE = """
+SELECT word, COUNT(*) AS cnt
+FROM (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+  FROM documents WHERE lang = 'en'
+)
+WHERE word <> ''
+GROUP BY word
+ORDER BY cnt DESC, word
+LIMIT 20
+"""
+
+
+@register("text_scan_wordcount", _TEXT_ORACLE)
+def text_scan_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.read.text`` scan — the reference's multi-file read demo
+    (docs.rst:333-371: mappers ``open()`` file paths) as a real scan.
+
+    English documents are written as one-doc-per-line text (newlines
+    collapsed so line == document), read back via the text source, and
+    word-counted — the docs.rst word-count-over-files pipeline,
+    distributed.
+    """
+    path = _scratch("docs_text")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    # one line per document: collapse internal whitespace runs to spaces
+    docs.select(
+        F.regexp_replace(F.col("text"), r"\s+", " ").alias("value")
+    ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    words = lines.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("value")), r"\s+"), lambda t: t != "")
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+    )

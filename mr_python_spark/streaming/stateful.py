@@ -1,0 +1,201 @@
+"""Custom stateful streaming: dedup and per-key sessionization.
+
+The reference is strictly batch and fully materialized (tinymr.py:1,
+29); its closest concept is the per-key value list handed to a reducer
+(tinymr.py:332-334).  Structured Streaming's stateful operators are
+the scale generalization: per-key state lives in the state store
+(RocksDB-backed on a real cluster, checkpointed, bounded by
+watermarks) instead of one process's heap.
+
+Both queries here run REAL ``readStream`` jobs (availableNow trigger →
+memory sink) yet carry full DuckDB oracles, because their outputs are
+deterministic: the dedup projects only its key columns, and the
+sessionizer's output is a pure function of each user's event times.
+
+Scale notes (100 TB posture):
+
+* ``dropDuplicatesWithinWatermark`` keeps one state entry per key
+  within the watermark horizon — state is bounded by (distinct keys ×
+  horizon), not by stream length.
+* ``applyInPandasWithState`` state is per-key and explicit; the
+  production shape holds the open session in state with an event-time
+  timeout and emits on expiry.  Under an availableNow batch the stream
+  ends, so the flush happens at batch end — same output, same code
+  path, bounded state either way.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from mr_python_spark.registry import register
+
+
+def _staged_events_stream(spark: SparkSession, sf_dir: str):
+    """readStream over a staged copy of events.parquet (file source
+    wants a directory), with the nanos→micros ts conversion applied."""
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"mrps_stream_{os.path.basename(sf_dir)}"
+    )
+    os.makedirs(stage_dir, exist_ok=True)
+    staged = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(staged):
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), staged)
+    raw_schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_memory(df, name_prefix: str) -> str:
+    sink = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return sink
+
+
+_SDEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@register("streaming_dedup_watermark", _SDEDUP_ORACLE)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) under a watermark.
+
+    ``dropDuplicatesWithinWatermark`` = the streaming DISTINCT: one
+    state entry per live key, expired as the watermark passes.  Only
+    the key columns are projected, so which physical row survives is
+    irrelevant and the output is exactly batch DISTINCT.
+    """
+    stream = _staged_events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    sink = _run_to_memory(deduped, "stream_dedup")
+    return spark.table(sink)
+
+
+_SSESSION_ORACLE = """
+WITH marked AS (
+  SELECT
+    user_id,
+    ts,
+    CASE
+      WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+           <= INTERVAL 30 MINUTE
+      THEN 0 ELSE 1
+    END AS new_session
+  FROM events
+), numbered AS (
+  SELECT
+    user_id,
+    ts,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_no
+  FROM marked
+)
+SELECT
+  user_id,
+  CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+  COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+@register("streaming_stateful_sessions", _SSESSION_ORACLE)
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sessionization via ``applyInPandasWithState``.
+
+    The reference's reducer contract (one key, all values, arbitrary
+    Python — tinymr.py:61-91) as a STREAMING operator: per-user state
+    tracks the open session across micro-batches; 30-minute gaps
+    close a session.  Same answer as ``session_window_events`` — but
+    this path supports session logic ``session_window`` can't express
+    (e.g. gap depending on event type, max-duration caps).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    # open-session state: (start_epoch_us, last_epoch_us, n_events)
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = -1
+            n = 0
+        closed: list[tuple[int, int, int]] = []
+        for pdf in pdf_iter:
+            ts_us = (
+                pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            ).sort_values()
+            for t in ts_us:
+                t = int(t)
+                if n == 0:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us <= gap_us:
+                    last_us, n = t, n + 1
+                else:
+                    closed.append((user_id, start_us // 1_000_000, n))
+                    start_us, last_us, n = t, t, 1
+        # availableNow: the stream ends with this batch — flush the
+        # open session.  (Production: keep it in state + set an
+        # event-time timeout instead.)
+        if n > 0:
+            closed.append((user_id, start_us // 1_000_000, n))
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "session_start", "n_events"]
+            )
+
+    stream = _staged_events_stream(spark, sf_dir).select("user_id", "ts")
+    sessions = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = _run_to_memory(sessions, "stream_sessions")
+    return spark.table(sink)

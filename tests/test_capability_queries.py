@@ -38,6 +38,16 @@ REPRESENTATIVE = [
     "session_window_events",
     "vector_norms",
     "ann_ivf_label",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume",
+    "parquet_sink_roundtrip",
+    "csv_scan_nation",
+    "udtf_word_explode",
+    "grouped_map_top2",
+    "pandas_udf_token_count",
+    "stats_variance_quantity",
+    "pivot_daily_event_values",
 ]
 
 

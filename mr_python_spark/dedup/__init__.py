@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from mr_python_spark.functions.text import tokens_col
 from mr_python_spark.registry import register
-from mr_python_spark.session import load_table
+from mr_python_spark.session import load_table, spread
 
 #: MinHash parameters: 64 hashes = 16 bands × 4 rows
 MINHASH_HASHES = 64
@@ -42,19 +42,32 @@ _HASH_B = [1_000_003 * i + 12345 for i in range(MINHASH_HASHES)]
 
 
 def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, sh: array<string>) — distinct word n-gram shingles.
+    """(doc_id, sh: array<string>) — distinct word 3-gram shingles.
 
-    The token array is materialized as a column FIRST, then sliced:
-    slicing an inline ``split(...)`` inside ``transform`` re-tokenizes
-    per index (O(tokens²) string work per document).
+    O(tokens) per document: the token array is shifted twice with one
+    ``slice`` each and the three alignments are zipped — higher-order
+    lambdas are interpreted (outside codegen), so the
+    ``transform(sequence(...), i -> slice(...))`` formulation, whose
+    per-shingle slice makes it O(tokens²), is ~4× slower on real text.
+    The scan is ``spread()`` first: shingling is CPU-bound string work
+    and a small file otherwise pins it to one core.
     """
-    toks = docs.select("doc_id", tokens_col(text_col).alias("toks"))
+    assert n == 3, "shingle width is fixed at 3 (two shifted zips)"
+    toks = spread(docs.select("doc_id", tokens_col(text_col).alias("toks")))
     return toks.select(
         "doc_id",
         F.array_distinct(
             F.expr(
-                f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)), "
-                f"i -> concat_ws(' ', slice(toks, i, {n})))"
+                """
+                filter(
+                  zip_with(toks,
+                           zip_with(slice(toks, 2, size(toks)),
+                                    slice(toks, 3, size(toks)),
+                                    (y, z) -> concat(y, ' ', z)),
+                           (x, yz) -> CASE WHEN yz IS NOT NULL
+                                      THEN concat(x, ' ', yz) END),
+                  s -> s IS NOT NULL)
+                """
             )
         ).alias("sh"),
     )
@@ -287,7 +300,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count(xor).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok")).select(
+    toks = spread(docs).select("doc_id", F.explode(tokens_col()).alias("tok")).select(
         "doc_id", F.xxhash64("tok").alias("h")
     )
     bit_sums = toks.groupBy("doc_id").agg(

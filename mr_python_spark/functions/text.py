@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mr_python_spark.registry import register
-from mr_python_spark.session import load_table
+from mr_python_spark.session import load_table, spread
 
 #: tiny English stopword list used by quality scoring (deterministic)
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "be")
@@ -42,7 +42,7 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query: corpus-wide word frequencies."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(tokens_col()).alias("word"))
+        spread(docs).select(F.explode(tokens_col()).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -108,3 +108,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 def load_all(spark: SparkSession, sf_dir: str):
     """Load every driver table as a dict of DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def spread(df, min_factor: int = 2):
+    """Repartition a narrow scan before CPU-heavy per-row work.
+
+    Small single-row-group parquet files scan as ONE partition, which
+    serializes everything downstream onto one core.  At real scale the
+    scan already yields hundreds of partitions and this is a no-op
+    (the check, not the shuffle, is what ships); locally it spreads
+    the work across the cluster for the price of shuffling the input
+    once.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= parallelism:
+        return df.repartition(parallelism)
+    return df

@@ -43,7 +43,9 @@ def load_all_modules() -> None:
     from mr_python_spark.functions import pyudf, scalars, text, vectors  # noqa: F401
     from mr_python_spark.operators import (  # noqa: F401
         aggregates,
+        bucketing,
         joins,
+        parity,
         setops,
         sorting,
         stats,

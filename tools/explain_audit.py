@@ -77,6 +77,12 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
     "dedup_exact": ([r"HashAggregate", r"partial_"], [r"Exchange hashpartitioning.*text"]),
+    # bucketed layout: co-located scans, NO exchange feeding the join
+    "join_bucketed_colocated": (
+        [r"Bucketed: true", r"SortMergeJoin"],
+        [r"Exchange hashpartitioning\(o_orderkey",
+         r"Exchange hashpartitioning\(l_orderkey"],
+    ),
 }
 
 

@@ -212,6 +212,92 @@ def lang_source_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-language stopword profiles for the heuristic classifier
+LANG_PROFILES = {
+    "en": ("the", "a", "and", "of", "to", "is", "in"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pas"),
+    "es": ("el", "los", "y", "es", "una", "que", "no"),
+}
+
+_LANG_ID_ORACLE = f"""
+WITH scored AS (
+  SELECT
+    lang,
+    CAST(len(list_filter(toks, t -> t IN {LANG_PROFILES['en']!r})) AS INTEGER) AS s_en,
+    CAST(len(list_filter(toks, t -> t IN {LANG_PROFILES['de']!r})) AS INTEGER) AS s_de,
+    CAST(len(list_filter(toks, t -> t IN {LANG_PROFILES['fr']!r})) AS INTEGER) AS s_fr,
+    CAST(len(list_filter(toks, t -> t IN {LANG_PROFILES['es']!r})) AS INTEGER) AS s_es
+  FROM (
+    SELECT lang, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+  )
+), pred AS (
+  SELECT
+    lang,
+    CASE
+      WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+      WHEN s_fr >= s_es THEN 'fr'
+      ELSE 'es'
+    END AS pred_lang
+  FROM scored
+)
+SELECT lang, pred_lang, COUNT(*) AS n_docs
+FROM pred
+GROUP BY lang, pred_lang
+"""
+
+
+@register("lang_id_stopword", _LANG_ID_ORACLE)
+def lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-profile scoring, fully JVM-side.
+
+    Each document is scored against four per-language stopword sets
+    (higher-order ``filter`` over the token array — no shuffle, no
+    Python); prediction is a fixed-priority argmax so ties are
+    deterministic.  Output is the (actual, predicted) confusion
+    table.  At 100 TB this is one narrow pass — the shape every
+    cheap classify-then-filter pretraining step takes.  (The
+    synthetic corpus's text is language-agnostic, so accuracy is
+    meaningless here; the operator and its determinism are the
+    product.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    def profile_hits(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: profile_hits(words) for lang, words in LANG_PROFILES.items()}
+    scored = docs.select(
+        "lang",
+        scores["en"].alias("s_en"),
+        scores["de"].alias("s_de"),
+        scores["fr"].alias("s_fr"),
+        scores["es"].alias("s_es"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_es")),
+            F.lit("de"),
+        )
+        .when(F.col("s_fr") >= F.col("s_es"), F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return (
+        scored.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 @register("doc_fingerprint")  # rows-only: md5-based hashing is not portable SQL
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 64-bit document fingerprint (rolling token hash).

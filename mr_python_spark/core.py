@@ -277,7 +277,14 @@ class MapReduce(abc.ABC):
             )
             cached.append(c1)
 
-            reduced = partitioned.flatMap(
+            # Reducer-call order must be key first-appearance order in
+            # the mapped stream (the reference iterates an
+            # insertion-ordered dict, tinymr.py:209-211) — observable
+            # whenever reducers re-key: the FIRST reducer's output wins
+            # collisions.  groupByKey yields shuffle order, so restore
+            # the tag order before dispatching reducers.
+            ordered = partitioned.sortBy(lambda kv: kv[1][0])
+            reduced = ordered.flatMap(
                 lambda kv: _emit(reducer, reducer_is_gen, kv[0], kv[1][1])
             )
             partitioned2, c2 = self._phase(

@@ -99,16 +99,22 @@ FROM documents
 
 @register("text_stats", _STATS_ORACLE)
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document stats: chars, tokens, unique tokens, avg token length."""
+    """Per-document stats: chars, tokens, unique tokens, avg token length.
+
+    Tokenizes ONCE into a materialized column and derives every stat
+    from it — higher-order expressions are interpreted (no codegen, no
+    common-subexpression elimination), so repeating ``tokens_col()``
+    per output column re-tokenizes per column (~3× the string work).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    return docs.select(
+    toked = docs.select("doc_id", "text", tokens_col().alias("toks"))
+    return toked.select(
         "doc_id",
         F.length("text").alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_unique_tokens"),
         (
-            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(toks)
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size("toks")
         ).alias("avg_token_len"),
     )
 
@@ -172,16 +178,18 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs before anything expensive.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
+    # tokenize once (CollapseProject keeps multi-use non-cheap aliases
+    # in their own projection, so `toks` is evaluated a single time)
+    toked = docs.select("doc_id", tokens_col().alias("toks"))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_tokens = F.size("toks")
+    n_stop = F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t)))
     stop_ratio = n_stop.cast("double") / n_tokens
     score = (F.least(n_tokens, F.lit(100)).cast("double") / 100.0) * (
         0.5 + 0.5 * stop_ratio
     )
     return (
-        docs.select(
+        toked.select(
             "doc_id",
             n_tokens.alias("n_tokens"),
             stop_ratio.alias("stopword_ratio"),

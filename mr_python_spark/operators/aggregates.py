@@ -235,6 +235,48 @@ def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SALTED_ORACLE = """
+SELECT
+  l_returnflag,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_salted_skew", _SALTED_ORACLE)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a pathologically hot key.
+
+    l_returnflag has 3 values across the whole table — the worst-case
+    skew for a grouped aggregate: 3 reducers own everything.  The salt
+    spreads phase 1 over (key, salt mod 16) so every core combines;
+    phase 2 merges 16 partials per key.  Results are identical to the
+    plain GROUP BY (all aggregates here are algebraic longs), which is
+    exactly why the technique is safe to apply mechanically when AQE's
+    automatic skew handling isn't available (e.g. pre-3.2 clusters or
+    RDD pipelines).  For most workloads prefer plain groupBy: Catalyst
+    partial aggregation already bounds the skew for algebraic
+    aggregates; salting matters when per-key state is large
+    (collect_list, exact distinct).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.select(
+        "l_returnflag",
+        (F.spark_partition_id() % 16).alias("salt"),
+        fixed_point(F.col("l_quantity"), 2).alias("qfp"),
+    )
+    phase1 = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("n_part"),
+        F.sum("qfp").alias("s_part"),
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.sum("n_part").alias("n_items"),
+        (F.sum("s_part").cast("double") / 100.0).alias("sum_qty"),
+    )
+
+
 _FILTER_ORACLE = """
 SELECT
   l_orderkey,

@@ -82,12 +82,26 @@ _PROBE_SCHEMA = T.StructType(
 )
 
 
-@register("multimodal_probe")  # rows-only: stubbed decode is not SQL
+_PROBE_ORACLE = """
+SELECT
+  doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels
+FROM documents
+"""
+
+
+@register("multimodal_probe", _PROBE_ORACLE)
 def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature-extraction pipeline over binary payloads.
 
     Arrow batches in → per-payload probe (stubbed decode) → typed rows
-    out.  The real decode drops into :func:`fake_probe`'s slot.
+    out.  The real decode drops into :func:`fake_probe`'s slot.  The
+    stub is deterministic, so the oracle mirrors it in SQL and the
+    whole Arrow round-trip (batching, row alignment, typing) is
+    value-checked, not just row-counted.
     """
     docs = load_table(spark, sf_dir, "documents")
     with_payload = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
@@ -119,12 +133,24 @@ _FRAME_SCHEMA = T.StructType(
 )
 
 
-@register("multimodal_frame_sample")  # rows-only: stubbed decode is not SQL
+_FRAME_ORACLE = """
+SELECT
+  doc_id,
+  CAST(i AS INTEGER) AS frame_idx,
+  sha256(substr(text, CAST(i * 256 + 1 AS BIGINT), 256)) AS frame_sha
+FROM documents, generate_series(0, 7) AS t(i)
+WHERE i < greatest(1, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT))
+"""
+
+
+@register("multimodal_frame_sample", _FRAME_ORACLE)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame sampling: each payload yields ceil(len/256) fake frames.
 
     The video-frame-extraction shape: one input row explodes into a
-    bounded number of output rows inside the same Arrow batch.
+    bounded number of output rows inside the same Arrow batch.  The
+    corpus is ASCII (bytes == chars), so the chunk digests are
+    SQL-expressible and the oracle checks every emitted frame hash.
     """
     import hashlib
 

@@ -138,7 +138,7 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_tumbling_live")  # rows-only: exercises real readStream
+@register("streaming_tumbling_live", _TUMBLE_ORACLE)
 def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling query under actual Structured Streaming.
 

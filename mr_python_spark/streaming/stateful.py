@@ -71,6 +71,51 @@ def _run_to_memory(df, name_prefix: str) -> str:
     return sink
 
 
+_SLIDE_LIVE_ORACLE = """
+SELECT
+  CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT) AS win_start,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events
+CROSS JOIN (VALUES (0), (1800)) o(off)
+GROUP BY 1
+"""
+
+
+@register("streaming_sliding_live", _SLIDE_LIVE_ORACLE)
+def streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows under real readStream (availableNow → memory).
+
+    Same operator as the batch ``sliding_window_events`` — one code
+    path for both engines modes — with the watermark bounding overlap
+    state (each event lives in 2 windows; state = open windows only).
+    """
+    stream = _staged_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100.0).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(sink)
+
+
 _SDEDUP_ORACLE = """
 SELECT DISTINCT user_id, event_type FROM events
 """

@@ -207,6 +207,89 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: max document frequency for a shingle to act as a candidate key
+DF_CAP = 10
+
+_NGRAM_CAPPED_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM (
+    SELECT doc_id, t, unnest(t) FROM toks
+  )
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM pos WHERE i <= len(t) - 2
+), rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN rare r ON r.shingle = a.shingle
+), sets AS (
+  SELECT doc_id, list(shingle) AS ss FROM sh GROUP BY doc_id
+)
+SELECT
+  doc_a,
+  doc_b,
+  CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+    / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jaccard
+FROM cand
+JOIN sets sa ON sa.doc_id = doc_a
+JOIN sets sb ON sb.doc_id = doc_b
+WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+    / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= 0.2
+"""
+
+
+@register("dedup_ngram_df_capped", _NGRAM_CAPPED_ORACLE)
+def dedup_ngram_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard dedup with the 100 TB candidate-generation cap ON.
+
+    Candidate pairs come only from shingles whose document frequency
+    is ≤ ``DF_CAP`` — the inverted-index join cost drops from
+    Σ df² to Σ min(df, cap)², which is what keeps the join feasible
+    when a boilerplate shingle appears in millions of documents.
+    Verification still uses FULL shingle sets (exact Jaccard), so the
+    cap only affects which pairs are considered, never their scores;
+    pairs whose every common shingle is popular are the accepted
+    recall loss.  Returns pairs with jaccard ≥ 0.2.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh_sets = shingle_sets(docs).cache()
+    exploded = sh_sets.select("doc_id", F.explode("sh").alias("shingle"))
+    rare = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("shingle")
+    )
+    keyed = exploded.join(rare, "shingle")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh_sets.alias("sa")
+    sb = sh_sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64 minhashes per document in one pass (doc_id, sig array<long>).
 

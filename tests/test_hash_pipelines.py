@@ -1,0 +1,183 @@
+"""Independent verification for the non-SQL-expressible hash pipelines.
+
+The driver's DuckDB gate can't check the xxhash64-based queries
+(minhash-LSH, simhash, fingerprints) or the HLL estimate, so they get
+rows-only checks there.  These tests close the gap: only Spark's
+``xxhash64`` primitive is trusted; every derived step — affine
+permutations, min-aggregation, banding, bucket pairing, bit votes,
+hamming verification — is reimplemented in plain Python over the
+primitive hashes and compared against the engine's output at sf0.001.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import defaultdict
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _shingle_hashes(spark):
+    """doc_id → list of pmod(xxhash64(shingle), p) (trusted primitive)."""
+    from mr_python_spark.dedup import MERSENNE_PRIME, shingle_sets
+    from mr_python_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents")
+    rows = (
+        shingle_sets(docs)
+        .select(
+            "doc_id",
+            F.expr(f"transform(sh, s -> pmod(xxhash64(s), {MERSENNE_PRIME}))").alias("h"),
+        )
+        .collect()
+    )
+    return {r.doc_id: list(r.h) for r in rows}
+
+
+def test_minhash_lsh_pipeline(spark):
+    """Python-recomputed signatures + banding must reproduce the
+    engine's candidate pairs and final jaccard-≥0.5 pairs."""
+    from mr_python_spark.dedup import (
+        _HASH_A,
+        _HASH_B,
+        MERSENNE_PRIME,
+        MINHASH_BANDS,
+        MINHASH_HASHES,
+        dedup_minhash_lsh,
+        minhash_signatures,
+        shingle_sets,
+    )
+    from mr_python_spark.session import load_table
+
+    hashes = _shingle_hashes(spark)
+
+    # signatures
+    expected_sig = {}
+    for doc, hs in hashes.items():
+        if not hs:
+            continue
+        expected_sig[doc] = [
+            min((_HASH_A[i] * h + _HASH_B[i]) % MERSENNE_PRIME for h in hs)
+            for i in range(MINHASH_HASHES)
+        ]
+    got_sig = {
+        r.doc_id: list(r.sig) for r in minhash_signatures(spark, SF).collect()
+    }
+    assert got_sig == expected_sig
+
+    # full pipeline: engine pairs must equal python pairs
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    buckets = defaultdict(set)
+    for doc, sig in expected_sig.items():
+        for b in range(MINHASH_BANDS):
+            band_key = (b, tuple(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+            buckets[band_key].add(doc)
+    cand = set()
+    for docs_in_bucket in buckets.values():
+        ds = sorted(docs_in_bucket)
+        for i, x in enumerate(ds):
+            for y in ds[i + 1 :]:
+                cand.add((x, y))
+    shingles = {
+        r.doc_id: set(r.sh)
+        for r in shingle_sets(load_table(spark, SF, "documents")).collect()
+    }
+    expected_pairs = set()
+    for a, b in cand:
+        inter = len(shingles[a] & shingles[b])
+        union = len(shingles[a]) + len(shingles[b]) - inter
+        if union and inter / union >= 0.5:
+            expected_pairs.add((a, b))
+    got_pairs = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, SF).collect()
+    }
+    assert got_pairs == expected_pairs
+
+
+def test_simhash_pipeline(spark):
+    """Python-recomputed fingerprints must reproduce the engine's
+    hamming-≤3 pairs."""
+    from mr_python_spark.dedup import dedup_simhash
+    from mr_python_spark.functions.text import tokens_col
+    from mr_python_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents")
+    rows = (
+        docs.select(
+            "doc_id",
+            F.expr("transform(filter(split(lower(text), '\\\\s+'), t -> t != ''), t -> xxhash64(t))").alias("th"),
+        )
+        .collect()
+    )
+    fps = {}
+    for r in rows:
+        votes = [0] * 64
+        for h in r.th:
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        fp = 0
+        for i in range(63):  # bit 63 kept zero (engine stays in signed long)
+            if votes[i] > 0:
+                fp |= 1 << i
+        fps[r.doc_id] = fp
+
+    # banded candidates (4 × 16-bit), hamming ≤ 3 verification
+    buckets = defaultdict(set)
+    for doc, fp in fps.items():
+        for b in range(4):
+            buckets[(b, (fp >> (b * 16)) & 0xFFFF)].add(doc)
+    expected = set()
+    for ds in buckets.values():
+        ds = sorted(ds)
+        for i, x in enumerate(ds):
+            for y in ds[i + 1 :]:
+                if bin(fps[x] ^ fps[y]).count("1") <= 3:
+                    expected.add((x, y))
+    got = {(r.doc_a, r.doc_b) for r in dedup_simhash(spark, SF).collect()}
+    assert got == expected
+
+
+def test_doc_fingerprint_matches_direct_expression(spark):
+    """The fingerprint query equals xxhash64 of the normalized token
+    stream computed by an independent expression."""
+    from mr_python_spark.functions.text import doc_fingerprint
+    from mr_python_spark.session import load_table
+
+    got = {r.doc_id: r.fingerprint for r in doc_fingerprint(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents")
+    expected_rows = docs.select(
+        "doc_id",
+        F.xxhash64(
+            F.concat_ws(" ", F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != ""))
+        ).alias("fp"),
+    ).collect()
+    expected = {r.doc_id: r.fp for r in expected_rows}
+    assert got == expected
+
+
+def test_approx_distinct_within_rsd(spark):
+    """HLL estimates must sit within 5× the requested rsd (1%) of the
+    exact per-key distinct counts."""
+    from mr_python_spark.operators.aggregates import approx_distinct_users
+    from mr_python_spark.session import load_table
+
+    est = {
+        r.event_type: r.n_users_approx
+        for r in approx_distinct_users(spark, SF).collect()
+    }
+    events = load_table(spark, SF, "events")
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)

@@ -40,9 +40,12 @@ GROUP BY word
 @register("word_count", _WC_ORACLE)
 def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query: corpus-wide word frequencies."""
+    # no spread(): measured slower here — shuffling raw text costs more
+    # than the single-core explode saves; the partial-agg after explode
+    # parallelizes the heavy part anyway
     docs = load_table(spark, sf_dir, "documents")
     return (
-        spread(docs).select(F.explode(tokens_col()).alias("word"))
+        docs.select(F.explode(tokens_col()).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -139,6 +139,31 @@ def json_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAP_ORACLE = """
+SELECT
+  event_id,
+  list_sort(json_keys(props)) AS prop_keys,
+  CAST(len(json_keys(props)) AS INTEGER) AS n_entries,
+  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+FROM events
+"""
+
+
+@register("map_funcs_events", _MAP_ORACLE)
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type functions: parse JSON into ``map<string,bigint>`` and
+    operate on it (keys, cardinality, lookup) — the map-column toolkit
+    the §2c checklist calls for, JVM-side end to end."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return events.select(
+        "event_id",
+        F.sort_array(F.map_keys(m)).alias("prop_keys"),
+        F.size(m).alias("n_entries"),
+        F.element_at(m, "k").alias("k_val"),
+    )
+
+
 _MATH_ORACLE = """
 SELECT
   l_orderkey,

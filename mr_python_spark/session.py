@@ -90,6 +90,31 @@ def ship_package(spark: SparkSession) -> str:
     return zip_path
 
 
+#: application ids whose sessions have been prepared by ensure_session
+_PREPARED: set[str] = set()
+
+
+def ensure_session(spark: SparkSession) -> None:
+    """Make a FOREIGN SparkSession able to run this engine's queries.
+
+    The driver harness builds its own session, so nothing from
+    :func:`get_spark` can be assumed.  Everything needed at runtime is
+    applied here (idempotent, once per application): the
+    nano-timestamp parquet setting (events.ts), UTC session time
+    (oracle SQL assumes it), Arrow for the pandas surfaces, and the
+    package zip so executor Python workers can unpickle functions
+    defined in these modules.
+    """
+    key = spark.sparkContext.applicationId
+    if key in _PREPARED:
+        return
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    ship_package(spark)
+    _PREPARED.add(key)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver parquet table (TESTDATA.md schema).
 
@@ -97,6 +122,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     ``nanosAsLong``); convert to a micro-precision timestamp the way
     DuckDB/Arrow do — truncation.
     """
+    ensure_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -44,6 +44,9 @@ from mr_python_spark.registry import register
 def _staged_events_stream(spark: SparkSession, sf_dir: str):
     """readStream over a staged copy of events.parquet (file source
     wants a directory), with the nanos→micros ts conversion applied."""
+    from mr_python_spark.session import ensure_session
+
+    ensure_session(spark)
     stage_dir = os.path.join(
         tempfile.gettempdir(), f"mrps_stream_{os.path.basename(sf_dir)}"
     )

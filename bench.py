@@ -49,7 +49,7 @@ HEADLINE = [
     "ann_brute_topk",
     "ann_ivf_label",
     "pandas_udf_token_count",
-    "grouped_map_top2",
+    "grouped_map_top2_sharded",
     "stats_variance_quantity",
     "pivot_daily_event_values",
 ]

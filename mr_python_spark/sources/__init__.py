@@ -148,6 +148,47 @@ def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRUNED_ORACLE = """
+SELECT
+  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+  COUNT(*) AS n_clicks,
+  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events
+WHERE event_type = 'click'
+GROUP BY 1
+"""
+
+
+@register("partition_pruned_read", _PRUNED_ORACLE)
+def partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning on a partitioned-directory layout.
+
+    events is written partitioned by event_type (the one-time layout a
+    production table would have), then read back with a partition
+    filter: the plan shows ``PartitionFilters`` and the scan lists ONLY
+    the ``event_type=click`` directory — 4/5 of the data is never
+    opened.  At 100 TB this is the difference between scanning 20 TB
+    and 100 TB for the same answer.
+    """
+    path = _scratch(f"events_by_type_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.exists(path):
+        from mr_python_spark.session import load_table as _lt
+
+        _lt(spark, sf_dir, "events").write.partitionBy("event_type").mode(
+            "overwrite"
+        ).parquet(path)
+    events = spark.read.parquet(path)
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    return (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            dec_sum("value").alias("sum_value"),
+        )
+    )
+
+
 _TEXT_ORACLE = """
 SELECT word, COUNT(*) AS cnt
 FROM (

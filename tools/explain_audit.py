@@ -77,6 +77,11 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
     "dedup_exact": ([r"HashAggregate", r"partial_"], [r"Exchange hashpartitioning.*text"]),
+    # partitioned layout: the filter prunes directories at the scan
+    "partition_pruned_read": (
+        [r"PartitionFilters: \[.*event_type", r"partial_"],
+        [r"CartesianProduct"],
+    ),
     # bucketed layout: co-located scans, NO exchange feeding the join
     "join_bucketed_colocated": (
         [r"Bucketed: true", r"SortMergeJoin"],

@@ -203,6 +203,114 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q7_ORACLE = """
+SELECT
+  sn.n_name AS supp_nation,
+  cn.n_name AS cust_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+  CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE sn.n_name <> cn.n_name
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY sn.n_name, cn.n_name, CAST(EXTRACT(year FROM l_shipdate) AS INTEGER)
+"""
+
+
+@register("q7_nation_volume", _Q7_ORACLE)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation shipping volume per year.
+
+    Five joins, but lineitem shuffles exactly once (onto orders);
+    supplier, customer, and both nation aliases broadcast.  The
+    nation-pair inequality is a cheap post-join filter on broadcast
+    columns, not a join condition blowup.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            dec_sum_expr(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+_PIPELINE_ORACLE = """
+WITH spend AS (
+  SELECT
+    o_custkey,
+    SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS total_fp
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT
+  CASE
+    WHEN total_fp < 50000000  THEN 'low'
+    WHEN total_fp < 200000000 THEN 'mid'
+    ELSE 'high'
+  END AS band,
+  COUNT(*) AS n_customers,
+  CAST(SUM(total_fp) AS DOUBLE) / 100.0 AS band_total
+FROM spend
+GROUP BY 1
+"""
+
+
+@register("pipeline_rekey_bands", _PIPELINE_ORACLE)
+def pipeline_rekey_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage re-keyed pipeline — the reference's signature shape.
+
+    A tinymr user writes this as reducer-emits-new-key (stage 1 keyed
+    by customer, stage 2 keyed by spending band; tinymr.py:218-221 runs
+    the second shuffle for exactly this).  As DataFrames it is two
+    chained aggregations: Catalyst plans two shuffles, each with
+    map-side partial aggregation, and the second keys on 3 values.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("total_fp")
+    )
+    band = (
+        F.when(F.col("total_fp") < 50_000_000, "low")
+        .when(F.col("total_fp") < 200_000_000, "mid")
+        .otherwise("high")
+    )
+    return (
+        spend.select(band.alias("band"), "total_fp")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("total_fp").cast("double") / 100.0).alias("band_total"),
+        )
+    )
+
+
 _Q18_ORACLE = """
 SELECT
   c_custkey,

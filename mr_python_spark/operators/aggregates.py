@@ -235,6 +235,33 @@ def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCALAR_SUBQ_SQL = """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS n_above_avg
+FROM {orders}
+WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) > (
+  SELECT SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / COUNT(*)
+  FROM {orders}
+)
+GROUP BY o_orderpriority
+"""
+
+
+@register("scalar_subquery_orders", _SCALAR_SUBQ_SQL.format(orders="orders"))
+def scalar_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price — scalar subquery planning.
+
+    Catalyst executes the uncorrelated subquery once (a broadcast
+    scalar), then the outer scan filters against it — two passes over
+    orders, no join.  The comparison is in exact fixed-point integer
+    space (bigint average, floor semantics identical in both engines),
+    so the boundary rows agree bit-for-bit.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(_SCALAR_SUBQ_SQL.format(orders="orders_sq"))
+
+
 _SALTED_ORACLE = """
 SELECT
   l_returnflag,

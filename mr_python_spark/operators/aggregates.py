@@ -262,6 +262,34 @@ def scalar_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SCALAR_SUBQ_SQL.format(orders="orders_sq"))
 
 
+_CORR_SUBQ_SQL = """
+SELECT
+  o_orderkey,
+  o_custkey,
+  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM {orders} o
+WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) * (
+  SELECT COUNT(*) FROM {orders} i WHERE i.o_custkey = o.o_custkey
+) > (
+  SELECT SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+  FROM {orders} i WHERE i.o_custkey = o.o_custkey
+)
+"""
+
+
+@register("correlated_subquery_orders", _CORR_SUBQ_SQL.format(orders="orders"))
+def correlated_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above their own customer's average — correlated subqueries.
+
+    Catalyst decorrelates both subqueries into one aggregate-then-join
+    on o_custkey (no per-row re-execution).  The predicate is written
+    as ``price × n > sum`` so it stays in exact integer space — no
+    division, no float boundary cases.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_corr")
+    return spark.sql(_CORR_SUBQ_SQL.format(orders="orders_corr"))
+
+
 _SALTED_ORACLE = """
 SELECT
   l_returnflag,

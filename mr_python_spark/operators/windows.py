@@ -164,3 +164,42 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         mov_n.alias("mov_n"),
         (mov_sum / mov_n).alias("mov_avg"),
     )
+
+
+_RANGE_FRAME_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w AS DOUBLE) / 100.0 AS trailing_90d_spend,
+  COUNT(*) OVER w AS trailing_90d_orders
+FROM (SELECT o_custkey, o_orderkey, o_totalprice, epoch(o_orderdate) AS ord_sec FROM orders)
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY ord_sec
+  RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("window_range_frame", _RANGE_FRAME_ORACLE)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: trailing-90-day spend per customer.
+
+    Unlike a ROWS frame, the bound is a VALUE distance on the ordering
+    key (epoch seconds), so co-equal and near-in-time orders all fall
+    in the frame regardless of row position — the time-decayed-metric
+    shape.  Deterministic: the frame is defined by values, not by
+    tie-ordering, and the sums are exact fixed-point.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, Window.currentRow)
+    )
+    spend = F.sum(fixed_point(F.col("o_totalprice"), 2)).over(w).cast("double") / 100.0
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        spend.alias("trailing_90d_spend"),
+        F.count(F.lit(1)).over(w).alias("trailing_90d_orders"),
+    )

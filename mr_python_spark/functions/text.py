@@ -321,3 +321,29 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.xxhash64(F.concat_ws(" ", tokens_col())).alias("fingerprint"),
     )
+
+
+_POSEXPLODE_ORACLE = """
+SELECT
+  doc_id,
+  CAST(generate_subscripts(t, 1) - 1 AS INTEGER) AS pos,
+  unnest(t) AS token
+FROM (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents WHERE doc_id < 20
+)
+"""
+
+
+@register("token_positions", _POSEXPLODE_ORACLE)
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: tokens with ordinal positions (the lateral-view shape).
+
+    Position-aware explosion is what n-gram windows, alignment, and
+    span labeling build on; ``posexplode`` keeps the ordinal without a
+    window function or a join back.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "token")
+    )

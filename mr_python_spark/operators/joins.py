@@ -304,3 +304,45 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_purchase") == 1)
         .select("event_id", "user_id", "ts", "last_click_ts")
     )
+
+
+_FULL_OUTER_ORACLE = """
+SELECT
+  COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+  c.c_acctbal AS acctbal,
+  o.n_orders
+FROM (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING') c
+FULL OUTER JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+  GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("join_full_outer", _FULL_OUTER_ORACLE)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: unmatched rows survive from BOTH sides.
+
+    Building-segment customers vs late-window order counts — each side
+    has rows the other lacks, so both null-extension paths are
+    exercised.  Full outer cannot broadcast (both sides must see all
+    unmatched keys): the plan is a shuffle join on the key, which is
+    the correct shape at any scale.
+    """
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey", "c_acctbal")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = customer.join(orders, customer.c_custkey == orders.o_custkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        "n_orders",
+    )

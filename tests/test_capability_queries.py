@@ -48,6 +48,21 @@ REPRESENTATIVE = [
     "pandas_udf_token_count",
     "stats_variance_quantity",
     "pivot_daily_event_values",
+    "q7_nation_volume",
+    "pipeline_rekey_bands",
+    "scalar_subquery_orders",
+    "correlated_subquery_orders",
+    "window_range_frame",
+    "join_full_outer",
+    "setop_union_distinct",
+    "token_positions",
+    "partition_pruned_read",
+    "map_funcs_events",
+    "lang_id_stopword",
+    "dedup_ngram_df_capped",
+    "grouped_map_top2_sharded",
+    "agg_salted_skew",
+    "median_price_by_priority",
 ]
 
 

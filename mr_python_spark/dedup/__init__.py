@@ -500,3 +500,132 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep]})
 
     return emb.select("vec_id", "embedding").mapInPandas(pairs_block, schema)
+
+
+_CLUSTERS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM (
+    SELECT doc_id, t, unnest(t) FROM toks
+  )
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM pos WHERE i <= len(t) - 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), edges AS (
+  SELECT doc_a, doc_b
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+), bidir AS (
+  SELECT doc_a AS v1, doc_b AS v2 FROM edges
+  UNION ALL
+  SELECT doc_b AS v1, doc_a AS v2 FROM edges
+), verts AS (
+  SELECT DISTINCT v1 AS v FROM bidir
+), reach AS (
+  WITH RECURSIVE r(src, node) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT r.src, b.v2 FROM r JOIN bidir b ON b.v1 = r.node
+  )
+  SELECT src, MIN(node) AS cluster_id FROM r GROUP BY src
+)
+SELECT src AS doc_id, cluster_id FROM reach
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over near-dup pairs.
+
+    Pair lists aren't enough for a real dedup pass — transitive
+    near-dups (A~B, B~C) must collapse into one cluster with one
+    survivor.  Components are computed by iterative min-label
+    propagation on the jaccard-≥0.5 edge set: each round every vertex
+    takes the min label among itself and its neighbors; converged
+    when a round changes nothing (checked with a count per round, so
+    iterations are data-bounded, not guessed).  Labels are min
+    doc_ids → fully deterministic.  The oracle is the same graph
+    closed with a recursive CTE.
+
+    Scale notes: this is the standard big-data components loop
+    (GraphX/GraphFrames use the same alternating join-aggregate);
+    rounds = graph diameter, which for near-dup clusters is tiny.
+    Each round is one join + one aggregate on the (small) edge set —
+    the document corpus itself is never re-read.
+    """
+    # edge set: exact jaccard >= 0.5 (reuse the inverted-index pipeline)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        shingle_sets(docs)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .cache()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pair_counts = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    edges = (
+        pair_counts.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+            >= 0.5
+        )
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    bidir = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = (
+        bidir.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .cache()
+    )
+    while True:
+        neigh = (
+            bidir.join(labels, bidir.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("neigh_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster_id")

@@ -111,6 +111,93 @@ def median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORR_ORACLE = """
+SELECT
+  l_returnflag,
+  n,
+  (nd * sxyd - sxd * syd)
+    / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)) AS corr_qty_price,
+  ((nd * sxyd - sxd * syd) / (nd * (nd - 1.0))) / 10000.0 AS covar_qty_price
+FROM (
+  SELECT
+    l_returnflag, n,
+    CAST(n AS DOUBLE) AS nd,
+    CAST(sx AS DOUBLE) AS sxd,
+    CAST(sy AS DOUBLE) AS syd,
+    CAST(sxx AS DOUBLE) AS sxxd,
+    CAST(syy AS DOUBLE) AS syyd,
+    CAST(sxy AS DOUBLE) AS sxyd
+  FROM (
+    SELECT
+      l_returnflag,
+      COUNT(*) AS n,
+      SUM(q) AS sx,
+      SUM(p) AS sy,
+      SUM(q * q) AS sxx,
+      SUM(p * p) AS syy,
+      SUM(q * p) AS sxy
+    FROM (
+      SELECT
+        l_returnflag,
+        CAST(round(l_quantity * 100, 0) AS BIGINT) AS q,
+        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p
+      FROM lineitem
+    )
+    GROUP BY l_returnflag
+  )
+)
+"""
+
+
+@register("corr_quantity_price", _CORR_ORACLE)
+def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance from exact moments.
+
+    Native ``corr``/``covar_samp`` stream doubles in partition order —
+    not reproducible under repartitioning.  Here the five cross moments
+    (Σx, Σy, Σx², Σy², Σxy) accumulate as exact fixed-point integers
+    (decimal(38,0) on Spark so products can't overflow at any scale
+    factor; HUGEINT sums on DuckDB), and the closed-form float formula
+    runs once per group on identical operands — bit-identical on both
+    engines and on a 1000-executor cluster.  Correlation is invariant
+    to the 100× fixed-point scaling; covariance divides it back out.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = fixed_point(F.col("l_quantity"), 2)
+    p = fixed_point(F.col("l_extendedprice"), 2)
+
+    def dec(col):
+        return col.cast("decimal(38,0)")
+
+    grouped = (
+        li.select("l_returnflag", q.alias("q"), p.alias("p"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(F.col("q"))).alias("sx"),
+            F.sum(dec(F.col("p"))).alias("sy"),
+            F.sum(dec(F.col("q") * F.col("q"))).alias("sxx"),
+            F.sum(dec(F.col("p") * F.col("p"))).alias("syy"),
+            F.sum(dec(F.col("q") * F.col("p"))).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    num = nd * sxyd - sxd * syd
+    corr = num / (F.sqrt(nd * sxxd - sxd * sxd) * F.sqrt(nd * syyd - syd * syd))
+    covar = (num / (nd * (nd - F.lit(1.0)))) / F.lit(10000.0)
+    return grouped.select(
+        "l_returnflag",
+        "n",
+        corr.alias("corr_qty_price"),
+        covar.alias("covar_qty_price"),
+    )
+
+
 _PIVOT_ORACLE = """
 SELECT
   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,

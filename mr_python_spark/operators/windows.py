@@ -166,6 +166,39 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DISTRIBUTION_ORACLE = """
+SELECT
+  o_orderkey,
+  o_orderpriority,
+  NTILE(4) OVER w AS quartile,
+  PERCENT_RANK() OVER w AS pct_rank,
+  CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("window_ntile_distribution", _DISTRIBUTION_ORACLE)
+def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile / percent_rank / cume_dist.
+
+    The ordering key carries a unique tiebreaker (o_orderkey), so
+    every row has a deterministic position: ntile buckets, the
+    ``(rank-1)/(n-1)`` percent-rank division, and the ``pos/n``
+    cume-dist division are all bit-identical across engines and across
+    repartitionings.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 _RANGE_FRAME_ORACLE = """
 SELECT
   o_custkey,

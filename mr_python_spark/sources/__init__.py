@@ -148,6 +148,29 @@ def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORC_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier
+"""
+
+
+@register("orc_scan_supplier", _ORC_ORACLE)
+def orc_scan_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan roundtrip.
+
+    Spark's other first-class columnar format: supplier is written as
+    ORC and read back through the native vectorized ORC reader, which
+    has the same pruning/pushdown machinery as the parquet path.  The
+    oracle reads the parquet source directly, proving the roundtrip is
+    lossless (including the double column, bit-for-bit).
+    """
+    path = _scratch("supplier_orc")
+    load_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+
 _PRUNED_ORACLE = """
 SELECT
   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,

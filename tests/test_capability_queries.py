@@ -63,6 +63,9 @@ REPRESENTATIVE = [
     "grouped_map_top2_sharded",
     "agg_salted_skew",
     "median_price_by_priority",
+    "orc_scan_supplier",
+    "window_ntile_distribution",
+    "corr_quantity_price",
 ]
 
 

@@ -174,3 +174,60 @@ def grouped_map_top2_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda pdf: top2_shard(pdf.drop(columns=["shard"])), events.schema
         )
     )
+
+
+# --------------------------------------------------------------------
+# grouped-agg pandas UDF — a true UDAF (many rows -> one scalar per key)
+
+_UDAF_ORACLE = """
+SELECT
+  l_returnflag,
+  CAST(SUM(q * p) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) / 100.0 AS wavg_price
+FROM (
+  SELECT
+    l_returnflag,
+    CAST(round(l_quantity * 100, 0) AS BIGINT) AS q,
+    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p
+  FROM lineitem
+)
+GROUP BY l_returnflag
+"""
+
+
+@register("pandas_udaf_weighted_avg", _UDAF_ORACLE)
+def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag via a GROUPED_AGG
+    pandas UDF — the reference's ``reducer`` contract (all of one key's
+    values -> one result, tinymr.py:61-91) as a registered aggregate
+    usable inside ``groupBy().agg(...)`` next to built-ins.
+
+    Determinism: inputs arrive as fixed-point longs, the UDAF sums them
+    as exact int64 (products fit: q<=2^13, p<=2^23), and performs one
+    float division — bit-identical to the oracle's HUGEINT-sum path.
+    Scale note: GROUPED_AGG has no partial aggregation (each key's full
+    column batch reaches Python); keep it for genuinely non-algebraic
+    aggregates and prefer JVM built-ins otherwise — `corr_quantity_price`
+    shows the decomposed-moments alternative that does combine map-side.
+    """
+    import numpy as np
+
+    from mr_python_spark.operators.aggregates import fixed_point
+
+    @pandas_udf("double")
+    def wavg(q: pd.Series, p: pd.Series) -> float:
+        qi = q.to_numpy(np.int64)
+        pi = p.to_numpy(np.int64)
+        sxy = int(np.sum(qi * pi, dtype=np.int64))
+        sq = int(np.sum(qi, dtype=np.int64))
+        return float(sxy) / float(sq) / 100.0
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            fixed_point(F.col("l_quantity"), 2).alias("q"),
+            fixed_point(F.col("l_extendedprice"), 2).alias("p"),
+        )
+        .groupBy("l_returnflag")
+        .agg(wavg(F.col("q"), F.col("p")).alias("wavg_price"))
+    )

@@ -346,3 +346,29 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("acctbal"),
         "n_orders",
     )
+
+
+_CROSS_ORACLE = """
+SELECT r_name, o_orderpriority
+FROM region
+CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+"""
+
+
+@register("join_cross_product", _CROSS_ORACLE)
+def join_cross_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (nested-loop join) of two small inputs.
+
+    The reference cannot express any join (SURVEY.md §2c); a cross
+    product is the degenerate theta-join with no predicate.  Spark
+    plans BroadcastNestedLoopJoin: the distinct-priority side (5 rows)
+    is broadcast and the loop never shuffles.  Scale rule: a cross
+    join is only ever sane when one side is tiny — this shape (dim ×
+    dim, both broadcastable) is the grid-expansion idiom used to
+    densify sparse group combinations before a left join.
+    """
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    prios = (
+        load_table(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    )
+    return region.crossJoin(F.broadcast(prios))

@@ -66,6 +66,8 @@ REPRESENTATIVE = [
     "orc_scan_supplier",
     "window_ntile_distribution",
     "corr_quantity_price",
+    "pandas_udaf_weighted_avg",
+    "join_cross_product",
 ]
 
 

@@ -88,6 +88,23 @@ AUDITS: dict[str, tuple[list[str], list[str]]] = {
         [r"Exchange hashpartitioning\(o_orderkey",
          r"Exchange hashpartitioning\(l_orderkey"],
     ),
+    # intentional cross product: broadcast NLJ, never a shuffled CartesianProduct
+    "join_cross_product": (
+        [r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct"],
+    ),
+    # moment aggregation combines map-side like any algebraic agg
+    "corr_quantity_price": (
+        [r"partial_sum", r"HashAggregate"],
+        [r"CartesianProduct", r"SortAggregate"],
+    ),
+    # distribution windows: one shuffle on the partition key
+    "window_ntile_distribution": ([r"Window"], [r"CartesianProduct"]),
+    # grouped-agg pandas UDAF: the Arrow aggregate node, one exchange
+    "pandas_udaf_weighted_avg": (
+        [r"ArrowAggregatePython|AggregateInPandas"],
+        [r"CartesianProduct"],
+    ),
 }
 
 

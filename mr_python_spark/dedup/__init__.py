@@ -12,10 +12,14 @@ Five strategies over the ``documents`` / ``embeddings`` tables, each a
 Scale notes (100 TB posture):
 
 * Exact dedup shuffles only (hash, doc_id) — never the text.
-* The shingle inverted index is the candidate generator everywhere:
-  join cost is Σ df(shingle)², bounded by capping document frequency
-  (a shingle present in half the corpus identifies nothing).  The cap
-  is OFF by default here (small SFs) and exposed as a parameter.
+* The shingle inverted index is the candidate generator everywhere,
+  and the DEFAULT posture is df-capped: ``dedup_ngram_jaccard`` only
+  pairs documents through shingles whose document frequency is ≤
+  ``DF_CAP``, so the self-join costs Σ min(df, cap)² instead of
+  Σ df² (a boilerplate shingle in millions of documents would make
+  the uncapped join quadratic).  The uncapped, lossless variant is
+  explicitly named ``dedup_ngram_jaccard_exact`` and is the
+  small-corpus path only.
 * MinHash signatures are 64 hashes computed in one pass over exploded
   shingles (groupBy doc, 64 min-aggregates — map-side combined);
   banding 16×4 makes bucket-join cost data-dependent, not quadratic.
@@ -158,13 +162,17 @@ LIMIT 50
 """
 
 
-@register("dedup_ngram_jaccard", _NGRAM_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-shingle Jaccard: top-50 most similar document pairs.
+@register("dedup_ngram_jaccard_exact", _NGRAM_ORACLE)
+def dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-shingle Jaccard: top-50 most similar document pairs.
 
-    Inverted-index join (pairs must share ≥1 shingle — lossless
-    pruning, pairs sharing none have similarity 0), then one
-    hash-aggregate per pair.  Jaccard = ratio of small exact ints →
+    Small-corpus path, explicitly so: the inverted-index self-join is
+    lossless (pairs sharing no shingle have similarity 0) but costs
+    Σ df(shingle)² — quadratic in the presence of boilerplate
+    shingles.  The default registry entry ``dedup_ngram_jaccard``
+    delegates to the df-capped generator instead; use this variant
+    when the corpus is small enough that exactness beats the cap's
+    recall loss.  Jaccard = ratio of small exact ints →
     bit-identical across engines.
     """
     docs = load_table(spark, sf_dir, "documents")
@@ -244,9 +252,9 @@ WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
 """
 
 
-@register("dedup_ngram_df_capped", _NGRAM_CAPPED_ORACLE)
-def dedup_ngram_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jaccard dedup with the 100 TB candidate-generation cap ON.
+@register("dedup_ngram_jaccard", _NGRAM_CAPPED_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard dedup — DEFAULT posture, 100 TB candidate cap ON.
 
     Candidate pairs come only from shingles whose document frequency
     is ≤ ``DF_CAP`` — the inverted-index join cost drops from
@@ -255,7 +263,8 @@ def dedup_ngram_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verification still uses FULL shingle sets (exact Jaccard), so the
     cap only affects which pairs are considered, never their scores;
     pairs whose every common shingle is popular are the accepted
-    recall loss.  Returns pairs with jaccard ≥ 0.2.
+    recall loss.  Returns pairs with jaccard ≥ 0.2.  The uncapped
+    lossless variant is ``dedup_ngram_jaccard_exact``.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh_sets = shingle_sets(docs).cache()
@@ -454,17 +463,97 @@ WHERE list_sum(list_transform(list_zip(a.e, b.e), p -> CAST(p[1] AS DOUBLE) * CA
 """
 
 
+#: block-grid partition count for exact all-pairs cosine: vectors are
+#: split into N_COSINE_BLOCKS blocks, each unordered block pair is one
+#: task.  Per-task memory is 2·(n/P) vectors — at 10⁸ vectors choose
+#: P ≈ n·d·8 / task_budget_bytes instead of this test-scale constant.
+N_COSINE_BLOCKS = 8
+
+
 @register("dedup_embedding_cosine", _EMB_PAIRS_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.4 (threshold is corpus-tuned).
+    """Embedding near-dup pairs: cosine ≥ 0.4 — EXACT, fully distributed.
 
-    Blocked GEMM: the normalized corpus matrix is broadcast, every
-    partition multiplies its block against it (Arrow/numpy, f64) and
-    emits only qualifying pairs with vec_a < vec_b — shuffle carries
-    pairs, never vectors.  Right up to ~10⁵ vectors per broadcast; the
-    100 TB path replaces the broadcast with LSH bucketing
-    (random-projection bands) or the IVF pruning in
-    :mod:`mr_python_spark.similarity`.
+    Block-grid all-pairs GEMM: vector v goes to block ``vec_id mod P``;
+    every unordered block pair (i ≤ j) is a grid cell, and each vector
+    is shuffled to the P cells its block touches.  One
+    ``applyInPandas`` task per cell multiplies the two block matrices
+    (Arrow/numpy, f64) and emits qualifying pairs with vec_a < vec_b —
+    each unordered pair lives in exactly one cell, so no dedup pass is
+    needed.  Nothing is ever collected to the driver and no broadcast
+    grows with the corpus: communication is n·P vector rows, per-task
+    memory 2n/P vectors, and the O(n²d) FLOPs — inherent to the exact
+    all-pairs semantics — spread over P(P+1)/2 independent tasks.
+    For the sub-quadratic approximate path see
+    :func:`dedup_embedding_lsh` (random-projection bands).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    P = N_COSINE_BLOCKS
+    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    cells = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(P)).cast("int").alias("blk"),
+        F.explode(F.sequence(F.lit(0), F.lit(P - 1))).alias("other"),
+    ).select(
+        F.least("blk", "other").alias("ci"),
+        F.greatest("blk", "other").alias("cj"),
+        "vec_id",
+        "embedding",
+        "blk",
+    )
+
+    schema = T.StructType(
+        [T.StructField("vec_a", T.LongType()), T.StructField("vec_b", T.LongType())]
+    )
+
+    def cell_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ci, cj = key
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        if ci == cj:  # diagonal cell: upper triangle of one block
+            sims = mat @ mat.T
+            ai, bi = np.nonzero(sims >= 0.4)
+            a, b = ids[ai], ids[bi]
+            keep = a < b
+        else:  # off-diagonal: cross product of the two blocks
+            blk = pdf["blk"].to_numpy()
+            left, right = blk == ci, blk == cj
+            sims = mat[left] @ mat[right].T
+            ai, bi = np.nonzero(sims >= 0.4)
+            a, b = ids[left][ai], ids[right][bi]
+            keep = np.ones(len(a), dtype=bool)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"vec_a": lo[keep], "vec_b": hi[keep]})
+
+    return cells.groupBy("ci", "cj").applyInPandas(cell_pairs, schema)
+
+
+#: random-projection LSH parameters: 16 sign bits = 4 bands × 4 bits
+RP_BITS = 16
+RP_BANDS = 4
+
+
+@register("dedup_embedding_lsh")  # rows-only: numpy RNG projections aren't portable SQL
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE embedding near-dup pairs — the sub-quadratic scale path.
+
+    Random-projection (sign) LSH: 16 deterministic Gaussian
+    projections (seeded, identical on every executor) give each
+    vector a 16-bit sign fingerprint, banded 4×4; candidate pairs
+    must share one band bucket, then exact cosine ≥ 0.4 (JVM-side
+    fold) filters false positives.  Candidates come from equi-joins
+    on (band, bucket) — never an all-pairs product — so cost is
+    Σ bucket² like :func:`dedup_minhash_lsh`.  Output ⊆ the exact
+    :func:`dedup_embedding_cosine` result; recall at the 0.4
+    threshold is partial by design (P[bit match] = 1 − θ/π ≈ 0.63 →
+    ~50% at cos = 0.4, →1 as cos → 1), which is the standard LSH
+    recall/cost trade.  Verified rows-only against a numpy
+    reimplementation in tests/test_hash_pipelines.py.
     """
     from typing import Iterator
 
@@ -472,34 +561,65 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    bc = spark.sparkContext.broadcast((ids[order], mat[order]))
+    from mr_python_spark.functions.vectors import cosine, to_double
 
-    schema = T.StructType(
-        [T.StructField("vec_a", T.LongType()), T.StructField("vec_b", T.LongType())]
+    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    bits_per_band = RP_BITS // RP_BANDS
+
+    sig_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bval", T.IntegerType()),
+        ]
     )
 
-    def pairs_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = bc.value
+    def band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        proj = None
         for pdf in batches:
             if pdf.empty:
                 continue
-            blk_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            blk = np.array(list(pdf["embedding"]), dtype=np.float64)
-            blk /= np.linalg.norm(blk, axis=1, keepdims=True)
-            sims = blk @ all_mat.T
-            bi, ci = np.nonzero(sims >= 0.4)
-            a, b = blk_ids[bi], all_ids[ci]
-            keep = a < b  # each unordered pair emitted exactly once
-            if keep.any():
-                yield pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep]})
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if proj is None:  # seeded → identical matrix on every executor
+                proj = np.random.RandomState(42).standard_normal((mat.shape[1], RP_BITS))
+            bits = (mat @ proj >= 0.0).astype(np.int32)  # (n, RP_BITS)
+            weights = 1 << np.arange(bits_per_band, dtype=np.int32)
+            out = []
+            for band in range(RP_BANDS):
+                chunk = bits[:, band * bits_per_band : (band + 1) * bits_per_band]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                            "band": np.int32(band),
+                            "bval": chunk @ weights,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
 
-    return emb.select("vec_id", "embedding").mapInPandas(pairs_block, schema)
+    bands = emb.mapInPandas(band_rows, sig_schema)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    v = emb.select("vec_id", to_double(F.col("embedding")).alias("e"))
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.4)
+        .select("vec_a", "vec_b")
+    )
 
 
 _CLUSTERS_ORACLE = """

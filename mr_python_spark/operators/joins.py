@@ -7,9 +7,12 @@ Here joins are first-class and Catalyst picks the physical strategy.
 
 Scale notes (100 TB posture):
 
-* Dimension tables (region/nation/supplier/tiers) are broadcast —
-  no shuffle of the fact table.  ``F.broadcast`` is explicit where the
-  stats-based planner wouldn't see the size.
+* Constant-size dims (region: 5 rows, nation: 25, the literal tier
+  table) carry explicit ``F.broadcast`` hints — no shuffle of the
+  fact table, safe at every scale factor.  SF-scaling tables
+  (customer/supplier/part) NEVER get a forced hint: stats + AQE pick
+  broadcast at small SF and shuffle join at 100 TB, where a forced
+  broadcast would OOM executors materializing a multi-GB hash table.
 * Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; both
   sides hash-partition on the same key so AQE can pick shuffled-hash
   vs sort-merge and split skewed partitions.
@@ -91,7 +94,14 @@ GROUP BY n_name
 
 @register("q5_local_supplier", _Q5_ORACLE)
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped 6-way star join, dims broadcast, facts shuffled."""
+    """TPC-H Q5-shaped 6-way star join.
+
+    Only the constant-size dims (region, nation — 5/25 rows at ANY
+    scale factor) carry explicit broadcast hints.  customer and
+    supplier grow linearly with SF, so their join strategy is left to
+    stats + AQE: broadcast at small SF, shuffle join at 100 TB —
+    forcing the hint would OOM every executor there.
+    """
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
     customer = load_table(spark, sf_dir, "customer")
@@ -102,21 +112,19 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(
-                customer.join(
-                    F.broadcast(
-                        nation.join(
-                            F.broadcast(region),
-                            F.col("n_regionkey") == F.col("r_regionkey"),
-                        )
-                    ),
-                    F.col("c_nationkey") == F.col("n_nationkey"),
-                )
+            customer.join(
+                F.broadcast(
+                    nation.join(
+                        F.broadcast(region),
+                        F.col("n_regionkey") == F.col("r_regionkey"),
+                    )
+                ),
+                F.col("c_nationkey") == F.col("n_nationkey"),
             ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("s_suppkey") == F.col("l_suppkey"))
             & (F.col("s_nationkey") == F.col("n_nationkey")),
         )
@@ -138,10 +146,15 @@ WHERE o_orderstatus = 'F'
 
 @register("join_inner_basic", _INNER_ORACLE)
 def join_inner_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Plain equi-join with projection (customer side broadcast-able)."""
+    """Plain equi-join with projection.
+
+    customer scales with SF, so no forced broadcast hint — Catalyst's
+    size stats pick broadcast at small SF and AQE switches to a
+    shuffle join when the build side outgrows the threshold.
+    """
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     customer = load_table(spark, sf_dir, "customer")
-    return orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")).select(
+    return orders.join(customer, F.col("o_custkey") == F.col("c_custkey")).select(
         "o_orderkey", "c_name", "o_totalprice"
     )
 

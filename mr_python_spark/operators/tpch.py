@@ -17,13 +17,18 @@ Scale notes (100 TB posture):
 * q4 is a semi join: EXISTS never materializes the probe side's
   matches, and Spark plans a left-semi hash join with only the
   (orderkey) key shuffled.
-* q10/q18 shuffle lineitem once on its natural key (l_orderkey);
-  dimension sides (customer, nation) are broadcast.  At 100 TB the
-  orders⋈lineitem join wants both sides bucketed by orderkey
-  (see docs/SCALE.md); the plan here is the AQE-friendly shape.
-* q14 broadcasts ``part`` (a dimension at any scale factor under
-  Spark's 64 MB threshold); the CASE-sum promo ratio is a single
-  partial+final aggregate.
+* q10/q18 shuffle lineitem once on its natural key (l_orderkey).  At
+  100 TB the orders⋈lineitem join wants both sides bucketed by
+  orderkey (see docs/SCALE.md); the plan here is the AQE-friendly
+  shape.
+* Broadcast-hint policy: ONLY constant-size dims (region: 5 rows,
+  nation: 25 rows — fixed at every scale factor) get ``F.broadcast``.
+  customer/supplier/part grow linearly with SF, so their joins are
+  left to stats + AQE — broadcast at small SF, shuffle join at
+  100 TB.  A forced hint overrides the size check and OOMs executors
+  at scale; tools/explain_audit.py forbids it (with
+  autoBroadcastJoinThreshold=-1 these plans must show no broadcast
+  beyond the hinted constant dims).
 """
 
 from __future__ import annotations
@@ -132,9 +137,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: top-20 customers by revenue lost to returns.
 
     lineitem is filtered on l_returnflag at the scan, then shuffled
-    once on l_orderkey to meet orders; customer and nation broadcast.
-    The top-20 is TakeOrderedAndProject (no global sort), tie-broken
-    on c_custkey so the limit is deterministic.
+    once on l_orderkey to meet orders; nation (25 rows, constant) is
+    broadcast-hinted, customer's strategy is stats/AQE-driven (it
+    scales with SF).  The top-20 is TakeOrderedAndProject (no global
+    sort), tie-broken on c_custkey so the limit is deterministic.
     """
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -145,7 +151,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     )
     return (
@@ -179,8 +185,9 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: promo revenue share for one ship month.
 
-    part is a broadcast dimension — the month-filtered lineitem scan
-    never shuffles.  Both sums use exact fixed-point accumulation, so
+    part scales with SF, so no forced broadcast — at small SF stats
+    pick a broadcast join (no lineitem shuffle); at 100 TB AQE plans
+    a shuffle join.  Both sums use exact fixed-point accumulation, so
     the final ratio is one IEEE division on identical operands in any
     engine, any partitioning.
     """
@@ -192,7 +199,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_price = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -226,10 +233,11 @@ GROUP BY sn.n_name, cn.n_name, CAST(EXTRACT(year FROM l_shipdate) AS INTEGER)
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-nation shipping volume per year.
 
-    Five joins, but lineitem shuffles exactly once (onto orders);
-    supplier, customer, and both nation aliases broadcast.  The
-    nation-pair inequality is a cheap post-join filter on broadcast
-    columns, not a join condition blowup.
+    Five joins, but lineitem shuffles exactly once (onto orders); the
+    two nation aliases (constant 25 rows) are broadcast-hinted, while
+    supplier/customer (SF-scaling) are stats/AQE-planned.  The
+    nation-pair inequality is a cheap post-join filter, not a join
+    condition blowup.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -247,8 +255,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -335,8 +343,9 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The quantity rollup groups lineitem on its natural key
     (l_orderkey) — co-partitioned with the orders join that follows,
-    so AQE reuses one shuffle for both; customer broadcasts.  The
-    HAVING predicate compares exact fixed-point longs.
+    so AQE reuses one shuffle for both; customer (SF-scaling) joins
+    by stats/AQE choice, not a forced hint.  The HAVING predicate
+    compares exact fixed-point longs.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -346,7 +355,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("qty_fp") > 30000)
     return (
         qty.join(orders, qty.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_custkey",
             "c_name",

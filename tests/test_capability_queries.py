@@ -59,7 +59,7 @@ REPRESENTATIVE = [
     "partition_pruned_read",
     "map_funcs_events",
     "lang_id_stopword",
-    "dedup_ngram_df_capped",
+    "dedup_ngram_jaccard_exact",
     "grouped_map_top2_sharded",
     "agg_salted_skew",
     "median_price_by_priority",

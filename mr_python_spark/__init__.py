@@ -16,9 +16,17 @@ Two layers:
   DataFrame/SQL operators designed for 100 TB scale.
 """
 
+import importlib.metadata
+
 from mr_python_spark.core import ElementCountError, MapReduce
 from mr_python_spark.session import get_spark
 
-__version__ = "0.1.0"
+try:
+    # Like the reference (tinymr.py:17-24): the version is package
+    # metadata when installed, a fallback literal when the repo is
+    # used directly off the filesystem (sys.path / PYTHONPATH).
+    __version__ = importlib.metadata.version("mr-python-spark")
+except importlib.metadata.PackageNotFoundError:  # pragma: no cover
+    __version__ = "0.2.0"
 
 __all__ = ["MapReduce", "ElementCountError", "get_spark", "__version__"]

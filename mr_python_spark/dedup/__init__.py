@@ -510,7 +510,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         [T.StructField("vec_a", T.LongType()), T.StructField("vec_b", T.LongType())]
     )
 
-    def cell_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def cell_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ci, cj = key
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf["embedding"]), dtype=np.float64)

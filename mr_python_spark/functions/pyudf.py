@@ -39,7 +39,8 @@ from mr_python_spark.session import load_table
 # scalar pandas_udf
 
 _PUDF_TOKENS_ORACLE = """
-SELECT doc_id, CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_tokens
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS INTEGER) AS n_tokens
 FROM documents
 """
 

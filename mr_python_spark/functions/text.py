@@ -76,7 +76,8 @@ def word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WC_PER_DOC_ORACLE = """
-SELECT doc_id, lang, CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_tokens
+SELECT doc_id, lang,
+       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS INTEGER) AS n_tokens
 FROM documents
 """
 

@@ -98,8 +98,13 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if len(c_m) == 0:
                     continue
                 top = min(k, len(c_m))
-                # partial top-k per partition (ties broken by id later)
-                part = np.argpartition(-s_m, top - 1)[: top + 8 if top + 8 <= len(c_m) else len(c_m)]
+                # partial top-k per batch: keep EVERY row scoring >= the
+                # k-th best, so the global (score DESC, neighbor_id ASC)
+                # rank can never lose a smallest-id tie winner that this
+                # batch dropped (duplicate embeddings make k-th-score
+                # ties likely in a dedup corpus).
+                kth = np.partition(-s_m, top - 1)[top - 1]
+                part = np.nonzero(-s_m <= kth)[0]
                 out.append(
                     pd.DataFrame(
                         {

@@ -26,6 +26,74 @@ from mr_python_spark.registry import register
 from mr_python_spark.session import load_table
 
 
+def staged_events_stream(spark: SparkSession, sf_dir: str):
+    """``readStream`` over a staged copy of ``events.parquet``.
+
+    The file-stream source wants a directory, so the single parquet
+    file is staged into one.  The stage dir is keyed by a content
+    fingerprint (size + mtime) of the source file: a regenerated
+    dataset, or a different dataset dir that happens to share a
+    basename, gets a fresh stage dir instead of silently replaying
+    stale data copied by an earlier run.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from mr_python_spark.session import ensure_session
+
+    ensure_session(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fingerprint = f"{st.st_size:x}_{st.st_mtime_ns:x}"
+    stage_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"mrps_stream_{os.path.basename(sf_dir)}_{fingerprint}",
+    )
+    os.makedirs(stage_dir, exist_ok=True)
+    staged = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(staged):
+        shutil.copy(src, staged)
+    raw_schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_to_memory(
+    spark: SparkSession,
+    df,
+    name_prefix: str,
+    output_mode: str = "append",
+    timeout_s: int = 180,
+) -> DataFrame:
+    """Run an availableNow stream into a memory sink and return the table.
+
+    ``awaitTermination(timeout)`` returns False on timeout — in that
+    case the sink holds partial results, so fail loudly instead of
+    returning them as if complete.
+    """
+    import uuid
+
+    sink = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        q.stop()
+        raise RuntimeError(
+            f"streaming query {sink} did not finish within {timeout_s}s; "
+            "refusing to return a partial memory sink"
+        )
+    return spark.table(sink)
+
+
 _TUMBLE_ORACLE = """
 SELECT
   CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
@@ -146,26 +214,7 @@ def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigger → memory sink.  Proves the batch window queries are
     streaming-ready (same operators, plus state + late-data bounds).
     """
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
-    events = load_table(spark, sf_dir, "events")
-    # the file-stream source wants a directory; stage the single file
-    stage_dir = os.path.join(
-        tempfile.gettempdir(), f"mrps_stream_{os.path.basename(sf_dir)}"
-    )
-    os.makedirs(stage_dir, exist_ok=True)
-    staged = os.path.join(stage_dir, "events.parquet")
-    if not os.path.exists(staged):
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), staged)
-    raw_schema = spark.read.parquet(staged).schema
-    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
-    from pyspark.sql import functions as F2
-
-    if dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F2.timestamp_micros(F2.expr("ts div 1000")))
+    stream = staged_events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
@@ -180,13 +229,4 @@ def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    sink = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return spark.table(sink)
+    return run_to_memory(spark, agg, "stream_tumbling", output_mode="complete")

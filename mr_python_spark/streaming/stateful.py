@@ -26,11 +26,6 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-import uuid
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,39 +34,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from mr_python_spark.registry import register
-
-
-def _staged_events_stream(spark: SparkSession, sf_dir: str):
-    """readStream over a staged copy of events.parquet (file source
-    wants a directory), with the nanos→micros ts conversion applied."""
-    from mr_python_spark.session import ensure_session
-
-    ensure_session(spark)
-    stage_dir = os.path.join(
-        tempfile.gettempdir(), f"mrps_stream_{os.path.basename(sf_dir)}"
-    )
-    os.makedirs(stage_dir, exist_ok=True)
-    staged = os.path.join(stage_dir, "events.parquet")
-    if not os.path.exists(staged):
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), staged)
-    raw_schema = spark.read.parquet(staged).schema
-    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
-    if dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
-
-
-def _run_to_memory(df, name_prefix: str) -> str:
-    sink = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    return sink
+from mr_python_spark.streaming import run_to_memory, staged_events_stream
 
 
 _SLIDE_LIVE_ORACLE = """
@@ -93,7 +56,7 @@ def streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     path for both engines modes — with the watermark bounding overlap
     state (each event lives in 2 windows; state = open windows only).
     """
-    stream = _staged_events_stream(spark, sf_dir)
+    stream = staged_events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
@@ -107,16 +70,7 @@ def streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    return spark.table(sink)
+    return run_to_memory(spark, agg, "stream_sliding", output_mode="complete")
 
 
 _SDEDUP_ORACLE = """
@@ -133,14 +87,13 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key columns are projected, so which physical row survives is
     irrelevant and the output is exactly batch DISTINCT.
     """
-    stream = _staged_events_stream(spark, sf_dir)
+    stream = staged_events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    sink = _run_to_memory(deduped, "stream_dedup")
-    return spark.table(sink)
+    return run_to_memory(spark, deduped, "stream_dedup")
 
 
 _SSESSION_ORACLE = """
@@ -209,19 +162,25 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             start_us = last_us = -1
             n = 0
         closed: list[tuple[int, int, int]] = []
-        for pdf in pdf_iter:
-            ts_us = (
-                pd.to_datetime(pdf["ts"]).astype("int64") // 1000
-            ).sort_values()
-            for t in ts_us:
-                t = int(t)
-                if n == 0:
-                    start_us, last_us, n = t, t, 1
-                elif t - last_us <= gap_us:
-                    last_us, n = t, n + 1
-                else:
-                    closed.append((user_id, start_us // 1_000_000, n))
-                    start_us, last_us, n = t, t, 1
+        # A key's rows can span multiple Arrow chunks, and chunks
+        # arrive in shuffle order — sorting within each chunk alone
+        # would silently merge out-of-order sessions.  Accumulate ALL
+        # chunks for the key, then sort ONCE before the gap loop.
+        chunks = [
+            pd.to_datetime(pdf["ts"]).astype("int64") // 1000 for pdf in pdf_iter
+        ]
+        ts_all = (
+            pd.concat(chunks).sort_values() if chunks else pd.Series([], dtype="int64")
+        )
+        for t in ts_all:
+            t = int(t)
+            if n == 0:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us <= gap_us:
+                last_us, n = t, n + 1
+            else:
+                closed.append((user_id, start_us // 1_000_000, n))
+                start_us, last_us, n = t, t, 1
         # availableNow: the stream ends with this batch — flush the
         # open session.  (Production: keep it in state + set an
         # event-time timeout instead.)
@@ -233,7 +192,7 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 closed, columns=["user_id", "session_start", "n_events"]
             )
 
-    stream = _staged_events_stream(spark, sf_dir).select("user_id", "ts")
+    stream = staged_events_stream(spark, sf_dir).select("user_id", "ts")
     sessions = (
         stream.withWatermark("ts", "2 hours")
         .groupBy("user_id")
@@ -245,5 +204,4 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    sink = _run_to_memory(sessions, "stream_sessions")
-    return spark.table(sink)
+    return run_to_memory(spark, sessions, "stream_sessions")

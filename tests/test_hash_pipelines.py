@@ -143,6 +143,50 @@ def test_simhash_pipeline(spark):
     assert got == expected
 
 
+def test_embedding_lsh_pipeline(spark):
+    """Numpy-recomputed random-projection bands must reproduce the
+    engine's candidate set, and every emitted pair must be a true
+    cosine-≥0.4 pair (subset of the exact block-grid result)."""
+    import numpy as np
+
+    from mr_python_spark.dedup import (
+        RP_BANDS,
+        RP_BITS,
+        dedup_embedding_cosine,
+        dedup_embedding_lsh,
+    )
+    from mr_python_spark.session import load_table
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in emb], dtype=np.int64)
+    mat = np.array([r.embedding for r in emb], dtype=np.float64)
+    proj = np.random.RandomState(42).standard_normal((mat.shape[1], RP_BITS))
+    bits = (mat @ proj >= 0.0).astype(np.int32)
+    bits_per_band = RP_BITS // RP_BANDS
+    weights = 1 << np.arange(bits_per_band, dtype=np.int32)
+
+    buckets = defaultdict(set)
+    for row, vid in enumerate(ids):
+        for b in range(RP_BANDS):
+            bval = int(bits[row, b * bits_per_band : (b + 1) * bits_per_band] @ weights)
+            buckets[(b, bval)].add(int(vid))
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    by_id = {int(v): i for i, v in enumerate(ids)}
+    expected = set()
+    for ds in buckets.values():
+        ds = sorted(ds)
+        for i, x in enumerate(ds):
+            for y in ds[i + 1 :]:
+                if normed[by_id[x]] @ normed[by_id[y]] >= 0.4:
+                    expected.add((x, y))
+
+    got = {(r.vec_a, r.vec_b) for r in dedup_embedding_lsh(spark, SF).collect()}
+    assert got == expected
+
+    exact = {(r.vec_a, r.vec_b) for r in dedup_embedding_cosine(spark, SF).collect()}
+    assert got <= exact  # LSH output is a subset of the exact pair set
+
+
 def test_doc_fingerprint_matches_direct_expression(spark):
     """The fingerprint query equals xxhash64 of the normalized token
     stream computed by an independent expression."""

@@ -6,6 +6,15 @@ pruned read schemas, broadcast joins on dimension tables, map-side
 partial aggregation, top-k as TakeOrderedAndProject instead of a
 global sort, and no accidental cartesian products anywhere.
 
+Broadcast-hint policy check (``hinted_broadcasts``): the plan is
+re-derived with ``spark.sql.autoBroadcastJoinThreshold=-1`` — with
+stats-based broadcasting disabled, the ONLY thing that can still put a
+BroadcastExchange in the plan is an explicit ``F.broadcast`` hint.
+The audit asserts the count equals the number of constant-size-dim
+hints the query is supposed to carry, so a forced broadcast of an
+SF-scaling table (customer/supplier/part — the 100 TB OOM pattern)
+fails the audit even though it would pass at sf0.1.
+
 Usage::
 
     python tools/explain_audit.py            # audit all, print report
@@ -23,88 +32,199 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: name -> (must-contain regexes, must-NOT-contain regexes)
-AUDITS: dict[str, tuple[list[str], list[str]]] = {
+#: name -> dict(must=[...], must_not=[...], hinted_broadcasts=int|None)
+AUDITS: dict[str, dict] = {
+    # ---------------- scans / pushdown ----------------
     # scan-bound: every predicate pushed, schema pruned to 6 cols, no shuffle
-    "filter_project_lineitem": (
-        [r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate",
-         r"ReadSchema: struct<l_orderkey:bigint,l_linenumber:int",
-         r"codegen id"],  # narrow ops fused into whole-stage codegen
-        [r"Exchange", r"CartesianProduct"],
+    "filter_project_lineitem": dict(
+        must=[r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate",
+              r"ReadSchema: struct<l_orderkey:bigint,l_linenumber:int",
+              r"codegen id"],  # narrow ops fused into whole-stage codegen
+        must_not=[r"Exchange", r"CartesianProduct"],
     ),
-    "q6_forecast_revenue": (
-        [r"PushedFilters: \[.*l_shipdate", r"partial_"],
-        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    "q6_forecast_revenue": dict(
+        must=[r"PushedFilters: \[.*l_shipdate", r"partial_"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
-    # one wide-table aggregate: partial+final, single exchange
-    "q1_pricing_summary": (
-        [r"partial_sum", r"HashAggregate"],
-        [r"CartesianProduct", r"SortAggregate"],
-    ),
-    # star joins: dims broadcast, no shuffle join needed for dims
-    "q3_shipping_priority": (
-        [r"BroadcastHashJoin", r"TakeOrderedAndProject"],
-        [r"CartesianProduct"],
-    ),
-    "q5_local_supplier": ([r"BroadcastHashJoin"], [r"CartesianProduct"]),
-    "q10_returned_items": (
-        [r"BroadcastHashJoin", r"TakeOrderedAndProject",
-         r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)"],
-        [r"CartesianProduct", r"Sort\b.*global"],
-    ),
-    "q4_order_priority": (
-        [r"Join type: LeftSemi", r"PushedFilters: \[.*o_orderdate"],
-        [r"CartesianProduct"],
-    ),
-    "q18_large_volume": (
-        [r"BroadcastHashJoin", r"partial_sum"],
-        [r"CartesianProduct"],
-    ),
-    # top-k must never be a global sort
-    "topk_orders": ([r"TakeOrderedAndProject"], [r"CartesianProduct"]),
-    "word_topk": ([r"TakeOrderedAndProject", r"partial_"], []),
-    # distinct: expand + two-phase agg, not a naive repartition
-    "distinct_users_per_event": ([r"HashAggregate", r"partial_"], []),
-    # windows: one shuffle on the partition key, sort within partitions
-    "window_top3_per_customer": ([r"RunningWindowFunction|Window"], [r"CartesianProduct"]),
-    # dedup joins are equi-joins on hash keys — never nested-loop
-    "dedup_ngram_jaccard": (
-        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
-        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
-    ),
-    "dedup_minhash_lsh": (
-        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
-        [r"CartesianProduct", r"BroadcastNestedLoopJoin"],
-    ),
-    "dedup_exact": ([r"HashAggregate", r"partial_"], [r"Exchange hashpartitioning.*text"]),
+    "csv_scan_nation": dict(must=[r"Scan csv"], must_not=[r"CartesianProduct"]),
+    "json_scan_orders": dict(must=[r"Scan json"], must_not=[r"CartesianProduct"]),
+    "orc_scan_supplier": dict(must=[r"Scan orc"], must_not=[r"CartesianProduct"]),
     # partitioned layout: the filter prunes directories at the scan
-    "partition_pruned_read": (
-        [r"PartitionFilters: \[.*event_type", r"partial_"],
-        [r"CartesianProduct"],
+    "partition_pruned_read": dict(
+        must=[r"PartitionFilters: \[.*event_type", r"partial_"],
+        must_not=[r"CartesianProduct"],
     ),
-    # bucketed layout: co-located scans, NO exchange feeding the join
-    "join_bucketed_colocated": (
-        [r"Bucketed: true", r"SortMergeJoin"],
-        [r"Exchange hashpartitioning\(o_orderkey",
-         r"Exchange hashpartitioning\(l_orderkey"],
+    # ---------------- aggregation ----------------
+    # one wide-table aggregate: partial+final, single exchange
+    "q1_pricing_summary": dict(
+        must=[r"partial_sum", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"SortAggregate"],
     ),
-    # intentional cross product: broadcast NLJ, never a shuffled CartesianProduct
-    "join_cross_product": (
-        [r"BroadcastNestedLoopJoin"],
-        [r"CartesianProduct"],
+    "distinct_users_per_event": dict(must=[r"HashAggregate", r"partial_"], must_not=[]),
+    "cube_orders": dict(must=[r"Expand", r"HashAggregate"], must_not=[r"CartesianProduct"]),
+    "rollup_region_nation": dict(must=[r"Expand", r"HashAggregate"], must_not=[r"CartesianProduct"]),
+    "grouping_sets_lineitem": dict(must=[r"Expand", r"HashAggregate"], must_not=[r"CartesianProduct"]),
+    "agg_salted_skew": dict(must=[r"partial_", r"HashAggregate"], must_not=[r"CartesianProduct"]),
+    "pipeline_rekey_bands": dict(
+        must=[r"partial_", r"HashAggregate"], must_not=[r"CartesianProduct"]
     ),
     # moment aggregation combines map-side like any algebraic agg
-    "corr_quantity_price": (
-        [r"partial_sum", r"HashAggregate"],
-        [r"CartesianProduct", r"SortAggregate"],
+    "corr_quantity_price": dict(
+        must=[r"partial_sum", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"SortAggregate"],
     ),
-    # distribution windows: one shuffle on the partition key
-    "window_ntile_distribution": ([r"Window"], [r"CartesianProduct"]),
+    "stats_variance_quantity": dict(
+        must=[r"partial_", r"HashAggregate"], must_not=[r"CartesianProduct"]
+    ),
+    "pivot_daily_event_values": dict(
+        must=[r"partial_", r"HashAggregate"], must_not=[r"CartesianProduct"]
+    ),
+    # ---------------- joins: star shapes + hint policy ----------------
+    # hinted_broadcasts: expected BroadcastExchange count when
+    # autoBroadcastJoinThreshold=-1 — i.e. ONLY the explicit hints on
+    # constant-size dims; SF-scaling tables must NOT be hinted.
+    "q3_shipping_priority": dict(
+        must=[r"BroadcastHashJoin", r"TakeOrderedAndProject"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=0,
+    ),
+    "q5_local_supplier": dict(
+        must=[r"BroadcastHashJoin"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=2,  # region→nation, (nation⋈region)→customer
+    ),
+    "q7_nation_volume": dict(
+        must=[r"BroadcastHashJoin", r"partial_sum"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=2,  # the two 25-row nation aliases
+    ),
+    "q10_returned_items": dict(
+        must=[r"BroadcastHashJoin", r"TakeOrderedAndProject",
+              r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)"],
+        must_not=[r"CartesianProduct", r"Sort\b.*global"],
+        hinted_broadcasts=1,  # nation only
+    ),
+    "q14_promo_revenue": dict(
+        must=[r"partial_sum"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=0,
+    ),
+    "q4_order_priority": dict(
+        must=[r"Join type: LeftSemi", r"PushedFilters: \[.*o_orderdate"],
+        must_not=[r"CartesianProduct"],
+    ),
+    "q18_large_volume": dict(
+        must=[r"BroadcastHashJoin", r"partial_sum"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=0,
+    ),
+    "join_inner_basic": dict(
+        must=[], must_not=[r"CartesianProduct"], hinted_broadcasts=0
+    ),
+    "join_range_tiers": dict(
+        must=[r"BroadcastNestedLoopJoin"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=1,  # the 4-row literal tier table
+    ),
+    # intentional cross product: broadcast NLJ, never a shuffled CartesianProduct
+    "join_cross_product": dict(
+        must=[r"BroadcastNestedLoopJoin"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=1,  # the 5-row distinct-priority side
+    ),
+    "join_left_anti": dict(must=[r"LeftAnti"], must_not=[r"CartesianProduct"]),
+    "join_full_outer": dict(must=[r"FullOuter"], must_not=[r"CartesianProduct"]),
+    "join_asof_events": dict(
+        must=[r"Window", r"Union"], must_not=[r"CartesianProduct"]
+    ),
+    # bucketed layout: co-located scans, NO exchange feeding the join
+    "join_bucketed_colocated": dict(
+        must=[r"Bucketed: true", r"SortMergeJoin"],
+        must_not=[r"Exchange hashpartitioning\(o_orderkey",
+                  r"Exchange hashpartitioning\(l_orderkey"],
+    ),
+    # ---------------- windows: one shuffle on the partition key ----------------
+    "window_top3_per_customer": dict(
+        must=[r"RunningWindowFunction|Window"], must_not=[r"CartesianProduct"]
+    ),
+    "window_rank_dense": dict(must=[r"Window"], must_not=[r"CartesianProduct"]),
+    "window_running_total": dict(must=[r"Window"], must_not=[r"CartesianProduct"]),
+    "window_lag_delta": dict(must=[r"Window"], must_not=[r"CartesianProduct"]),
+    "window_moving_avg": dict(must=[r"Window"], must_not=[r"CartesianProduct"]),
+    "window_range_frame": dict(must=[r"Window"], must_not=[r"CartesianProduct"]),
+    "window_ntile_distribution": dict(must=[r"Window"], must_not=[r"CartesianProduct"]),
+    # ---------------- set ops ----------------
+    "setop_union_all": dict(must=[r"Union"], must_not=[r"CartesianProduct"]),
+    "setop_union_distinct": dict(
+        must=[r"Union", r"HashAggregate"], must_not=[r"CartesianProduct"]
+    ),
+    "setop_intersect": dict(must=[r"LeftSemi"], must_not=[r"CartesianProduct"]),
+    "setop_except": dict(must=[r"LeftAnti"], must_not=[r"CartesianProduct"]),
+    # ---------------- sorts / top-k: never a global sort for a limit ----------------
+    "topk_orders": dict(must=[r"TakeOrderedAndProject"], must_not=[r"CartesianProduct"]),
+    "word_topk": dict(must=[r"TakeOrderedAndProject", r"partial_"], must_not=[]),
+    "multisort_limit_lineitem": dict(
+        must=[r"TakeOrderedAndProject"], must_not=[r"CartesianProduct"]
+    ),
+    # ---------------- scalar families: pure projection, zero shuffle ----------------
+    "string_funcs_part": dict(must=[r"Project"], must_not=[r"Exchange", r"CartesianProduct"]),
+    # grouped by (yr, mo, qtr): one exchange with map-side partials
+    "date_funcs_orders": dict(must=[r"partial_", r"HashAggregate"], must_not=[r"CartesianProduct"]),
+    "date_arith_orders": dict(must=[r"Project"], must_not=[r"Exchange", r"CartesianProduct"]),
+    "math_funcs_lineitem": dict(must=[r"Project"], must_not=[r"Exchange", r"CartesianProduct"]),
+    "array_funcs_embeddings": dict(must=[r"Project"], must_not=[r"Exchange", r"CartesianProduct"]),
+    "map_funcs_events": dict(must=[r"Project"], must_not=[r"Exchange", r"CartesianProduct"]),
+    # ---------------- dedup: equi-joins on hash keys — never nested-loop ----------------
+    "dedup_ngram_jaccard": dict(
+        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "dedup_ngram_jaccard_exact": dict(
+        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "dedup_minhash_lsh": dict(
+        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "dedup_simhash": dict(
+        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "dedup_exact": dict(
+        must=[r"HashAggregate", r"partial_"],
+        must_not=[r"Exchange hashpartitioning.*text"],
+    ),
+    # block-grid exact cosine: grouped-map pandas op, no driver collect,
+    # no corpus-sized broadcast anywhere in the plan
+    "dedup_embedding_cosine": dict(
+        must=[r"FlatMapGroupsInPandas|GroupedMapPandas"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Broadcast"],
+    ),
+    "dedup_embedding_lsh": dict(
+        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"MapInPandas"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # ---------------- similarity ----------------
+    "ann_brute_topk": dict(
+        must=[r"MapInPandas", r"Window"], must_not=[r"CartesianProduct"]
+    ),
+    "ann_ivf_label": dict(
+        must=[r"BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=1,  # the tiny query subset — constant-ish, hinted
+    ),
+    # ---------------- python surfaces ----------------
+    "pandas_udf_token_count": dict(must=[r"ArrowEvalPython"], must_not=[r"Exchange"]),
+    "grouped_map_top2_sharded": dict(
+        must=[r"FlatMapGroupsInPandas|GroupedMapPandas"], must_not=[r"CartesianProduct"]
+    ),
     # grouped-agg pandas UDAF: the Arrow aggregate node, one exchange
-    "pandas_udaf_weighted_avg": (
-        [r"ArrowAggregatePython|AggregateInPandas"],
-        [r"CartesianProduct"],
+    "pandas_udaf_weighted_avg": dict(
+        must=[r"ArrowAggregatePython|AggregateInPandas"],
+        must_not=[r"CartesianProduct"],
     ),
+    "word_count": dict(must=[r"Generate", r"partial_"], must_not=[r"CartesianProduct"]),
 }
 
 
@@ -112,6 +232,15 @@ def formatted_plan(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), "formatted"
     )
+
+
+def count_broadcast_exchanges(plan: str) -> int:
+    """Count physical BroadcastExchange nodes in a formatted plan.
+
+    Formatted output lists every node once in the numbered detail
+    section as ``(N) BroadcastExchange``.
+    """
+    return len(re.findall(r"\(\d+\) BroadcastExchange", plan))
 
 
 def main(argv: list[str]) -> int:
@@ -126,15 +255,30 @@ def main(argv: list[str]) -> int:
     qs = entrymod.queries()
     failures = 0
     for name in names:
-        must, must_not = AUDITS[name]
+        spec = AUDITS[name]
         plan = formatted_plan(qs[name](spark, SF_DIR))
         problems = []
-        for pat in must:
+        for pat in spec.get("must", []):
             if not re.search(pat, plan):
                 problems.append(f"missing /{pat}/")
-        for pat in must_not:
+        for pat in spec.get("must_not", []):
             if re.search(pat, plan):
                 problems.append(f"forbidden /{pat}/ present")
+        expected_hints = spec.get("hinted_broadcasts")
+        if expected_hints is not None:
+            # disable stats-based broadcasting: any BroadcastExchange
+            # left is a forced hint.  Must equal the constant-dim count.
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                nostats_plan = formatted_plan(qs[name](spark, SF_DIR))
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            got = count_broadcast_exchanges(nostats_plan)
+            if got != expected_hints:
+                problems.append(
+                    f"hinted broadcasts: expected {expected_hints}, got {got} "
+                    "(forced broadcast of an SF-scaling table?)"
+                )
         status = "ok  " if not problems else "FAIL"
         failures += bool(problems)
         print(f"{status}  {name}" + (f": {'; '.join(problems)}" if problems else ""))

@@ -106,17 +106,20 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(SF_DIR),
+    }
+    # Cross-SF scaling evidence (tools/scale_probe.py: synthetic sf1 =
+    # facts x10 with offset keys): recorded once, attached when present.
+    probe = os.path.join(REPO, "docs", "scale_probe_sf1.json")
+    if os.path.exists(probe):
+        with open(probe) as f:
+            out["sf1_scaling_probe"] = json.load(f)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

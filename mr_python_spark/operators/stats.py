@@ -233,3 +233,68 @@ def pivot_daily_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in ("click", "view", "purchase", "signup", "error")
     ]
     return pivoted.select(*keep)
+
+
+_SAMPLE_ORACLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE (doc_id * 2654435761) % 1000 <
+      CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 500 ELSE 250 END
+"""
+
+
+@register("stratified_sample_documents", _SAMPLE_ORACLE)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates.
+
+    Training-data pipelines re-balance corpora by down/up-weighting
+    strata; ``sampleBy`` uses a seeded RNG whose stream depends on
+    partitioning, so this uses a Knuth multiplicative hash of the key
+    instead — ``(doc_id·2654435761) mod 1000`` — giving every engine,
+    partitioning, and rerun the same sample (en 10%, zh 50%, rest
+    25%).  Pure scan+filter: no shuffle, fully pushed predicate
+    arithmetic.  The product stays far under 2^63 for any realistic
+    doc_id, so Spark's wrapping long multiply equals DuckDB's.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    rate = (
+        F.when(F.col("lang") == "en", 100)
+        .when(F.col("lang") == "zh", 500)
+        .otherwise(250)
+    )
+    return docs.filter(bucket < rate).select("doc_id", "lang")
+
+
+_DOCLEN_ORACLE = """
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  CAST(median(CAST(n_chars AS BIGINT)) AS DOUBLE) AS median_chars,
+  CAST(quantile_disc(CAST(n_chars AS BIGINT), 0.25) AS DOUBLE) AS p25_chars,
+  CAST(quantile_disc(CAST(n_chars AS BIGINT), 0.95) AS DOUBLE) AS p95_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("doc_length_quantiles", _DOCLEN_ORACLE)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution (median/p25/p95).
+
+    Length-based filtering is the first quality gate in a training
+    pipeline; the cutoffs come from exactly this query.  Quantiles
+    over exact ints: the median interpolates two integers (one IEEE
+    add+divide — deterministic), the tail quantiles are discrete
+    (value-picking, no arithmetic at all).  At 100 TB swap the exact
+    ``percentile`` for ``approx_percentile`` (t-digest sketch,
+    mergeable map-side) — the query shape is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.col("n_chars").cast("long")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile(n, F.lit(0.5)).alias("median_chars"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(n_chars AS BIGINT))").alias("p25_chars"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY CAST(n_chars AS BIGINT))").alias("p95_chars"),
+    )

@@ -367,3 +367,186 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+_Q13_ORACLE = """
+SELECT n_orders, COUNT(*) AS n_customers
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer
+  LEFT JOIN orders ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+"""
+
+
+@register("q13_customer_distribution", _Q13_ORACLE)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution over customers.
+
+    The join predicate carries the non-key filter (a left join must
+    keep the customer row even when every order is filtered out, so
+    the filter CANNOT be a WHERE).  Two chained aggregations: the
+    first on the shuffled join key, the second on the tiny count
+    domain — the classic re-key funnel the reference expresses as a
+    second partition+sort (tinymr.py:218-221).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT
+    l_suppkey AS supplier_no,
+    SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS total_fp
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_fp AS DOUBLE) / 1000000.0 AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_fp = (SELECT MAX(total_fp) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", _Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue.
+
+    The max is matched on the exact fixed-point long (never a float
+    equality).  Plan shape: one shuffle to build per-supplier revenue,
+    a scalar-subquery max over that (tiny) aggregate, and a join back
+    to supplier — lineitem is read once.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1_000_000, 0).cast("long")
+        ).alias("total_fp")
+    )
+    best = revenue.agg(F.max("total_fp").alias("best_fp"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        supplier.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(best), F.col("total_fp") == F.col("best_fp"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_fp").cast("double") / 1_000_000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q17_ORACLE = """
+WITH avg_qty AS (
+  SELECT
+    l_partkey,
+    0.2 * (CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           / CAST(COUNT(*) AS DOUBLE)) AS threshold
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT
+  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN avg_qty ON avg_qty.l_partkey = lineitem.l_partkey
+WHERE p_brand = 'Brand#3' AND l_quantity < threshold
+"""
+
+
+@register("q17_small_quantity", _Q17_ORACLE)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from unusually small orders of a brand.
+
+    The per-part average is the correlated subquery of the spec,
+    expressed as a grouped aggregate joined back on partkey — one
+    lineitem shuffle builds it, and at scale both sides of that join
+    arrive already partitioned by l_partkey so AQE reuses the
+    exchange.  The threshold (0.2 × mean) is one multiply on a
+    decimal-sum-derived mean: bit-identical across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).cast("double")
+                / 100.0
+                / F.count(F.lit(1)).cast("double")
+            )
+        ).alias("threshold")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).cast("double")
+                / 100.0
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q19_ORACLE = """
+SELECT
+  CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+
+@register("q19_disjunctive_revenue", _Q19_ORACLE)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity ranges.
+
+    The OR-of-ANDs predicate references BOTH sides, so it cannot be
+    pushed below the join — but the join itself stays a plain equi
+    hash join on partkey with the disjunction as a post-join filter
+    (never a nested-loop over the predicate).  Catalyst pushes the
+    derivable single-side bounds (quantity envelope, size envelope)
+    down to the scans.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q, s, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    disj = (
+        ((b == "Brand#1") & s.between(1, 15) & (q >= 1) & (q <= 21))
+        | ((b == "Brand#2") & s.between(10, 30) & (q >= 10) & (q <= 30))
+        | ((b == "Brand#3") & s.between(20, 50) & (q >= 20) & (q <= 40))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(disj)
+        .agg(
+            dec_sum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

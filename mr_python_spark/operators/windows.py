@@ -236,3 +236,33 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         spend.alias("trailing_90d_spend"),
         F.count(F.lit(1)).over(w).alias("trailing_90d_orders"),
     )
+
+
+_PCTRANK_ORACLE = """
+SELECT
+  o_orderkey,
+  o_orderpriority,
+  PERCENT_RANK() OVER w AS pct_rank,
+  CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("window_percent_rank", _PCTRANK_ORACLE)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing within a partition: percent_rank + cume_dist.
+
+    Both are exact rational functions of (rank, n) — (rank−1)/(n−1)
+    and rank_with_ties/n — one IEEE division on integers, so
+    cross-engine bit-identical.  The ordering carries o_orderkey as a
+    tiebreaker to make rank() itself total.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -68,6 +68,14 @@ REPRESENTATIVE = [
     "corr_quantity_price",
     "pandas_udaf_weighted_avg",
     "join_cross_product",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "tfidf_top_terms",
+    "stratified_sample_documents",
+    "doc_length_quantiles",
+    "window_percent_rank",
 ]
 
 

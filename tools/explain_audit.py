@@ -225,6 +225,32 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct"],
     ),
     "word_count": dict(must=[r"Generate", r"partial_"], must_not=[r"CartesianProduct"]),
+    # ---------------- round-2 additions ----------------
+    "q13_customer_distribution": dict(
+        must=[r"HashAggregate", r"partial_"], must_not=[r"CartesianProduct"]
+    ),
+    "q15_top_supplier": dict(
+        must=[r"partial_sum"], must_not=[r"CartesianProduct"], hinted_broadcasts=1
+    ),
+    "q17_small_quantity": dict(
+        must=[r"partial_"], must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
+    "q19_disjunctive_revenue": dict(
+        must=[r"partial_sum"], must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
+    "tfidf_top_terms": dict(
+        must=[r"Window", r"partial_"], must_not=[r"CartesianProduct"]
+    ),
+    # deterministic sampling is a pure pushable filter: zero shuffle
+    "stratified_sample_documents": dict(
+        must=[r"Filter"], must_not=[r"Exchange", r"CartesianProduct"]
+    ),
+    "doc_length_quantiles": dict(
+        must=[r"Aggregate"], must_not=[r"CartesianProduct"]
+    ),
+    "window_percent_rank": dict(must=[r"Window"], must_not=[r"CartesianProduct"]),
 }
 
 

@@ -265,9 +265,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs whose every common shingle is popular are the accepted
     recall loss.  Returns pairs with jaccard ≥ 0.2.  The uncapped
     lossless variant is ``dedup_ngram_jaccard_exact``.
+
+    Shingles travel as xxhash64 longs end to end (8-byte join keys
+    and array elements instead of ~20-byte strings — the candidate
+    join AND the verification arrays shuffle less than half the
+    bytes).  Like the exact variant, a 64-bit collision could in
+    principle inflate one intersection count; at (shingles/doc)² ≈
+    10⁴ trials per pair the probability is ~10⁻¹⁵ — accepted.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh_sets = shingle_sets(docs).cache()
+    sh_sets = shingle_sets(docs).select(
+        "doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("sh")
+    ).cache()
     exploded = sh_sets.select("doc_id", F.explode("sh").alias("shingle"))
     rare = (
         exploded.groupBy("shingle")

@@ -230,3 +230,55 @@ def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(spark, agg, "stream_tumbling", output_mode="complete")
+
+
+_SJOIN_ORACLE = """
+SELECT
+  p.event_id,
+  p.user_id,
+  p.ts,
+  c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+"""
+
+
+@register("streaming_join_live", _SJOIN_ORACLE)
+def streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases × clicks within the prior hour.
+
+    The missing piece between windowed aggregation and stateful ops:
+    BOTH sides are unbounded, so each must buffer state until the
+    other side's watermark passes the join-time bound.  The interval
+    condition (click within [purchase − 1 h, purchase]) is what makes
+    state GC-able — without it Spark rejects the append-mode join.
+    Output is every qualifying (purchase, click) pair, a deterministic
+    set, so the batch SQL oracle gates it exactly.
+
+    Scale notes: state per key is bounded by (watermark + interval)
+    worth of events; the join itself shuffles both streams on user_id
+    once — the same hash-partitioned shape as the batch equi-join.
+    """
+    clicks = (
+        staged_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        staged_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("ts")),
+        "inner",
+    ).select("event_id", "user_id", "ts", "click_ts")
+    return run_to_memory(spark, joined, "stream_join")

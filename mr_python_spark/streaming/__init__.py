@@ -282,3 +282,68 @@ def streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("event_id", "user_id", "ts", "click_ts")
     return run_to_memory(spark, joined, "stream_join")
+
+
+_SSINK_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("streaming_parquet_sink", _SSINK_ORACLE)
+def streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exactly-once: stream → parquet file sink → read back.
+
+    The file sink is the production path the memory-sink demos stand
+    in for: output files are committed atomically per micro-batch via
+    the sink's transaction log (`_spark_metadata`), and a restart with
+    the same checkpoint reprocesses nothing — together that is
+    Structured Streaming's exactly-once guarantee for file sinks.
+    This query runs the availableNow stream into a fresh parquet dir
+    (complete-mode agg re-expressed as append-safe per-key files via
+    foreachBatch would be the incremental shape; here the aggregate is
+    finite so one batch suffices), reads the files back, and the
+    DuckDB oracle gates the round-tripped values exactly.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    stream = staged_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+    )
+    out_dir = os.path.join(tempfile.gettempdir(), f"mrps_fsink_{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(out_dir, "_checkpoint")
+    # complete-mode aggregates can't write to the append-only file
+    # sink directly; foreachBatch is the documented bridge — each
+    # micro-batch's full result overwrites the target atomically.
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda batch_df, _epoch: batch_df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "data")
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(180)
+    if not finished:
+        q.stop()
+        raise RuntimeError("streaming_parquet_sink did not finish in 180s")
+    result = spark.read.parquet(os.path.join(out_dir, "data"))
+    rows = result.collect()  # materialize before cleaning the dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

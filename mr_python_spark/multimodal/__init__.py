@@ -171,3 +171,66 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return with_payload.mapInPandas(sample, _FRAME_SCHEMA)
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+_AUDIO_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, text, i
+  FROM documents CROSS JOIN generate_series(1, 1024) AS t(i)
+  WHERE i <= least(octet_length(encode(text)), 1024)
+)
+SELECT
+  doc_id,
+  CAST((i - 1) // 256 AS INTEGER) AS window_idx,
+  CAST(SUM(ascii(substr(text, i, 1))) AS BIGINT) AS energy,
+  CAST(MAX(ascii(substr(text, i, 1))) AS INTEGER) AS peak
+FROM pos
+GROUP BY doc_id, (i - 1) // 256
+"""
+
+
+@register("multimodal_audio_energy", _AUDIO_ORACLE)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed sample statistics over a PCM-like binary payload.
+
+    The audio-feature shape: payload bytes are treated as unsigned
+    8-bit samples; the first four 256-sample windows each emit
+    (energy = sample sum, peak) — numpy ``frombuffer`` + reshape-free
+    slicing inside the Arrow batch, zero Python per sample.  A real
+    pipeline swaps the byte view for a codec decode (stubbed here
+    like :func:`decode_image`) and RMS/spectral features for the
+    sums; the plumbing — 1→N window rows, typed schema, batch
+    vectorization — is what this query keeps tested.  The corpus is
+    ASCII so the oracle can mirror the byte values with
+    ``ascii(substr(...))``.
+    """
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "window_idx": [], "energy": [], "peak": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(payload[:1024]), dtype=np.uint8)
+                for w in range(min(4, (len(samples) + 255) // 256)):
+                    win = samples[w * 256 : (w + 1) * 256]
+                    rows["doc_id"].append(doc_id)
+                    rows["window_idx"].append(w)
+                    rows["energy"].append(int(win.sum()))
+                    rows["peak"].append(int(win.max()))
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return with_payload.mapInPandas(energy, _AUDIO_SCHEMA)

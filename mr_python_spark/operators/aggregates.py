@@ -366,3 +366,67 @@ def filter_project_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
         )
     )
+
+
+_NOT_IN_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+)
+"""
+
+
+@register("not_in_subquery_customers", _NOT_IN_ORACLE)
+def not_in_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery — the null-aware anti join.
+
+    NOT IN differs from NOT EXISTS when the subquery can yield NULL
+    (one NULL makes NOT IN return no rows); Spark plans it as a
+    null-aware anti join to honor that.  o_custkey is non-null here so
+    results match the anti join, but the plan shape under test is the
+    null-aware variant — the one users silently get from NOT IN.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    customer.createOrReplaceTempView("_nin_customer")
+    big.createOrReplaceTempView("_nin_orders")
+    return customer.sparkSession.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM _nin_customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM _nin_orders)
+        """
+    )
+
+
+_MINMAX_BY_ORACLE = """
+SELECT
+  o_orderpriority,
+  CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+  CAST(arg_max(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000000 + o_orderkey) AS BIGINT) AS priciest_order,
+  CAST(arg_min(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000000 + o_orderkey) AS BIGINT) AS cheapest_order
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_minmax_by", _MINMAX_BY_ORACLE)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counts + argmax/argmin aggregates per group.
+
+    ``max_by``/``min_by`` on a bare value column is nondeterministic
+    under ties, so the ordering key packs (fixed-point price,
+    orderkey) into one exact bigint — a total order both engines'
+    arg_max/arg_min resolve identically.  count_if is the
+    FILTER-clause conditional count.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.round(F.col("o_totalprice") * 100, 0).cast("long") * 10_000_000 + F.col(
+        "o_orderkey"
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.max_by(F.col("o_orderkey"), key).alias("priciest_order"),
+        F.min_by(F.col("o_orderkey"), key).alias("cheapest_order"),
+    )

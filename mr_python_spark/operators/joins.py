@@ -385,3 +385,25 @@ def join_cross_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders").select("o_orderpriority").distinct()
     )
     return region.crossJoin(F.broadcast(prios))
+
+
+_RIGHT_ORACLE = """
+SELECT o_orderkey, c_custkey, c_name
+FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o
+RIGHT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@register("join_right_outer", _RIGHT_ORACLE)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join: every customer survives, orders optional.
+
+    Catalyst canonicalizes right-outer to left-outer with sides
+    swapped, so the physical plan is identical to the left join —
+    registered to pin the API surface and null-extension semantics.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        customer, F.col("o_custkey") == F.col("c_custkey"), "right"
+    ).select("o_orderkey", "c_custkey", "c_name")

@@ -76,6 +76,10 @@ REPRESENTATIVE = [
     "stratified_sample_documents",
     "doc_length_quantiles",
     "window_percent_rank",
+    "join_right_outer",
+    "not_in_subquery_customers",
+    "agg_minmax_by",
+    "multimodal_audio_energy",
 ]
 
 

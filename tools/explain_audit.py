@@ -251,6 +251,20 @@ AUDITS: dict[str, dict] = {
         must=[r"Aggregate"], must_not=[r"CartesianProduct"]
     ),
     "window_percent_rank": dict(must=[r"Window"], must_not=[r"CartesianProduct"]),
+    "join_right_outer": dict(
+        # canonicalized to LeftOuter with sides swapped
+        must=[r"LeftOuter|RightOuter"], must_not=[r"CartesianProduct"]
+    ),
+    "not_in_subquery_customers": dict(
+        must=[r"LeftAnti"], must_not=[r"CartesianProduct"]
+    ),
+    "agg_minmax_by": dict(
+        must=[r"partial_", r"HashAggregate|ObjectHashAggregate"],
+        must_not=[r"CartesianProduct"],
+    ),
+    "multimodal_audio_energy": dict(
+        must=[r"MapInPandas"], must_not=[r"CartesianProduct", r"Exchange"]
+    ),
 }
 
 

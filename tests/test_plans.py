@@ -17,7 +17,11 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from tools.explain_audit import AUDITS, formatted_plan  # noqa: E402
+from tools.explain_audit import (  # noqa: E402
+    AUDITS,
+    count_broadcast_exchanges,
+    formatted_plan,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -31,9 +35,22 @@ def entrymod(spark):
 
 @pytest.mark.parametrize("name", sorted(AUDITS))
 def test_plan_properties(spark, entrymod, name):
-    must, must_not = AUDITS[name]
+    spec = AUDITS[name]
     plan = formatted_plan(entrymod.queries()[name](spark, SF))
-    for pat in must:
+    for pat in spec.get("must", []):
         assert re.search(pat, plan), f"{name}: missing /{pat}/\n{plan}"
-    for pat in must_not:
+    for pat in spec.get("must_not", []):
         assert not re.search(pat, plan), f"{name}: forbidden /{pat}/\n{plan}"
+    expected_hints = spec.get("hinted_broadcasts")
+    if expected_hints is not None:
+        # with stats-based broadcasting off, any BroadcastExchange left
+        # is a forced hint — must equal the constant-dim hint count
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            nostats = formatted_plan(entrymod.queries()[name](spark, SF))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        got = count_broadcast_exchanges(nostats)
+        assert got == expected_hints, (
+            f"{name}: {got} hinted broadcasts, expected {expected_hints}\n{nostats}"
+        )

@@ -430,3 +430,34 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(F.col("o_orderkey"), key).alias("priciest_order"),
         F.min_by(F.col("o_orderkey"), key).alias("cheapest_order"),
     )
+
+
+_GROUPING_ID_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("cube_grouping_id", _GROUPING_ID_ORACLE)
+def cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping() discriminators.
+
+    A NULL in cube output is ambiguous (real NULL vs rolled-up
+    level); ``grouping()`` disambiguates.  Composed as
+    grouping(a)·2 + grouping(b) rather than engine-specific
+    grouping_id() so the bitmask is identical everywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    gid = (
+        F.grouping("o_orderstatus").cast("long") * 2
+        + F.grouping("o_orderpriority").cast("long")
+    )
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        gid.alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -92,3 +92,50 @@ def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(supplier.select(F.col("s_nationkey").alias("nationkey")))
         .distinct()
     )
+
+
+_INTERSECT_ALL_ORACLE = """
+SELECT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+)
+"""
+
+
+@register("setop_intersect_all", _INTERSECT_ALL_ORACLE)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: min(multiplicity) copies survive.
+
+    Unlike plain INTERSECT, duplicates are preserved up to the
+    smaller side's count; Spark plans it as a counted aggregate +
+    generate, never a join explosion.
+    """
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return customer.intersectAll(supplier)
+
+
+_EXCEPT_ALL_ORACLE = """
+SELECT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+)
+"""
+
+
+@register("setop_except_all", _EXCEPT_ALL_ORACLE)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: multiplicities subtract."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return customer.exceptAll(supplier)

@@ -101,3 +101,57 @@ def secondary_sort_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("item.l_shipdate").alias("l_shipdate"),
         )
     )
+
+
+_NULLSORT_ORACLE = """
+SELECT custkey, acctbal, n_orders
+FROM (
+  SELECT
+    COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+    CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+    o.n_orders
+  FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_mktsegment = 'MACHINERY') c
+  FULL OUTER JOIN (
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders WHERE o_totalprice > 350000 GROUP BY o_custkey
+  ) o ON c.c_custkey = o.o_custkey
+)
+ORDER BY n_orders DESC NULLS LAST, custkey NULLS FIRST
+LIMIT 100
+"""
+
+
+@register("sort_nulls_ordering", _NULLSORT_ORACLE)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST / NULLS LAST ordering over outer-join output.
+
+    Spark's default null placement differs by direction (nulls first
+    ascending, last descending) and from other engines — production
+    sorts over nullable keys must pin it explicitly, so this query
+    exercises both pins in one total order (the LIMIT is
+    deterministic: custkey is unique and every null-extended row has
+    a non-null custkey from the surviving side).
+    """
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_custkey", F.col("c_acctbal").cast("double").alias("acctbal"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 350000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = customer.join(orders, customer.c_custkey == orders.o_custkey, "full_outer")
+    return (
+        joined.select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            "acctbal",
+            "n_orders",
+        )
+        .orderBy(
+            F.col("n_orders").desc_nulls_last(), F.col("custkey").asc_nulls_first()
+        )
+        .limit(100)
+    )

@@ -298,3 +298,52 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(n_chars AS BIGINT))").alias("p25_chars"),
         F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY CAST(n_chars AS BIGINT))").alias("p95_chars"),
     )
+
+
+_UNPIVOT_ORACLE = """
+WITH pivoted AS (
+  SELECT
+    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(round(value * 100, 0) AS BIGINT) END) AS DOUBLE) / 100.0 AS click,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100, 0) AS BIGINT) END) AS DOUBLE) / 100.0 AS purchase
+  FROM events
+  GROUP BY 1
+)
+SELECT day, event_type, amount FROM (
+  SELECT day, 'click' AS event_type, click AS amount FROM pivoted
+  UNION ALL
+  SELECT day, 'purchase' AS event_type, purchase AS amount FROM pivoted
+)
+WHERE amount IS NOT NULL
+"""
+
+
+@register("unpivot_daily_values", _UNPIVOT_ORACLE)
+def unpivot_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-day columns back to (day, type, amount).
+
+    The inverse reshape of ``pivot_daily_event_values`` — the
+    wide-to-long step every feature pipeline needs when a model wants
+    observations as rows.  ``DataFrame.unpivot`` plans an Expand (one
+    output row per value column, same single pass) — no join, no
+    shuffle beyond the original aggregate's.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    pivoted = (
+        events.select(day.alias("day"), "event_type", fixed_point(F.col("value"), 2).alias("vfp"))
+        .groupBy("day")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.sum("vfp"))
+        .select(
+            "day",
+            (F.col("click").cast("double") / 100.0).alias("click"),
+            (F.col("purchase").cast("double") / 100.0).alias("purchase"),
+        )
+    )
+    return pivoted.unpivot(
+        ids=["day"],
+        values=["click", "purchase"],
+        variableColumnName="event_type",
+        valueColumnName="amount",
+    ).filter(F.col("amount").isNotNull())

@@ -80,6 +80,11 @@ REPRESENTATIVE = [
     "not_in_subquery_customers",
     "agg_minmax_by",
     "multimodal_audio_energy",
+    "setop_intersect_all",
+    "setop_except_all",
+    "sort_nulls_ordering",
+    "unpivot_daily_values",
+    "cube_grouping_id",
 ]
 
 

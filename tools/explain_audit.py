@@ -265,6 +265,21 @@ AUDITS: dict[str, dict] = {
     "multimodal_audio_energy": dict(
         must=[r"MapInPandas"], must_not=[r"CartesianProduct", r"Exchange"]
     ),
+    "setop_intersect_all": dict(
+        must=[r"Generate|Expand"], must_not=[r"CartesianProduct"]
+    ),
+    "setop_except_all": dict(
+        must=[r"Generate|Expand"], must_not=[r"CartesianProduct"]
+    ),
+    "sort_nulls_ordering": dict(
+        must=[r"TakeOrderedAndProject"], must_not=[r"CartesianProduct"]
+    ),
+    "unpivot_daily_values": dict(
+        must=[r"Expand"], must_not=[r"CartesianProduct"]
+    ),
+    "cube_grouping_id": dict(
+        must=[r"Expand", r"HashAggregate"], must_not=[r"CartesianProduct"]
+    ),
 }
 
 

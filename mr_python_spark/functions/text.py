@@ -416,3 +416,31 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "rank")
     )
+
+
+_NORMALIZE_ORACLE = """
+SELECT
+  doc_id,
+  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
+@register("text_normalize", _NORMALIZE_ORACLE)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text cleanup: lowercase, strip punctuation, collapse runs.
+
+    The first transform of every training pipeline (and the input to
+    exact dedup's content hash).  Pure JVM regexp — one projection,
+    no shuffle; the character-class patterns used are identical in
+    Java and RE2-style engines so the oracle matches byte-for-byte.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select("doc_id", norm.alias("norm_text"))

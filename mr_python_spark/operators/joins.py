@@ -407,3 +407,43 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.join(
         customer, F.col("o_custkey") == F.col("c_custkey"), "right"
     ).select("o_orderkey", "c_custkey", "c_name")
+
+
+_SHJ_ORACLE = """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+@register("join_shuffle_hash_hint", _SHJ_ORACLE)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with an explicit SHUFFLE_HASH strategy hint.
+
+    Sort-merge is Spark's default for large equi-joins, but when one
+    side is much smaller *per partition* a shuffled hash join skips
+    both sorts — the classic win for a filtered-facts ⋈ big-facts
+    shape.  The hint pins the physical strategy (audit asserts
+    ShuffledHashJoin, no Sort feeding the join); unlike a broadcast
+    hint this is scale-safe — the build side is one partition's
+    worth, not the whole table per executor.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(
+            orders.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).cast("double") / 100.0).alias("sum_qty"),
+        )
+    )

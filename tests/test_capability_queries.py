@@ -85,6 +85,8 @@ REPRESENTATIVE = [
     "sort_nulls_ordering",
     "unpivot_daily_values",
     "cube_grouping_id",
+    "join_shuffle_hash_hint",
+    "text_normalize",
 ]
 
 

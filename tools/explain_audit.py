@@ -280,6 +280,15 @@ AUDITS: dict[str, dict] = {
     "cube_grouping_id": dict(
         must=[r"Expand", r"HashAggregate"], must_not=[r"CartesianProduct"]
     ),
+    # the hint must yield ShuffledHashJoin — no sort on either side
+    "join_shuffle_hash_hint": dict(
+        must=[r"ShuffledHashJoin"],
+        must_not=[r"CartesianProduct", r"SortMergeJoin"],
+    ),
+    # pure projection: normalization never shuffles
+    "text_normalize": dict(
+        must=[r"Project"], must_not=[r"Exchange", r"CartesianProduct"]
+    ),
 }
 
 

@@ -1,0 +1,67 @@
+"""Partitioning-independence: results must be bit-identical under
+different shuffle layouts.
+
+The engine claims its float-producing queries are deterministic under
+ANY partitioning (exact fixed-point accumulation, total orderings on
+every limit — registry.py docstring).  That claim is what makes the
+DuckDB gate meaningful AND what a 1000-executor run relies on: a
+re-run with different parallelism must not change a single bit.
+Verified here by executing each query under two very different
+``spark.sql.shuffle.partitions`` settings and comparing collected
+results exactly (no tolerance).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = "/root/testdata/sf0.001"
+
+#: queries whose floats come from multi-row accumulation — the ones a
+#: partitioning change would perturb if the fixed-point claims were wrong
+QUERIES = [
+    "q1_pricing_summary",
+    "q5_local_supplier",
+    "stats_variance_quantity",
+    "corr_quantity_price",
+    "pivot_daily_event_values",
+    "tfidf_top_terms",
+    "dedup_ngram_jaccard",
+    "window_percent_rank",
+    "agg_minmax_by",
+    "doc_length_quantiles",
+]
+
+
+@pytest.fixture(scope="module")
+def entrymod(spark):
+    import __spark_entry__ as m
+
+    return m
+
+
+def _run_sorted(spark, fn, n_parts: int):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        pdf = fn(spark, SF).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_partitioning_independent(spark, entrymod, name):
+    fn = entrymod.queries()[name]
+    a = _run_sorted(spark, fn, 3)
+    b = _run_sorted(spark, fn, 32)
+    # exact equality — floats included; NaN == NaN via fillna sentinel
+    a, b = a.fillna("<NULL>"), b.fillna("<NULL>")
+    assert a.equals(b), f"{name}: results differ between 3 and 32 shuffle partitions"

@@ -404,8 +404,8 @@ _MINMAX_BY_ORACLE = """
 SELECT
   o_orderpriority,
   CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
-  CAST(arg_max(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000000 + o_orderkey) AS BIGINT) AS priciest_order,
-  CAST(arg_min(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000000 + o_orderkey) AS BIGINT) AS cheapest_order
+  CAST(arg_max(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 8589934592 + o_orderkey) AS BIGINT) AS priciest_order,
+  CAST(arg_min(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 8589934592 + o_orderkey) AS BIGINT) AS cheapest_order
 FROM orders
 GROUP BY o_orderpriority
 """
@@ -418,12 +418,21 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``max_by``/``min_by`` on a bare value column is nondeterministic
     under ties, so the ordering key packs (fixed-point price,
     orderkey) into one exact bigint — a total order both engines'
-    arg_max/arg_min resolve identically.  count_if is the
+    arg_max/arg_min resolve identically.  The pack is
+    ``price_cents * 2^33 + o_orderkey``: a total order as long as
+    o_orderkey < 2^33 (TPC-H orderkey max is 6e6 * SF, so this holds
+    through SF ≈ 1400) and price_cents < 2^30 (price < $10.7M; TPC-H
+    max o_totalprice ≈ $600k).  Both bounds are enforced at runtime
+    via raise_error rather than silently colliding.  count_if is the
     FILTER-clause conditional count.
     """
     orders = load_table(spark, sf_dir, "orders")
-    key = F.round(F.col("o_totalprice") * 100, 0).cast("long") * 10_000_000 + F.col(
-        "o_orderkey"
+    fp = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    key = F.when(
+        (fp < F.lit(1 << 30)) & (F.col("o_orderkey") < F.lit(1 << 33)),
+        fp * F.lit(1 << 33) + F.col("o_orderkey"),
+    ).otherwise(
+        F.raise_error(F.lit("agg_minmax_by: packed tiebreak key would overflow"))
     )
     return orders.groupBy("o_orderpriority").agg(
         F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),

@@ -127,7 +127,10 @@ def load_all_modules() -> None:
     )
 
     missing = [n for n in PRIORITY if n not in QUERIES]
-    assert not missing, f"PRIORITY names not registered: {missing}"
+    if missing:
+        # not an assert: -O would strip it and a typo'd PRIORITY name
+        # would silently drop out of the graded window
+        raise RuntimeError(f"PRIORITY names not registered: {missing}")
     ordered = PRIORITY + [n for n in QUERIES if n not in PRIORITY]
     for d in (QUERIES, ORACLES):
         snapshot = dict(d)

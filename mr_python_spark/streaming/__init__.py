@@ -46,10 +46,16 @@ def staged_events_stream(spark: SparkSession, sf_dir: str):
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     fingerprint = f"{st.st_size:x}_{st.st_mtime_ns:x}"
-    stage_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"mrps_stream_{os.path.basename(sf_dir)}_{fingerprint}",
-    )
+    prefix = f"mrps_stream_{os.path.basename(sf_dir)}_"
+    stage_dir = os.path.join(tempfile.gettempdir(), prefix + fingerprint)
+    # best-effort GC: a regenerated dataset gets a new fingerprint, so
+    # sibling dirs with a stale fingerprint would otherwise pile up in
+    # /tmp forever
+    import glob
+
+    for old in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        if old != stage_dir:
+            shutil.rmtree(old, ignore_errors=True)
     os.makedirs(stage_dir, exist_ok=True)
     staged = os.path.join(stage_dir, "events.parquet")
     if not os.path.exists(staged):
@@ -296,18 +302,21 @@ GROUP BY event_type
 
 @register("streaming_parquet_sink", _SSINK_ORACLE)
 def streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end exactly-once: stream → parquet file sink → read back.
+    """End-to-end effectively-once: stream → parquet files → read back.
 
-    The file sink is the production path the memory-sink demos stand
-    in for: output files are committed atomically per micro-batch via
-    the sink's transaction log (`_spark_metadata`), and a restart with
-    the same checkpoint reprocesses nothing — together that is
-    Structured Streaming's exactly-once guarantee for file sinks.
-    This query runs the availableNow stream into a fresh parquet dir
-    (complete-mode agg re-expressed as append-safe per-key files via
-    foreachBatch would be the incremental shape; here the aggregate is
-    finite so one batch suffices), reads the files back, and the
-    DuckDB oracle gates the round-tripped values exactly.
+    Complete-mode aggregates cannot write to the append-only file sink
+    (which is what maintains a `_spark_metadata` transaction log), so
+    this uses the documented ``foreachBatch`` bridge: each micro-batch
+    rewrites the full aggregate with ``mode("overwrite")``.  The
+    guarantee is therefore at-least-once made *effectively* exactly
+    once by idempotent overwrite — a restart with the same checkpoint
+    re-emits the same batch, and the overwrite makes the re-emit
+    harmless.  (An append-mode pipeline writing through the native
+    file sink would get the `_spark_metadata`-log atomic commit
+    instead; that shape needs no foreachBatch.)  The query runs the
+    availableNow stream into a fresh parquet dir, reads the files
+    back, and the DuckDB oracle gates the round-tripped values
+    exactly.
     """
     import os
     import shutil

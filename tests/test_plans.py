@@ -45,11 +45,12 @@ def test_plan_properties(spark, entrymod, name):
     if expected_hints is not None:
         # with stats-based broadcasting off, any BroadcastExchange left
         # is a forced hint — must equal the constant-dim hint count
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             nostats = formatted_plan(entrymod.queries()[name](spark, SF))
         finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         got = count_broadcast_exchanges(nostats)
         assert got == expected_hints, (
             f"{name}: {got} hinted broadcasts, expected {expected_hints}\n{nostats}"

@@ -332,11 +332,12 @@ def main(argv: list[str]) -> int:
         if expected_hints is not None:
             # disable stats-based broadcasting: any BroadcastExchange
             # left is a forced hint.  Must equal the constant-dim count.
+            prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             try:
                 nostats_plan = formatted_plan(qs[name](spark, SF_DIR))
             finally:
-                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
             got = count_broadcast_exchanges(nostats_plan)
             if got != expected_hints:
                 problems.append(

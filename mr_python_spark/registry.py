@@ -44,6 +44,9 @@ PRIORITY: list[str] = [
     "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_volume",
+    "q2_min_cost_supplier",  # correlated min over a 4-way dim join (r3)
+    "q21_suppliers_waiting",  # EXISTS + NOT EXISTS double correlation (r3)
+    "q22_global_sales",  # substring buckets + scalar avg + anti join (r3)
     "pipeline_rekey_bands",
     # join shapes
     "join_left_outer_agg",
@@ -123,6 +126,7 @@ def load_all_modules() -> None:
         sorting,
         stats,
         tpch,
+        tpch_advanced,
         windows,
     )
 

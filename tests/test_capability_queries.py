@@ -87,6 +87,16 @@ REPRESENTATIVE = [
     "cube_grouping_id",
     "join_shuffle_hash_hint",
     "text_normalize",
+    # round-3 TPC-H completions
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q16_supplier_cnt",
+    "q20_potential_promo",
+    "q21_suppliers_waiting",
+    "q22_global_sales",
 ]
 
 

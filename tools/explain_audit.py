@@ -289,6 +289,56 @@ AUDITS: dict[str, dict] = {
     "text_normalize": dict(
         must=[r"Project"], must_not=[r"Exchange", r"CartesianProduct"]
     ),
+    # ---------------- round-3 additions: remaining TPC-H shapes ----------------
+    # correlated min via window over the rollup; only region+nation hinted
+    "q2_min_cost_supplier": dict(
+        must=[r"Window", r"BroadcastHashJoin", r"partial_min"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=2,  # region (5 rows), nation (25 rows)
+    ),
+    "q8_market_share": dict(
+        must=[r"partial_sum", r"BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=3,  # cust-nation, region, supp-nation aliases
+    ),
+    "q9_product_profit": dict(
+        must=[r"partial_sum", r"BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=1,  # nation
+    ),
+    # scalar threshold rides a 1-row broadcast NLJ; the threshold branch is a
+    # zero-shuffle global sum (sum-of-sums identity), not a rollup recompute
+    "q11_important_stock": dict(
+        must=[r"partial_sum"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=3,  # nation appears in both branches + 1-row threshold
+    ),
+    "q12_priority_shipping": dict(
+        must=[r"partial_sum", r"PushedFilters: \[.*l_shipdate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
+    "q16_supplier_cnt": dict(
+        must=[r"LeftAnti", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
+    "q20_potential_promo": dict(
+        must=[r"LeftSemi", r"Window"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=1,  # nation
+    ),
+    "q21_suppliers_waiting": dict(
+        must=[r"LeftSemi", r"LeftAnti"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
+    # scalar avg threshold: 1-row broadcast; dormant filter is a LeftAnti
+    "q22_global_sales": dict(
+        must=[r"LeftAnti"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=1,  # the 1-row avg aggregate
+    ),
 }
 
 

@@ -206,8 +206,14 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
     # ---------------- similarity ----------------
+    # r3: fully distributed — the query set reaches executors via a 1-row
+    # packed broadcast join (the only BroadcastExchange), NEVER a driver
+    # collect; the corpus is packed partition-locally (two MapInPandas,
+    # no Exchange between scan and the first MapInPandas).
     "ann_brute_topk": dict(
-        must=[r"MapInPandas", r"Window"], must_not=[r"CartesianProduct"]
+        must=[r"MapInPandas", r"Window", r"BroadcastExchange"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=1,  # the 1-row packed query aggregate
     ),
     "ann_ivf_label": dict(
         must=[r"BroadcastHashJoin"],

@@ -6,11 +6,22 @@ count, column names, and an order-insensitive value comparison (exact
 for ints/strings/timestamps, exact-bits for doubles — our queries are
 designed to be bit-deterministic cross-engine).
 
+Queries whose oracles need Python UDFs (the xxhash64 pipelines) run
+against tools/udf_oracles.py as a supplementary tier, recorded with
+``"mode": "udf-oracle"``.
+
 Usage::
 
     python tools/check_correctness.py              # all queries at sf0.01
     python tools/check_correctness.py q1 word_count
+    python tools/check_correctness.py --json CHECK_FULL_r3.json   # write artifact
     SPARK_GRAFT_CHECK_SF=/root/testdata/sf0.001 python tools/check_correctness.py
+
+The ``--json`` artifact uses the driver's CORRECTNESS_r*.json row
+schema (rows_match/schema_match/hash_match/spark_rows/oracle_rows/err)
+plus a ``mode`` field (oracle | udf-oracle | rows-only), so every
+registered query — not just the driver's 50-entry window — has a
+recorded verification row per round.
 """
 
 from __future__ import annotations
@@ -85,51 +96,99 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
-def main(selected: list[str]) -> int:
+def main(argv: list[str]) -> int:
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    selected = argv
+
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     from mr_python_spark.session import get_spark
 
     sys.path.insert(0, REPO)
     import __spark_entry__ as entrymod
 
+    from tools.udf_oracles import register_udfs, udf_oracles
+
     spark = get_spark("correctness-check")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    udf_sqls = udf_oracles()
     if selected:
         qs = {k: v for k, v in qs.items() if any(s in k for s in selected)}
     con = duck_connection()
 
+    records: dict[str, dict] = {}
     n_pass = n_fail = n_rows_only = 0
     for name, fn in sorted(qs.items()):
         t0 = time.time()
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+            "mode": "oracle" if name in oracles else (
+                "udf-oracle" if name in udf_sqls else "rows-only"
+            ),
+        }
+        records[name] = rec
         try:
             sdf = fn(spark, SF_DIR)
             spark_pdf = sdf.toPandas()
-        except Exception:
+        except Exception as e:
             print(f"FAIL  {name}: spark query raised")
             traceback.print_exc(limit=4)
+            rec["err"] = f"spark: {e}"
             n_fail += 1
             continue
         dt = time.time() - t0
-        if name not in oracles:
-            ok = len(spark_pdf) >= 0
+        rec["spark_rows"] = len(spark_pdf)
+        if rec["mode"] == "rows-only":
             print(f"rows  {name}: {len(spark_pdf)} rows ({dt:.1f}s) [rows-only]")
             n_rows_only += 1
             continue
+        if rec["mode"] == "udf-oracle":
+            # oracle needs Python UDFs the driver's connection can't host
+            register_udfs(con)
         try:
-            duck_pdf = con.sql(oracles[name]).df()
+            sql = oracles[name] if rec["mode"] == "oracle" else udf_sqls[name]
+            duck_pdf = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL raised: {e}")
+            rec["err"] = f"oracle: {e}"
             n_fail += 1
             continue
+        rec["oracle_rows"] = len(duck_pdf)
         problems = compare(name, spark_pdf, duck_pdf)
+        rec["rows_match"] = len(spark_pdf) == len(duck_pdf)
+        rec["schema_match"] = sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+        rec["hash_match"] = not problems
         if problems:
             print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems[:4]))
+            rec["err"] = "; ".join(problems[:4])
             n_fail += 1
         else:
-            print(f"pass  {name}: {len(spark_pdf)} rows ({dt:.1f}s)")
+            tag = " [udf-oracle]" if rec["mode"] == "udf-oracle" else ""
+            print(f"pass  {name}: {len(spark_pdf)} rows ({dt:.1f}s){tag}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if json_path:
+        import json
+
+        payload = {
+            "sf_dir": SF_DIR,
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "n_rows_only": n_rows_only,
+            "queries": records,
+        }
+        with open(json_path, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {json_path}")
     return 1 if n_fail else 0
 
 

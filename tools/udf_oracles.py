@@ -1,0 +1,245 @@
+"""DuckDB Python-UDF oracles for the hash-pipeline queries.
+
+r1/r2 left five queries rows-only because their primitives
+(``xxhash64``, seeded numpy projections, HLL) are not portable SQL.
+This module closes four of the five: a pure-Python XXH64
+(tools/xxh64.py, independent reimplementation of the public spec,
+bit-verified against the JVM) is registered as DuckDB scalar UDFs, and
+the full pipelines — shingling, affine minhash permutations, banding,
+bucket self-joins, simhash bit votes, sign-random-projections — are
+re-expressed as plain DuckDB SQL over those UDFs.
+
+``approx_distinct_users`` stays rows-only by design: it RETURNS an
+estimate (Spark's HLL++ with its specific bias correction); any oracle
+would have to reimplement that exact sketch, which is a port, not an
+independent check.  Its accuracy bound is asserted against the exact
+distinct count in tests/test_hash_pipelines.py instead.
+
+These oracles cannot ship in ``oracle_sql()`` (the driver's DuckDB
+connection registers no UDFs), so tools/check_correctness.py runs them
+as a supplementary tier recorded as ``udf-oracle`` in the committed
+sweep artifact (CHECK_FULL_r*.json).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.xxh64 import spark_xxhash64_longs, spark_xxhash64_str  # noqa: E402
+
+# mirror the engine's constants (mr_python_spark/dedup/__init__.py)
+MINHASH_HASHES = 64
+MINHASH_BANDS = 16
+MERSENNE_PRIME = (1 << 31) - 1
+HASH_A = [2 * i + 1 for i in range(1, MINHASH_HASHES + 1)]
+HASH_B = [1_000_003 * i + 12345 for i in range(MINHASH_HASHES)]
+RP_BITS = 16
+RP_BANDS = 4
+
+
+def register_udfs(con) -> None:
+    """Register the XXH64 UDFs on a DuckDB connection (idempotent)."""
+    from duckdb.typing import BIGINT, VARCHAR
+
+    try:
+        con.create_function(
+            "xxh64_str", lambda s: spark_xxhash64_str(s), [VARCHAR], BIGINT
+        )
+        con.create_function(
+            "xxh64_long4",
+            lambda a, b, c, d: spark_xxhash64_longs(a, b, c, d),
+            [BIGINT, BIGINT, BIGINT, BIGINT],
+            BIGINT,
+        )
+    except Exception as e:  # already registered on this connection
+        if "already" not in str(e).lower():
+            raise
+
+
+# shared prefix: whitespace tokens and distinct 3-gram shingles,
+# the same construction the committed clusters oracle uses
+_SHINGLES = r"""
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM (
+    SELECT doc_id, t, unnest(t) FROM toks
+  )
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM pos WHERE i <= len(t) - 2
+)
+"""
+
+
+def _minhash_sql() -> str:
+    p = MERSENNE_PRIME
+    mins = ",\n    ".join(
+        f"MIN(({HASH_A[i]} * h + {HASH_B[i]}) % {p}) AS m{i}"
+        for i in range(MINHASH_HASHES)
+    )
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, xxh64_long4({args}) AS bhash FROM sig".format(
+            b=b,
+            args=", ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES},
+h AS (
+  SELECT doc_id, ((xxh64_str(shingle) % {p}) + {p}) % {p} AS h FROM sh
+),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+),
+shs AS (
+  SELECT doc_id, list(shingle) AS sh FROM sh GROUP BY doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+FROM cand
+JOIN shs sa ON doc_a = sa.doc_id
+JOIN shs sb ON doc_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+"""
+
+
+def _simhash_sql() -> str:
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    # bit 63 kept zero, matching the engine (signed-long safety)
+    fp_expr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)" for i in range(63)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, fp, {b} AS band, (fp >> {b * 16}) & 65535 AS bval FROM fp"
+        for b in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+),
+h AS (
+  SELECT doc_id, xxh64_str(tok) AS h FROM tok
+),
+bits AS (
+  SELECT doc_id,
+    {votes}
+  FROM h GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, {fp_expr} AS fp FROM bits
+),
+bands AS (
+  {band_selects}
+)
+SELECT DISTINCT
+  a.doc_id AS doc_a,
+  b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+"""
+
+
+def _fingerprint_sql() -> str:
+    return r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+  FROM documents
+)
+SELECT doc_id, xxh64_str(array_to_string(t, ' ')) AS fingerprint FROM toks
+"""
+
+
+def _embedding_lsh_sql(dim: int = 64) -> str:
+    # the engine's seeded projection matrix, inlined at full precision;
+    # RandomState(42) is deterministic across platforms by contract
+    proj = np.random.RandomState(42).standard_normal((dim, RP_BITS))
+    bits_per_band = RP_BITS // RP_BANDS
+    bit_exprs = []
+    for j in range(RP_BITS):
+        col = ", ".join(repr(float(x)) for x in proj[:, j])
+        bit_exprs.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(e, [{col}]),"
+            f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) >= 0.0"
+            f" THEN 1 ELSE 0 END) AS bit{j}"
+        )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT vec_id, {b} AS band, {val} AS bval FROM bits".format(
+            b=b,
+            val=" + ".join(
+                f"bit{b * bits_per_band + r} * {1 << r}" for r in range(bits_per_band)
+            ),
+        )
+        for b in range(RP_BANDS)
+    )
+    bits_block = ",\n    ".join(bit_exprs)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+bits AS (
+  SELECT vec_id,
+    {bits_block}
+  FROM v
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+),
+n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+)
+SELECT vec_a, vec_b
+FROM cand
+JOIN n a ON vec_a = a.vec_id
+JOIN n b ON vec_b = b.vec_id
+WHERE list_sum(list_transform(list_zip(a.e, b.e), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (a.nrm * b.nrm) >= 0.4
+"""
+
+
+def udf_oracles() -> dict[str, str]:
+    """name -> DuckDB SQL requiring :func:`register_udfs` on the connection."""
+    return {
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "doc_fingerprint": _fingerprint_sql(),
+        "dedup_embedding_lsh": _embedding_lsh_sql(),
+    }

@@ -39,6 +39,9 @@ no driver materialization.
 from __future__ import annotations
 
 import abc
+import builtins
+import itertools
+from functools import partial
 from inspect import isgeneratorfunction
 from typing import Any, Callable, Iterable
 
@@ -128,6 +131,62 @@ def _sorted_group(
     return first_order, values
 
 
+def _expand_mapper(item, mapper):
+    """Run a generator mapper eagerly so a process pool can pickle it.
+
+    Mirrors the reference's pool wrapping (tinymr.py:183-192, 233-251):
+    a generator crossing a pool boundary must be materialized on the
+    worker before results are serialized back.
+    """
+    return tuple(mapper(item))
+
+
+def _expand_reducer(key_values, reducer):
+    """Pool adapter for the reduce phase (tinymr.py:254-270).
+
+    Pool ``map`` passes one argument, so the ``(key, values)`` pair
+    arrives packed; materializing to a tuple is a no-op for
+    return-style reducers and expands generator reducers.
+    """
+    return tuple(reducer(*key_values))
+
+
+def _local_partition(rows: Iterable, sort_with_value: bool, reverse: bool) -> dict:
+    """One in-process partition+sort phase (the pooled path's shuffle).
+
+    Same semantics as the distributed ``_shape_rows`` + ``_sorted_group``
+    pair: first-tuple-only arity validation, ``StopIteration`` on empty
+    input, the four sort modes, sort element stripped before the next
+    hook.  Insertion order of the returned dict is first-appearance
+    order, which in one process is what the distributed path's order
+    tags reconstruct.
+    """
+    rows = iter(rows)
+    first = next(rows)  # empty input: unprotected peek, like tinymr.py:302
+    if len(first) not in (2, 3):
+        raise ElementCountError(
+            f"Expected data of size 2 or 3, not {len(first)}. "
+            f"Example: {first!r}"
+        )
+    has_sort = len(first) == 3
+    buckets: dict[Any, list] = {}
+    if has_sort:
+        for t in itertools.chain((first,), rows):
+            buckets.setdefault(t[0], []).append(tuple(t[1:3]))
+        for tails in buckets.values():
+            if sort_with_value:
+                tails.sort(reverse=reverse)
+            else:
+                tails.sort(key=lambda p: p[0], reverse=reverse)
+        return {k: [p[1] for p in tails] for k, tails in buckets.items()}
+    for key, value in itertools.chain((first,), rows):
+        buckets.setdefault(key, []).append(value)
+    if sort_with_value:
+        for values in buckets.values():
+            values.sort(reverse=reverse)
+    return buckets
+
+
 class MapReduce(abc.ABC):
     """Distributed MapReduce with the reference's user contract.
 
@@ -145,10 +204,14 @@ class MapReduce(abc.ABC):
 
         WordCount()(["a b a"])  # {'a': 2, 'b': 1}
 
-    ``mapper_map`` / ``reducer_map`` (caller-injected thread/process
-    pools in the reference, docs.rst:309-331) are accepted for API
-    compatibility but ignored: Spark owns parallelism here, which is
-    precisely what those hooks existed to approximate.
+    ``map`` / ``mapper_map`` / ``reducer_map`` (caller-injected
+    thread/process pools in the reference; ``map`` is the default for
+    both phase hooks, tinymr.py:156-173, docs.rst:309-331) select the
+    **caller-pooled path**: when any is supplied, the caller owns
+    parallelism, so the pipeline runs in-process dispatching each phase
+    through the supplied callables — identical semantics, no Spark job.
+    With none supplied, Spark owns parallelism and the pipeline runs
+    distributed.
     """
 
     #: Optional SparkSession; resolved lazily if left None.
@@ -252,7 +315,17 @@ class MapReduce(abc.ABC):
         return result, tagged
 
     def __call__(self, sequence, map=None, mapper_map=None, reducer_map=None):
-        """Run the full map → shuffle → reduce → shuffle → output pipeline."""
+        """Run the full map → shuffle → reduce → shuffle → output pipeline.
+
+        ``map`` is the default pool for both phases; ``mapper_map`` /
+        ``reducer_map`` override it per phase (tinymr.py:156-173).  Any
+        of the three routes execution to the caller-pooled in-process
+        path; otherwise the pipeline runs on Spark.
+        """
+        mapper_map = mapper_map or map
+        reducer_map = reducer_map or map
+        if mapper_map is not None or reducer_map is not None:
+            return self._run_pooled(sequence, mapper_map, reducer_map)
         spark = self._get_spark()
         sc = spark.sparkContext
 
@@ -307,3 +380,45 @@ class MapReduce(abc.ABC):
             # collisions the first value (post-sort) wins.
             mapping = {k: values[0] for k, (_, values) in rows}
         return self.output(mapping)
+
+    def _run_pooled(self, sequence, mapper_map, reducer_map):
+        """Caller-pooled execution: the reference's concurrency contract.
+
+        The supplied callables must be ``map()``-compatible (e.g.
+        ``ProcessPoolExecutor.map``, ``multiprocessing.Pool.map``) and
+        order-preserving, per the reference's documented requirement
+        (docs.rst:309-331).  Each may be None, in which case that phase
+        runs through ``builtins.map``.  Process pools serialize work, so
+        generator hooks are expanded on the worker via the module-level
+        adapters before results cross back.
+        """
+        mapper_is_gen = isgeneratorfunction(self.mapper)
+        reducer_is_gen = isgeneratorfunction(self.reducer)
+
+        if mapper_map is not None and mapper_is_gen:
+            mapped = mapper_map(partial(_expand_mapper, mapper=self.mapper), sequence)
+        else:
+            mapped = (mapper_map or builtins.map)(self.mapper, sequence)
+        if mapper_is_gen:
+            mapped = itertools.chain.from_iterable(mapped)
+
+        groups = _local_partition(
+            mapped, self.sort_map_with_value, self.sort_map_reverse
+        )
+
+        if reducer_map is not None:
+            reduced = reducer_map(
+                partial(_expand_reducer, reducer=self.reducer), groups.items()
+            )
+        else:
+            reduced = (self.reducer(k, v) for k, v in groups.items())
+        if reducer_is_gen:
+            reduced = itertools.chain.from_iterable(reduced)
+
+        groups2 = _local_partition(
+            reduced, self.sort_reduce_with_value, self.sort_reduce_reverse
+        )
+        if not reducer_is_gen:
+            # Return-style reducer: unwrap; first value wins collisions.
+            groups2 = {k: v[0] for k, v in groups2.items()}
+        return self.output(groups2)

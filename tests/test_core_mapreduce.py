@@ -4,8 +4,8 @@ Ports the reference's concurrency-matrix test
 (/root/reference/tests/test_mapreduce_concurrency.py:31-122): word count
 under the {mapper yields, returns} × {reducer yields, returns} cross
 product, asserted against a stdlib ``Counter`` oracle.  Pool parameters
-are dropped — Spark owns parallelism — but the ``mapper_map`` /
-``reducer_map`` kwargs must still be accepted.
+route to the caller-pooled in-process path, exercised by
+test_core_concurrency.py; these tests cover the no-pool Spark path.
 """
 
 from collections import Counter
@@ -72,12 +72,13 @@ def test_wordcount_return_mapper(spark, cls, lines, expected_word_counts):
     assert task(words) == expected_word_counts
 
 
-def test_pool_kwargs_accepted(spark, lines, expected_word_counts):
-    """mapper_map/reducer_map are API-compatible no-ops."""
+def test_pool_kwargs_route_to_pooled_path(spark, lines, expected_word_counts):
+    """Supplying pool kwargs runs in-process with identical results."""
     task = WordCountYieldReturn()
     task.spark = spark
     result = task(lines, map=map, mapper_map=map, reducer_map=None)
     assert result == expected_word_counts
+    assert result == task(lines)  # pooled path ≡ Spark path
 
 
 def test_rdd_input(spark, lines, expected_word_counts):

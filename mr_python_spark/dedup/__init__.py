@@ -543,26 +543,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: random-projection LSH parameters: 16 sign bits = 4 bands × 4 bits
-RP_BITS = 16
 RP_BANDS = 4
+#: projection columns reserved per band; a corpus uses the first
+#: ``rp_bits_per_band(n)`` of each slot, so growing n REFINES buckets
+#: (a (b+1)-bit bucket is a subdivision of its b-bit parent)
+RP_SLOT_BITS = 16
+RP_MAX_BITS = RP_BANDS * RP_SLOT_BITS
+#: adaptive-band target bucket occupancy: bits_per_band ≈
+#: log2(n / target) keeps expected candidates per band at
+#: n·target/2 — LINEAR in n, vs n²/2^bits for any fixed bit width
+RP_TARGET_BUCKET = 32
+#: skew insurance for anisotropic corpora (real embeddings cluster, so
+#: sign patterns concentrate): band-buckets larger than this are
+#: dropped from candidate generation, bounding cost at
+#: Σ min(bucket, cap)² — the df-cap posture of dedup_ngram_jaccard.
+#: Never triggers at shipped SFs (isotropic test vectors).
+RP_BUCKET_CAP = 2048
+
+
+def rp_bits_per_band(n: int) -> int:
+    """Band width for an n-vector corpus: clamp(4, 16, ⌈log2(n/32)⌉)."""
+    import math
+
+    if n <= RP_TARGET_BUCKET:
+        return 4
+    return min(RP_SLOT_BITS, max(4, math.ceil(math.log2(n / RP_TARGET_BUCKET))))
 
 
 @register("dedup_embedding_lsh")  # rows-only: numpy RNG projections aren't portable SQL
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROXIMATE embedding near-dup pairs — the sub-quadratic scale path.
 
-    Random-projection (sign) LSH: 16 deterministic Gaussian
-    projections (seeded, identical on every executor) give each
-    vector a 16-bit sign fingerprint, banded 4×4; candidate pairs
-    must share one band bucket, then exact cosine ≥ 0.4 (JVM-side
-    fold) filters false positives.  Candidates come from equi-joins
-    on (band, bucket) — never an all-pairs product — so cost is
-    Σ bucket² like :func:`dedup_minhash_lsh`.  Output ⊆ the exact
-    :func:`dedup_embedding_cosine` result; recall at the 0.4
-    threshold is partial by design (P[bit match] = 1 − θ/π ≈ 0.63 →
-    ~50% at cos = 0.4, →1 as cos → 1), which is the standard LSH
-    recall/cost trade.  Verified rows-only against a numpy
-    reimplementation in tests/test_hash_pipelines.py.
+    Random-projection (sign) LSH with **corpus-adaptive band width**:
+    seeded Gaussian projections (identical on every executor) give
+    each vector sign bits, banded 4 × ``rp_bits_per_band(n)``;
+    candidate pairs must share one band bucket, then exact cosine
+    ≥ 0.4 (JVM-side fold) filters false positives.  Fixed-width bands
+    are secretly quadratic — expected candidates are n²/2^bits, which
+    a 10× corpus probe measured as a 21× wall blowup — so band width
+    grows with the corpus (bits ≈ log2(n/32)), pinning expected
+    bucket occupancy at ~32 and candidates per band at n·16 — linear.
+    Growing n only REFINES buckets (each band's bits extend a
+    reserved 16-column projection slot), and an `RP_BUCKET_CAP` guard
+    drops degenerate buckets on anisotropic corpora (the df-cap
+    posture).  Recall per band is p^bits (p = 1 − θ/π), so recall at
+    a fixed threshold decays as bands lengthen — the standard LSH
+    trade; production systems add bands to compensate, and the
+    output-⊆-exact contract holds at any width.  Verified against a
+    numpy reimplementation in tests/test_hash_pipelines.py and a
+    DuckDB Python-UDF oracle (tools/udf_oracles.py).
     """
     from typing import Iterator
 
@@ -572,8 +601,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mr_python_spark.functions.vectors import cosine, to_double
 
-    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    bits_per_band = RP_BITS // RP_BANDS
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # one cheap count to pick the band width — adaptive planning like
+    # AQE's stats, not a data collect
+    bits_per_band = rp_bits_per_band(base.count())
+    emb = spread(base)
 
     sig_schema = T.StructType(
         [
@@ -590,12 +622,16 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             if proj is None:  # seeded → identical matrix on every executor
-                proj = np.random.RandomState(42).standard_normal((mat.shape[1], RP_BITS))
-            bits = (mat @ proj >= 0.0).astype(np.int32)  # (n, RP_BITS)
+                proj = np.random.RandomState(42).standard_normal(
+                    (mat.shape[1], RP_MAX_BITS)
+                )
+            bits = (mat @ proj >= 0.0).astype(np.int32)  # (n, RP_MAX_BITS)
             weights = 1 << np.arange(bits_per_band, dtype=np.int32)
             out = []
             for band in range(RP_BANDS):
-                chunk = bits[:, band * bits_per_band : (band + 1) * bits_per_band]
+                # first bits_per_band columns of this band's 16-col slot
+                lo = band * RP_SLOT_BITS
+                chunk = bits[:, lo : lo + bits_per_band]
                 out.append(
                     pd.DataFrame(
                         {
@@ -608,6 +644,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.concat(out, ignore_index=True)
 
     bands = emb.mapInPandas(band_rows, sig_schema)
+    # skew guard: degenerate buckets contribute O(bucket²) candidates
+    # for near-zero information; drop them (never fires at shipped SFs)
+    ok_buckets = (
+        bands.groupBy("band", "bval")
+        .count()
+        .filter(F.col("count") <= RP_BUCKET_CAP)
+        .select("band", "bval")
+    )
+    bands = bands.join(ok_buckets, ["band", "bval"])
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

@@ -234,3 +234,79 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return with_payload.mapInPandas(energy, _AUDIO_SCHEMA)
+
+
+_KEYFRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("scene_idx", T.IntegerType()),
+        T.StructField("keyframe_idx", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+_KEYFRAME_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, text, i
+  FROM documents CROSS JOIN generate_series(1, 2048) AS t(i)
+  WHERE i <= least(octet_length(encode(text)), 2048)
+),
+frames AS (
+  SELECT doc_id,
+         CAST((i - 1) // 256 AS INTEGER) AS frame_idx,
+         CAST(SUM(ascii(substr(text, i, 1))) AS BIGINT) AS energy
+  FROM pos
+  GROUP BY doc_id, (i - 1) // 256
+)
+SELECT doc_id,
+       CAST(frame_idx // 4 AS INTEGER) AS scene_idx,
+       CAST(arg_max(frame_idx, energy * 16 + (15 - frame_idx)) AS INTEGER)
+         AS keyframe_idx,
+       arg_max(energy, energy * 16 + (15 - frame_idx)) AS energy
+FROM frames
+GROUP BY doc_id, frame_idx // 4
+"""
+
+
+@register("multimodal_keyframes", _KEYFRAME_ORACLE)
+def multimodal_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection: argmax-energy frame per scene window.
+
+    The video-keyframe shape on the deterministic stub: payload bytes
+    split into 256-byte fake frames (first 8, like
+    :func:`multimodal_frame_sample`), grouped into scenes of 4, and
+    each scene emits its highest-energy frame (ties -> lowest frame
+    index, a total order).  A real pipeline swaps the byte-sum energy
+    for a decoded-frame difference metric; the N->1-per-window
+    selection, typed schema, and batch shape are what this query keeps
+    tested.  Energies are vectorized per payload (one ``frombuffer``
+    + reshape-free slicing), selection is a constant-size argmax —
+    no per-sample Python.
+    """
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def keyframes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "scene_idx": [], "keyframe_idx": [], "energy": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(payload[:2048]), dtype=np.uint8)
+                n_frames = min(8, (len(samples) + 255) // 256)
+                energies = [
+                    int(samples[f * 256 : (f + 1) * 256].sum())
+                    for f in range(n_frames)
+                ]
+                for scene in range((n_frames + 3) // 4):
+                    fr = energies[scene * 4 : scene * 4 + 4]
+                    best = max(range(len(fr)), key=lambda j: (fr[j], -j))
+                    rows["doc_id"].append(doc_id)
+                    rows["scene_idx"].append(scene)
+                    rows["keyframe_idx"].append(scene * 4 + best)
+                    rows["energy"].append(fr[best])
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return with_payload.mapInPandas(keyframes, _KEYFRAME_SCHEMA)

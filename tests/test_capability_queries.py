@@ -97,6 +97,7 @@ REPRESENTATIVE = [
     "q20_potential_promo",
     "q21_suppliers_waiting",
     "q22_global_sales",
+    "multimodal_keyframes",
 ]
 
 

@@ -151,24 +151,27 @@ def test_embedding_lsh_pipeline(spark):
 
     from mr_python_spark.dedup import (
         RP_BANDS,
-        RP_BITS,
+        RP_MAX_BITS,
+        RP_SLOT_BITS,
         dedup_embedding_cosine,
         dedup_embedding_lsh,
+        rp_bits_per_band,
     )
     from mr_python_spark.session import load_table
 
     emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
     ids = np.array([r.vec_id for r in emb], dtype=np.int64)
     mat = np.array([r.embedding for r in emb], dtype=np.float64)
-    proj = np.random.RandomState(42).standard_normal((mat.shape[1], RP_BITS))
+    proj = np.random.RandomState(42).standard_normal((mat.shape[1], RP_MAX_BITS))
     bits = (mat @ proj >= 0.0).astype(np.int32)
-    bits_per_band = RP_BITS // RP_BANDS
+    bits_per_band = rp_bits_per_band(len(ids))
     weights = 1 << np.arange(bits_per_band, dtype=np.int32)
 
     buckets = defaultdict(set)
     for row, vid in enumerate(ids):
         for b in range(RP_BANDS):
-            bval = int(bits[row, b * bits_per_band : (b + 1) * bits_per_band] @ weights)
+            lo = b * RP_SLOT_BITS
+            bval = int(bits[row, lo : lo + bits_per_band] @ weights)
             buckets[(b, bval)].add(int(vid))
     normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     by_id = {int(v): i for i, v in enumerate(ids)}

@@ -37,6 +37,11 @@ QUERIES = [
     "q6_forecast_revenue",
     "q18_large_volume",
     "join_left_outer_agg",
+    # dedup/ANN family: the sub-quadratic-candidates claims under 10x data
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
 ]
 
 
@@ -75,9 +80,54 @@ def generate() -> None:
             f"TO '{DST}/{dim}.parquet' (FORMAT parquet)"
         )
 
+    # Documents: 10 statistically independent corpora, not 10 exact
+    # copies.  Exact copies would collapse the dedup candidate
+    # structure (every shingle's df multiplies by REPLICAS, so the
+    # df-cap drops the whole vocabulary and the probe measures
+    # nothing).  Tagging every token with the replica id keeps each
+    # replica's shingle-df histogram identical to the original while
+    # making vocabularies disjoint across replicas — a sub-quadratic
+    # candidate generator then scales ~linearly, while a hidden
+    # all-pairs path would still blow up ~REPLICAS^2.
+    con.sql(
+        f"""
+        COPY (
+          SELECT doc_id + i * 1_000_000 AS doc_id,
+                 CASE WHEN i = 0 THEN text
+                      ELSE regexp_replace(text, '(\\S+)', '\\1' || i, 'g')
+                 END AS text,
+                 lang, source, n_chars
+          FROM '{SRC}/documents.parquet' CROSS JOIN range({REPLICAS}) t(i)
+        ) TO '{DST}/documents.parquet' (FORMAT parquet)
+        """
+    )
+
+    # Embeddings: circularly rotate each vector by the replica id.
+    # Rotation preserves all dot products WITHIN a replica (each
+    # replica is isometric to the original corpus) while cross-replica
+    # similarities decorrelate, so near-dup structure per replica is
+    # unchanged and total volume is 10x.
+    con.sql(
+        f"""
+        COPY (
+          SELECT vec_id + i * 1_000_000 AS vec_id,
+                 CASE WHEN i = 0 THEN embedding
+                      ELSE list_concat(embedding[i + 1:64], embedding[1:i])
+                 END AS embedding,
+                 label
+          FROM '{SRC}/embeddings.parquet' CROSS JOIN range({REPLICAS}) t(i)
+        ) TO '{DST}/embeddings.parquet' (FORMAT parquet)
+        """
+    )
+
 
 def run() -> None:
-    if not os.path.exists(os.path.join(DST, "lineitem.parquet")):
+    # embeddings.parquet is the newest synthesized table; its absence
+    # means a stale pre-dedup-probe .data/sf1 needs regenerating
+    if not all(
+        os.path.exists(os.path.join(DST, f"{t}.parquet"))
+        for t in ("lineitem", "documents", "embeddings")
+    ):
         generate()
 
     from mr_python_spark.session import get_spark
@@ -106,6 +156,10 @@ def run() -> None:
         if result["sf0.1"][k] > 0
     }
     print(json.dumps(result, indent=2))
+    out = os.path.join(REPO, "docs", "scale_probe_sf1.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"wrote {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

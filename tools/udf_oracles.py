@@ -39,13 +39,31 @@ MINHASH_BANDS = 16
 MERSENNE_PRIME = (1 << 31) - 1
 HASH_A = [2 * i + 1 for i in range(1, MINHASH_HASHES + 1)]
 HASH_B = [1_000_003 * i + 12345 for i in range(MINHASH_HASHES)]
-RP_BITS = 16
 RP_BANDS = 4
+RP_SLOT_BITS = 16
+RP_MAX_BITS = RP_BANDS * RP_SLOT_BITS
+RP_TARGET_BUCKET = 32
+RP_BUCKET_CAP = 2048
+
+#: the engine's seeded projection slots (RandomState(42) is
+#: deterministic across platforms by contract); band b uses the first
+#: bpb columns of its 16-column slot
+_RP_PROJ = np.random.RandomState(42).standard_normal((64, RP_MAX_BITS))
+
+
+def _rp_band_val(e, band: int, bpb: int) -> int:
+    """Sign-projection band value, recomputed per row (independent of
+    the engine's batched GEMM path)."""
+    v = np.asarray(e, dtype=np.float64)
+    lo = band * RP_SLOT_BITS
+    bits = (v @ _RP_PROJ[: len(v), lo : lo + bpb]) >= 0.0
+    return int(bits.astype(np.int64) @ (1 << np.arange(bpb)))
 
 
 def register_udfs(con) -> None:
-    """Register the XXH64 UDFs on a DuckDB connection (idempotent)."""
-    from duckdb.typing import BIGINT, VARCHAR
+    """Register the oracle UDFs on a DuckDB connection (idempotent)."""
+    import duckdb
+    from duckdb.typing import BIGINT, INTEGER, VARCHAR
 
     try:
         con.create_function(
@@ -55,6 +73,12 @@ def register_udfs(con) -> None:
             "xxh64_long4",
             lambda a, b, c, d: spark_xxhash64_longs(a, b, c, d),
             [BIGINT, BIGINT, BIGINT, BIGINT],
+            BIGINT,
+        )
+        con.create_function(
+            "rp_band_val",
+            _rp_band_val,
+            [duckdb.list_type(duckdb.typing.DOUBLE), INTEGER, INTEGER],
             BIGINT,
         )
     except Exception as e:  # already registered on this connection
@@ -182,45 +206,38 @@ SELECT doc_id, xxh64_str(array_to_string(t, ' ')) AS fingerprint FROM toks
 """
 
 
-def _embedding_lsh_sql(dim: int = 64) -> str:
-    # the engine's seeded projection matrix, inlined at full precision;
-    # RandomState(42) is deterministic across platforms by contract
-    proj = np.random.RandomState(42).standard_normal((dim, RP_BITS))
-    bits_per_band = RP_BITS // RP_BANDS
-    bit_exprs = []
-    for j in range(RP_BITS):
-        col = ", ".join(repr(float(x)) for x in proj[:, j])
-        bit_exprs.append(
-            f"(CASE WHEN list_sum(list_transform(list_zip(e, [{col}]),"
-            f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) >= 0.0"
-            f" THEN 1 ELSE 0 END) AS bit{j}"
-        )
-    band_selects = "\n  UNION ALL\n  ".join(
-        "SELECT vec_id, {b} AS band, {val} AS bval FROM bits".format(
-            b=b,
-            val=" + ".join(
-                f"bit{b * bits_per_band + r} * {1 << r}" for r in range(bits_per_band)
-            ),
-        )
-        for b in range(RP_BANDS)
-    )
-    bits_block = ",\n    ".join(bit_exprs)
+def _embedding_lsh_sql() -> str:
+    # band values come from the rp_band_val UDF (same seeded slots,
+    # per-row recompute); band width mirrors the engine's adaptive rule
+    # rp_bits_per_band(n) = clamp(4, 16, ceil(log2(n / 32))), computed
+    # from count(*) so the oracle tracks the engine at any SF
     return f"""
-WITH v AS (
+WITH p AS (
+  SELECT CASE WHEN count(*) <= {RP_TARGET_BUCKET} THEN 4
+         ELSE GREATEST(4, LEAST({RP_SLOT_BITS},
+              CAST(ceil(log2(count(*) / {RP_TARGET_BUCKET}.0)) AS INTEGER)))
+         END AS bpb
+  FROM embeddings
+),
+v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ),
-bits AS (
-  SELECT vec_id,
-    {bits_block}
-  FROM v
-),
 bands AS (
-  {band_selects}
+  SELECT vec_id, CAST(band AS INTEGER) AS band,
+         rp_band_val(e, CAST(band AS INTEGER), CAST((SELECT bpb FROM p) AS INTEGER)) AS bval
+  FROM v CROSS JOIN range({RP_BANDS}) t(band)
+),
+ok_buckets AS (
+  SELECT band, bval FROM bands
+  GROUP BY band, bval HAVING count(*) <= {RP_BUCKET_CAP}
+),
+kept AS (
+  SELECT bands.* FROM bands JOIN ok_buckets USING (band, bval)
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM bands a JOIN bands b
+  FROM kept a JOIN kept b
     ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
 ),
 n AS (

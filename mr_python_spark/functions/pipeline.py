@@ -1,0 +1,296 @@
+"""Training-data pipeline passes: repetition, rarity, filtering, canonicals.
+
+The cleaning stages a large-scale pretraining-data pipeline runs over a
+document corpus, composed from the engine's text primitives.  Everything
+here is JVM-side DataFrame code (no Python in the hot path), exact
+integer arithmetic until a final single division (the determinism recipe
+from the registry docstring), and per-document-bounded windows — each
+pass streams the corpus once, aggregates per doc, and never materializes
+anything proportional to the corpus on one node.
+
+Capability extensions beyond the reference engine (whose text surface is
+word count, /root/reference/docs.rst examples); operator shapes follow
+the published data-cleaning heuristics of large-LM corpora (repetition
+ratios, stopword/length filters, frequency-based rarity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mr_python_spark.functions.text import STOPWORDS, tokens_col
+from mr_python_spark.registry import register
+from mr_python_spark.session import load_table
+
+
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+pos AS (
+  -- unnest and generate_subscripts in ONE select zip positionally
+  -- (splitting them across nested selects cross-products n x n)
+  SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks
+),
+tok_counts AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM pos GROUP BY doc_id, tok
+),
+tok_top AS (
+  SELECT doc_id, MAX(c) AS topc, SUM(c) AS n FROM tok_counts GROUP BY doc_id
+),
+big_counts AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, COUNT(*) AS c
+  FROM pos WHERE i < len(t)
+  GROUP BY doc_id, t[i] || ' ' || t[i+1]
+),
+big_top AS (
+  SELECT doc_id, MAX(c) AS topb, SUM(c) AS nb FROM big_counts GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n AS BIGINT) AS n_tokens,
+       CAST(t.topc AS DOUBLE) / t.n AS top_token_frac,
+       CAST(b.topb AS DOUBLE) / b.nb AS top_bigram_frac
+FROM tok_top t JOIN big_top b ON t.doc_id = b.doc_id
+"""
+
+
+@register("quality_repetition", _REPETITION_ORACLE)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition ratios: most-frequent token / bigram share per doc.
+
+    The repetition heuristics used to drop degenerate documents from
+    LM corpora (boilerplate, keyword stuffing, generation loops): a
+    document whose single most frequent token or bigram accounts for
+    an outsized share of its length is template-like.  Two passes over
+    the exploded tokens — per-(doc, gram) counts, then a per-doc max —
+    both map-side combined; bigrams come from a per-doc ``lead``
+    window (doc-bounded state, no self-join).  Fractions are a single
+    int/int division, so results are bit-deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "tok")
+    )
+
+    tok_top = (
+        toked.groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("topc"), F.sum("count").alias("n"))
+    )
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big_top = (
+        toked.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("topb"), F.sum("count").alias("nb"))
+    )
+
+    return tok_top.join(big_top, "doc_id").select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (F.col("topc").cast("double") / F.col("n")).alias("top_token_frac"),
+        (F.col("topb").cast("double") / F.col("nb")).alias("top_bigram_frac"),
+    )
+
+
+_RARITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+),
+total AS (
+  SELECT SUM(cnt) AS n FROM vocab
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM((SELECT n FROM total) * 1000 // cnt) AS DOUBLE) / COUNT(*)
+         AS rarity_score
+FROM toks JOIN vocab USING (tok)
+GROUP BY doc_id
+"""
+
+
+@register("doc_rarity_score", _RARITY_ORACLE)
+def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean inverse-frequency of a document's tokens — a perplexity
+    proxy in exact integer arithmetic.
+
+    A unigram LM scores a doc by mean -log p(token); the float log
+    breaks bit-determinism across engines, so the score here is the
+    mean of integer token rarities ``(corpus_tokens * 1000) div
+    count(token)`` — the same ordering (rare tokens dominate), summed
+    as BIGINT (deterministic in any partitioning / join order) with
+    one final division.  Headroom: corpus_tokens × 1000 overflows
+    int64 only past ~9·10^15 tokens (~36 PB of 4-byte tokens).
+
+    Shuffle inventory: explode → groupBy(token) builds the vocabulary;
+    the rarity join re-shuffles both sides on token (co-partitioned);
+    final groupBy(doc_id).  The 1-row corpus total rides a broadcast.
+    The vocabulary is NOT broadcast-hinted — it scales with the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+
+    rarity = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", F.expr("n * 1000L div cnt").alias("rarity")
+    )
+    return (
+        toks.join(rarity, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum("rarity").cast("double") / F.count("*")).alias("rarity_score"),
+        )
+    )
+
+
+#: quality-filter thresholds (docs_quality_filter + its oracle)
+QF_MIN_TOKENS = 30
+QF_MAX_TOKENS = 90
+QF_MAX_TOP_TOKEN_FRAC = 0.18
+QF_MIN_STOPWORD_RATIO = 0.01
+
+_QFILTER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+per AS (
+  SELECT doc_id, len(t) AS n, unnest(t) AS tok FROM toks
+),
+cnt AS (
+  SELECT doc_id, ANY_VALUE(n) AS n, tok, COUNT(*) AS c FROM per GROUP BY doc_id, tok
+),
+agg AS (
+  SELECT doc_id,
+         ANY_VALUE(n) AS n_tokens,
+         MAX(c) AS topc,
+         SUM(CASE WHEN tok IN {STOPWORDS!r} THEN c ELSE 0 END) AS n_stop
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(topc AS DOUBLE) / n_tokens AS top_token_frac,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio
+FROM agg
+WHERE n_tokens BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS}
+  AND CAST(topc AS DOUBLE) / n_tokens <= {QF_MAX_TOP_TOKEN_FRAC}
+  AND CAST(n_stop AS DOUBLE) / n_tokens >= {QF_MIN_STOPWORD_RATIO}
+"""
+
+
+@register("docs_quality_filter", _QFILTER_ORACLE)
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pass: length band ∧ repetition cap ∧
+    stopword floor → the surviving documents with their metrics.
+
+    One exploded-token aggregation computes every signal (length,
+    top-token share, stopword share); the filter is a plain predicate
+    over the per-doc aggregate, so the whole pass is two map-side-
+    combined aggregations and zero joins.  Fractions are single
+    divisions of exact counts — the filter decisions are
+    bit-deterministic, which is what makes a 100 TB cleaning run
+    reproducible.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    per_tok = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+    )
+    agg = per_tok.groupBy("doc_id").agg(
+        F.sum("count").alias("n_tokens"),
+        F.max("count").alias("topc"),
+        F.sum(
+            F.when(F.array_contains(stop_arr, F.col("tok")), F.col("count")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_stop"),
+    )
+    top_frac = F.col("topc").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return (
+        agg.select(
+            "doc_id",
+            "n_tokens",
+            top_frac.alias("top_token_frac"),
+            stop_ratio.alias("stopword_ratio"),
+        )
+        .filter(
+            (F.col("n_tokens") >= QF_MIN_TOKENS)
+            & (F.col("n_tokens") <= QF_MAX_TOKENS)
+            & (F.col("top_token_frac") <= QF_MAX_TOP_TOKEN_FRAC)
+            & (F.col("stopword_ratio") >= QF_MIN_STOPWORD_RATIO)
+        )
+    )
+
+
+def _canonical_oracle() -> str:
+    from mr_python_spark.dedup import _CLUSTERS_ORACLE
+
+    return f"""
+WITH members AS (
+  {_CLUSTERS_ORACLE}
+),
+ranked AS (
+  SELECT m.cluster_id, m.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY m.cluster_id
+           ORDER BY d.n_chars DESC, m.doc_id ASC
+         ) AS rk
+  FROM members m JOIN documents d USING (doc_id)
+)
+SELECT r.cluster_id, c.doc_id AS canonical_id, r.doc_id AS dup_doc_id
+FROM ranked r
+JOIN ranked c ON c.cluster_id = r.cluster_id AND c.rk = 1
+WHERE r.rk > 1
+"""
+
+
+@register("dedup_canonical", _canonical_oracle())
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: which near-duplicate survives.
+
+    The step after duplicate detection in a cleaning pipeline: per
+    near-dup cluster (:func:`~mr_python_spark.dedup.dedup_clusters`,
+    connected components over ngram-Jaccard edges), keep the longest
+    document (``n_chars`` DESC, ``doc_id`` ASC — a total order, no
+    packed-key overflow) and map every other member to it as a
+    ``(canonical_id, dup_doc_id)`` drop list.  Clusters are small by
+    construction (near-dup groups), so the per-cluster window is
+    bounded state; the rank-1 self-join is an equi-join on cluster_id.
+    """
+    from mr_python_spark.dedup import dedup_clusters
+
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = clusters.join(docs, "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    canon = ranked.filter(F.col("rk") == 1).select(
+        "cluster_id", F.col("doc_id").alias("canonical_id")
+    )
+    return (
+        ranked.filter(F.col("rk") > 1)
+        .select("cluster_id", F.col("doc_id").alias("dup_doc_id"))
+        .join(canon, "cluster_id")
+        .select("cluster_id", "canonical_id", "dup_doc_id")
+    )

@@ -98,6 +98,11 @@ REPRESENTATIVE = [
     "q21_suppliers_waiting",
     "q22_global_sales",
     "multimodal_keyframes",
+    # round-3 pipeline passes
+    "quality_repetition",
+    "doc_rarity_score",
+    "docs_quality_filter",
+    "dedup_canonical",
 ]
 
 

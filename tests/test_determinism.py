@@ -36,6 +36,11 @@ QUERIES = [
     "window_percent_rank",
     "agg_minmax_by",
     "doc_length_quantiles",
+    # round-3 pipeline passes: every float is a single division of
+    # exact integer counts, so partitioning must not move a bit
+    "quality_repetition",
+    "doc_rarity_score",
+    "docs_quality_filter",
 ]
 
 

@@ -271,6 +271,33 @@ AUDITS: dict[str, dict] = {
     "multimodal_audio_energy": dict(
         must=[r"MapInPandas"], must_not=[r"CartesianProduct", r"Exchange"]
     ),
+    "multimodal_keyframes": dict(
+        must=[r"MapInPandas"], must_not=[r"CartesianProduct", r"Exchange"]
+    ),
+    # ---------------- round-3 pipeline passes ----------------
+    # repetition: two map-side-combined aggs + per-doc lead window
+    "quality_repetition": dict(
+        must=[r"partial_", r"Window"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=0,
+    ),
+    # rarity: vocab join NOT broadcast-hinted (scales with corpus);
+    # only the 1-row corpus total rides a (nested-loop) broadcast
+    "doc_rarity_score": dict(
+        must=[r"partial_", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=1,
+    ),
+    # composed filter: aggregation-only pass, zero joins
+    "docs_quality_filter": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"Join"],
+        hinted_broadcasts=0,
+    ),
+    "dedup_canonical": dict(
+        must=[r"Window"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
     "setop_intersect_all": dict(
         must=[r"Generate|Expand"], must_not=[r"CartesianProduct"]
     ),

@@ -333,7 +333,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh")  # rows-only: multi-stage hashing isn't portable SQL
+@register("dedup_minhash_lsh")  # driver-tier rows-only; udf-oracle in tools/udf_oracles.py
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates, verified with exact Jaccard.
 
@@ -391,7 +391,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # rows-only: bit-twiddling hash pipeline
+@register("dedup_simhash")  # driver-tier rows-only; udf-oracle in tools/udf_oracles.py
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs (banded hamming ≤ 3).
 
@@ -570,7 +570,7 @@ def rp_bits_per_band(n: int) -> int:
     return min(RP_SLOT_BITS, max(4, math.ceil(math.log2(n / RP_TARGET_BUCKET))))
 
 
-@register("dedup_embedding_lsh")  # rows-only: numpy RNG projections aren't portable SQL
+@register("dedup_embedding_lsh")  # driver-tier rows-only; udf-oracle in tools/udf_oracles.py
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROXIMATE embedding near-dup pairs — the sub-quadratic scale path.
 

@@ -310,7 +310,7 @@ def lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_fingerprint")  # rows-only: md5-based hashing is not portable SQL
+@register("doc_fingerprint")  # driver-tier rows-only; udf-oracle in tools/udf_oracles.py
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 64-bit document fingerprint (rolling token hash).
 

@@ -33,16 +33,11 @@ PRIORITY: list[str] = [
     # §2a parity gate + §2b signature patterns
     "parity_word_count",
     "word_count",
-    "word_topk",
     # TPC-H composites (joins + aggs + subqueries at scale shapes)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q4_order_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
     "q18_large_volume",
     "q2_min_cost_supplier",  # correlated min over a 4-way dim join (r3)
     "q21_suppliers_waiting",  # EXISTS + NOT EXISTS double correlation (r3)
@@ -58,9 +53,7 @@ PRIORITY: list[str] = [
     # window functions
     "window_rank_dense",
     "window_running_total",
-    "window_range_frame",
     # set ops
-    "setop_union_all",
     "setop_intersect",
     # sorts / limits
     "multisort_limit_lineitem",
@@ -70,7 +63,6 @@ PRIORITY: list[str] = [
     "correlated_subquery_orders",
     # scalar function families
     "string_funcs_part",
-    "date_funcs_orders",
     "array_funcs_embeddings",
     "json_funcs_events",
     # statistics
@@ -89,14 +81,20 @@ PRIORITY: list[str] = [
     "pandas_udf_token_count",
     "udtf_word_explode",
     "pandas_udaf_weighted_avg",
-    # LLM-pipeline families: dedup, ANN, multimodal, vectors
+    # LLM-pipeline families: dedup, ANN, multimodal, vectors,
+    # cleaning passes (r3)
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_clusters",
+    "dedup_canonical",
     "ann_ivf_label",
     "multimodal_frame_sample",
+    "multimodal_keyframes",
     "vector_norms",
+    "quality_repetition",
+    "docs_quality_filter",
+    "doc_rarity_score",
 ]
 
 

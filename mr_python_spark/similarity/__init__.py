@@ -215,3 +215,125 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+#: ann_ivf_kmeans coarse-quantizer parameters (all deterministic)
+KM_CELLS = 16
+KM_ITERS = 5
+KM_SAMPLE_STRIDE = 7
+KM_SAMPLE_CAP = 1024
+KM_PROBE_CELLS = 2
+KM_QUERY_STRIDE = 50
+KM_TOP_K = 3
+
+
+def _kmeans_train(X: "np.ndarray") -> "np.ndarray":
+    """Deterministic Lloyd iterations: first-k init, fixed rounds.
+
+    Plain numpy on the (bounded) driver sample; ties in assignment
+    break to the lowest cell via ``argmin``.  Empty cells keep their
+    previous centroid.
+    """
+    k = min(KM_CELLS, len(X))
+    C = X[:k].copy()
+    for _ in range(KM_ITERS):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(k):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(0)
+    return C
+
+
+_CELL_SCHEMA = T.StructType(
+    [T.StructField("vec_id", T.LongType()), T.StructField("cell", T.IntegerType())]
+)
+
+
+@register("ann_ivf_kmeans")  # rows-only: iterative float k-means isn't portable SQL
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer — the production ANN shape.
+
+    ``ann_ivf_label`` borrows its cells from a label column; this
+    variant trains them: deterministic k-means (first-k init, 5 Lloyd
+    rounds) on a bounded sample — stride-7 subset, ``ORDER BY vec_id
+    LIMIT 1024``, so the driver materializes a CONSTANT ≤ 1024×d
+    matrix regardless of corpus size (unlike a fraction-of-n collect,
+    this passes the 100× rule).  The k×d centroid matrix ships to
+    executors by closure; cell assignment is one vectorized GEMM per
+    Arrow batch.  Queries (stride-50) probe their ``KM_PROBE_CELLS``
+    nearest cells — the standard IVF recall knob — then exact cosine
+    + window top-k within candidates, all JVM-side.
+
+    At 100 TB: train on a sample (constant), assign in one narrow
+    pass, bucket/partition the corpus by cell, and queries scan only
+    probed cells — a fraction-of-corpus read via partition pruning.
+    Verified against a numpy reimplementation
+    (tests/test_hash_pipelines.py); not SQL-expressible (iterative
+    float means), so driver-tier rows-only.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sample = (
+        emb.filter(F.col("vec_id") % KM_SAMPLE_STRIDE == 0)
+        .orderBy("vec_id")
+        .limit(KM_SAMPLE_CAP)
+        .collect()
+    )
+    X = np.array([r.embedding for r in sample], dtype=np.float64)
+    C = _kmeans_train(X)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(list(pdf["embedding"]), dtype=np.float64)
+            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cell": d.argmin(1).astype(np.int32),
+                }
+            )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(list(pdf["embedding"]), dtype=np.float64)
+            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            near = np.argsort(d, axis=1, kind="stable")[:, :KM_PROBE_CELLS]
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, near.shape[1]),
+                    "cell": near.reshape(-1).astype(np.int32),
+                }
+            )
+
+    v = emb.select("vec_id", to_double(F.col("embedding")).alias("e"))
+    cells = emb.mapInPandas(assign, _CELL_SCHEMA).join(v, "vec_id")
+    queries = (
+        emb.filter(F.col("vec_id") % KM_QUERY_STRIDE == 0)
+        .mapInPandas(probe, _CELL_SCHEMA)
+        .join(
+            v.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")),
+            F.col("vec_id") == F.col("qid"),
+        )
+        .select(F.col("vec_id").alias("query_id"), "cell", "qe")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(cells, (queries.cell == cells.cell) & (F.col("query_id") != cells.vec_id))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("e")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KM_TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )

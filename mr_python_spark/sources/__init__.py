@@ -253,3 +253,57 @@ def text_scan_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(20)
     )
+
+
+_DYN_OVERWRITE_ORACLE = """
+WITH current AS (
+  SELECT event_type, value FROM events WHERE event_type <> 'click'
+  UNION ALL
+  SELECT event_type, value FROM events WHERE event_type = 'click' AND value > 100.0
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM current
+GROUP BY event_type
+"""
+
+
+@register("sink_dynamic_partition_overwrite", _DYN_OVERWRITE_ORACLE)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level upsert: dynamic overwrite replaces ONLY the
+    partitions present in the incoming write.
+
+    The incremental-recompute sink shape: a 100 TB table partitioned
+    by a key gets one partition's data recomputed (here: the `click`
+    partition re-filtered to value > 100) without touching — or even
+    listing — sibling partitions.  ``partitionOverwriteMode=dynamic``
+    scopes the overwrite to partitions the incoming frame contains,
+    vs static mode which would truncate the whole table.  The
+    read-back aggregate proves the result is exactly
+    (old data - old partition + new partition).
+    """
+    path = _scratch("events_dyn")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            ev.filter((F.col("event_type") == "click") & (F.col("value") > 100.0))
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+    )

@@ -228,3 +228,56 @@ def test_approx_distinct_within_rsd(spark):
     assert set(est) == set(exact)
     for k, n in exact.items():
         assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)
+
+
+def test_ann_ivf_kmeans_matches_numpy(spark):
+    """Full numpy recompute of the trained-quantizer IVF: identical
+    sample, Lloyd rounds, assignments, probes, and top-k set."""
+    import numpy as np
+
+    from mr_python_spark.session import load_table
+    from mr_python_spark.similarity import (
+        KM_PROBE_CELLS,
+        KM_QUERY_STRIDE,
+        KM_SAMPLE_CAP,
+        KM_SAMPLE_STRIDE,
+        KM_TOP_K,
+        _kmeans_train,
+        ann_ivf_kmeans,
+    )
+
+    rows = (
+        load_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+
+    X = M[ids % KM_SAMPLE_STRIDE == 0][:KM_SAMPLE_CAP]
+    C = _kmeans_train(X)
+    d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    cell = d.argmin(1)
+
+    normed = M / np.linalg.norm(M, axis=1, keepdims=True)
+    by_id = {int(v): i for i, v in enumerate(ids)}
+    expected = set()
+    for qi, qid in enumerate(ids):
+        if qid % KM_QUERY_STRIDE != 0:
+            continue
+        probes = np.argsort(d[qi], kind="stable")[:KM_PROBE_CELLS]
+        cands = [
+            int(ids[j])
+            for j in range(len(ids))
+            if cell[j] in probes and ids[j] != qid
+        ]
+        cands.sort(key=lambda n: (-(normed[qi] @ normed[by_id[n]]), n))
+        for rank, n in enumerate(cands[:KM_TOP_K], start=1):
+            expected.add((int(qid), n, rank))
+
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann_ivf_kmeans(spark, SF).collect()
+    }
+    assert got == expected

@@ -294,3 +294,66 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(canon, "cluster_id")
         .select("cluster_id", "canonical_id", "dup_doc_id")
     )
+
+
+_DECONTAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM (
+    SELECT doc_id, t, unnest(t) FROM toks
+  )
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM pos WHERE i <= len(t) - 2
+)
+SELECT tr.doc_id,
+       COUNT(*) AS n_shared_shingles,
+       COUNT(DISTINCT ev.doc_id) AS n_eval_docs_hit
+FROM sh tr JOIN sh ev ON tr.shingle = ev.shingle
+WHERE tr.doc_id % 100 <> 0 AND ev.doc_id % 100 = 0
+GROUP BY tr.doc_id
+"""
+
+
+@register("decontaminate_against_eval", _DECONTAM_ORACLE)
+def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing 3-gram shingles
+    with a held-out eval set.
+
+    The pre-training hygiene pass: any document overlapping an
+    evaluation benchmark n-gram is flagged (with how many distinct
+    shingles and how many eval documents it hits) so it can be dropped
+    before training.  The eval set here is the deterministic
+    ``doc_id % 100 == 0`` slice standing in for a benchmark suite.
+
+    Scale shape: both sides reduce to (doc_id, shingle-hash) inverted
+    indexes — 8-byte longs, text never moves — and the flagging is one
+    equi-join on the hash.  The eval index is benchmark-sized
+    (millions of shingles, not corpus-sized) but still NOT
+    broadcast-hinted: stats/AQE pick the strategy, and at a 3 GB eval
+    index a shuffle join is the right call.  Cost is
+    Σ df_train(sh) · df_eval(sh) — bounded by the eval index, never
+    corpus-quadratic.
+    """
+    from mr_python_spark.dedup import shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        shingle_sets(docs)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+    )
+    train = sh.filter(F.col("doc_id") % 100 != 0)
+    ev = sh.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "sh"
+    )
+    return (
+        train.join(ev, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_shingles"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs_hit"),
+        )
+    )

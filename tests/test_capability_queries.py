@@ -103,6 +103,8 @@ REPRESENTATIVE = [
     "doc_rarity_score",
     "docs_quality_filter",
     "dedup_canonical",
+    "decontaminate_against_eval",
+    "sink_dynamic_partition_overwrite",
 ]
 
 

@@ -298,6 +298,20 @@ AUDITS: dict[str, dict] = {
         must=[r"Window"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # decontamination: hash equi-join of two inverted indexes, both
+    # shuffled (eval side deliberately unhinted), text never moves
+    "decontaminate_against_eval": dict(
+        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"xxhash64"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
+    # trained-quantizer IVF: Arrow-batched assignment, broadcast only
+    # the (tiny) probed-query side, window top-k
+    "ann_ivf_kmeans": dict(
+        must=[r"MapInPandas", r"Window", r"BroadcastExchange"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=1,  # the stride-50 probed query set
+    ),
     "setop_intersect_all": dict(
         must=[r"Generate|Expand"], must_not=[r"CartesianProduct"]
     ),

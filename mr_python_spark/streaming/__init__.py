@@ -356,3 +356,62 @@ def streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = result.collect()  # materialize before cleaning the dir
     shutil.rmtree(out_dir, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+_ENRICH_ORACLE = """
+SELECT
+  CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+  CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+       WHEN event_type = 'error' THEN 'fault'
+       ELSE 'engagement' END AS tier,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_static_enrich", _ENRICH_ORACLE)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup per tier.
+
+    The standard production enrichment shape this suite hadn't
+    demonstrated: an unbounded stream joined against a BOUNDED
+    dimension (event-type → business tier).  Unlike stream-stream
+    joins, stream-static joins are STATELESS — the static side is
+    just re-read (or broadcast) per micro-batch, no watermark or
+    buffer on either side — which is why dimension enrichment is
+    cheap at any scale; only the downstream windowed aggregate
+    carries state, bounded by the watermark.  The tier dimension here
+    is a 5-row literal frame standing in for a dimension table; at
+    100 TB the same plan holds with the dim broadcast per batch.
+    """
+    tiers = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("signup", "conversion"),
+            ("purchase", "conversion"),
+            ("error", "fault"),
+        ],
+        ["event_type", "tier"],
+    )
+    stream = staged_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    enriched = stream.join(F.broadcast(tiers), "event_type")
+    win = F.window("ts", "1 hour")
+    agg = (
+        enriched.groupBy(win.alias("w"), F.col("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("win_start"),
+            "tier",
+            "n_events",
+            "sum_value",
+        )
+    )
+    # complete mode so windows the watermark hasn't closed still emit
+    # (same availableNow posture as streaming_tumbling_live)
+    return run_to_memory(spark, agg, "stream_enrich", output_mode="complete")

@@ -357,3 +357,65 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("eval_doc_id").alias("n_eval_docs_hit"),
         )
     )
+
+
+#: token budget per packed training batch
+PACK_BUDGET = 2048
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS n_tokens
+  FROM documents
+),
+run AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS running
+  FROM toks
+)
+SELECT lang,
+       CAST((running - n_tokens) // {PACK_BUDGET} AS BIGINT) AS batch_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
+FROM run
+GROUP BY lang, (running - n_tokens) // {PACK_BUDGET}
+"""
+
+
+@register("pack_training_batches", _PACK_ORACLE)
+def pack_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget batches.
+
+    The batch-prep step between a cleaned corpus and an LLM trainer:
+    documents are packed contiguously (stable doc_id order) into
+    ~``PACK_BUDGET``-token batches via offset-based chunking —
+    ``batch_id = (running_tokens - n_tokens) div budget`` — the
+    deterministic streaming-friendly packing (a doc may straddle a
+    boundary; trainers split or pad there).  The running sum is a
+    per-``lang`` window: packing shards parallelize across languages
+    and state per shard is one counter, so the pass scales as wide as
+    the shard key's cardinality (at 100 TB you shard by
+    (lang, file-group) to keep every core busy).  All-integer →
+    bit-deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(tokens_col()).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = toks.withColumn("running", F.sum("n_tokens").over(w)).select(
+        "lang",
+        "n_tokens",
+        F.expr(f"(running - n_tokens) div {PACK_BUDGET}").alias("batch_id"),
+    )
+    return assigned.groupBy("lang", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("batch_tokens"),
+    )

@@ -447,3 +447,60 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).cast("double") / 100.0).alias("sum_qty"),
         )
     )
+
+
+_SALTED_JOIN_ORACLE = """
+SELECT
+  l.l_returnflag,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(round(l.l_quantity * 100, 0) AS BIGINT) * w.weight) AS BIGINT)
+    AS weighted_qty_fp
+FROM lineitem l
+JOIN (VALUES ('A', 2), ('N', 1), ('R', 3)) w(l_returnflag, weight)
+  ON l.l_returnflag = w.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+
+@register("join_salted_skew", _SALTED_JOIN_ORACLE)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join over a pathologically hot join key.
+
+    The join-side companion to ``agg_salted_skew``: l_returnflag has 3
+    values, so a plain shuffle join lands the whole fact table on 3
+    reducers.  The salt decorrelates: the fact side gets
+    ``pmod(xxhash64(row-id), 16)`` and the dimension side is exploded
+    ×16 (dims replicate cheaply — that asymmetry is the whole trick),
+    so the join key becomes (flag, salt) with 48 evenly-loaded
+    partitions.  Results are identical to the unsalted join, which the
+    oracle checks.  In practice prefer broadcast (tiny dim) or AQE
+    skew-join splitting; manual salting is for shuffle joins where the
+    hot side exceeds both — the mechanics here are the point.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    weights = spark.createDataFrame(
+        [("A", 2), ("N", 1), ("R", 3)], ["l_returnflag", "weight"]
+    )
+    n_salt = 16
+    salted_fact = li.select(
+        "l_returnflag",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt)).alias("salt"),
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("qty_fp"),
+    )
+    salted_dim = weights.select(
+        "l_returnflag",
+        "weight",
+        F.explode(F.array(*[F.lit(s) for s in range(n_salt)])).alias("salt"),
+    )
+    # hint the shuffled path: stats would broadcast this toy dim, but
+    # the scenario being demonstrated is the one where the dim exceeds
+    # the broadcast threshold and the join MUST shuffle — exactly when
+    # hot-key salting matters
+    return (
+        salted_fact.join(salted_dim.hint("shuffle_hash"), ["l_returnflag", "salt"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("qty_fp") * F.col("weight")).alias("weighted_qty_fp"),
+        )
+    )

@@ -105,6 +105,8 @@ REPRESENTATIVE = [
     "dedup_canonical",
     "decontaminate_against_eval",
     "sink_dynamic_partition_overwrite",
+    "join_salted_skew",
+    "pack_training_batches",
 ]
 
 

@@ -312,6 +312,19 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=1,  # the stride-50 probed query set
     ),
+    # salted join: MUST stay on the shuffled path (the salt is the
+    # point), partitioned by the decorrelated (flag, salt) key
+    "join_salted_skew": dict(
+        must=[r"ShuffledHashJoin", r"hashpartitioning\(l_returnflag.*salt"],
+        must_not=[r"CartesianProduct", r"BroadcastHashJoin"],
+        hinted_broadcasts=0,
+    ),
+    # sequence packing: per-shard window + final rollup, no joins
+    "pack_training_batches": dict(
+        must=[r"Window", r"partial_"],
+        must_not=[r"CartesianProduct", r"Join"],
+        hinted_broadcasts=0,
+    ),
     "setop_intersect_all": dict(
         must=[r"Generate|Expand"], must_not=[r"CartesianProduct"]
     ),

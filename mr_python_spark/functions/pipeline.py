@@ -419,3 +419,257 @@ def pack_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("batch_tokens"),
     )
+
+
+#: tokens per retrieval/embedding chunk
+CHUNK_TOKENS = 64
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks
+)
+SELECT doc_id,
+       CAST((i - 1) // {CHUNK_TOKENS} AS BIGINT) AS chunk_id,
+       COUNT(*) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY i) AS chunk_text
+FROM pos
+GROUP BY doc_id, (i - 1) // {CHUNK_TOKENS}
+"""
+
+
+@register("chunk_documents", _CHUNK_ORACLE)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking for embedding / retrieval indexes —
+    with ZERO shuffle.
+
+    Chunking is a per-document operation, so the scale-correct plan
+    never moves data: tokenize once, slice the token array into
+    ``CHUNK_TOKENS``-sized windows with higher-order array functions
+    (``sequence`` → ``slice``), and ``posexplode`` the chunk list —
+    a pure map pipeline, no Exchange anywhere (the plan audit pins
+    ``must_not=[Exchange]``).  The naive alternative (explode tokens →
+    groupBy (doc, pos div k) → re-assemble) shuffles the entire corpus
+    text through the cluster; this shape shuffles nothing, which is
+    the difference between a free pass and a petabyte shuffle at
+    100 TB.  The per-doc lambda state is one doc's tokens — bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens_col().alias("t")).filter(F.size("t") > 0)
+    chunked = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.expr(f"int((size(t) + {CHUNK_TOKENS - 1}) div {CHUNK_TOKENS}) - 1")),
+                lambda i: F.slice(F.col("t"), i * CHUNK_TOKENS + 1, CHUNK_TOKENS),
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size("chunk").cast("bigint").alias("n_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
+
+
+_MIXTURE_ORACLE = """
+WITH c AS (
+  SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+),
+t AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS k FROM c
+),
+r AS (
+  SELECT source, cnt,
+         LEAST(1000, (SELECT total FROM t) * 1000 // ((SELECT k FROM t) * cnt))
+           AS rate_permille
+  FROM c
+)
+SELECT d.source,
+       CAST(ANY_VALUE(r.cnt) AS BIGINT) AS n_docs,
+       CAST(ANY_VALUE(r.rate_permille) AS BIGINT) AS rate_permille,
+       CAST(COUNT(*) FILTER (WHERE (d.doc_id * 2654435761) % 1000 < r.rate_permille)
+            AS BIGINT) AS n_kept
+FROM documents d JOIN r USING (source)
+GROUP BY d.source
+"""
+
+
+@register("mixture_resample_sources", _MIXTURE_ORACLE)
+def mixture_resample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: deterministic per-source downsampling
+    toward an equal-share target mixture.
+
+    Pretraining corpora are blended to a target source mixture; this
+    pass computes, per source, the keep-rate that moves the corpus
+    toward equal shares (``rate = min(1, total / (k · count))`` in
+    exact permille arithmetic — overrepresented sources are
+    downsampled, underrepresented ones capped at keep-everything since
+    sampling can't upsample), then applies it with the same Knuth
+    multiplicative hash as :func:`stratified_sample_documents` so the
+    sample is identical across engines, partitionings, and reruns.
+
+    Two passes: a per-source count (map-side combined; output is
+    source-cardinality-sized, i.e. tiny), then a re-scan applying the
+    rate.  The 1-row corpus total rides an explicit broadcast; the
+    per-source rate table is joined WITHOUT a hint — source
+    cardinality is data-dependent, so stats/AQE pick the strategy.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("k"))
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "cnt",
+        F.least(F.lit(1000).cast("bigint"), F.expr("total * 1000 div (k * cnt)")).alias(
+            "rate_permille"
+        ),
+    )
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    return (
+        docs.join(rates, "source")
+        .groupBy("source")
+        .agg(
+            F.min("cnt").alias("n_docs"),
+            F.min("rate_permille").alias("rate_permille"),
+            F.sum(
+                F.when(bucket < F.col("rate_permille"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_kept"),
+        )
+    )
+
+
+#: PII scrub patterns — identical semantics in Java regex (Spark) and
+#: RE2 (DuckDB): no backrefs, no lookaround.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"555-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+           text || ' reach user' || doc_id || '@example.com or 555-' ||
+           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE text END AS itext
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, itext,
+         regexp_replace(regexp_replace(itext, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{PII_PHONE_RE}', '[PHONE]', 'g') AS clean
+  FROM injected
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(itext, '{PII_EMAIL_RE}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(itext, '{PII_PHONE_RE}')) AS BIGINT) AS n_phone,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       CAST(len(regexp_extract_all(clean, '{PII_EMAIL_RE}'))
+            + len(regexp_extract_all(clean, '{PII_PHONE_RE}')) AS BIGINT) AS n_residual
+FROM scrubbed
+"""
+
+
+@register("pii_scrub_canaries", _PII_ORACLE)
+def pii_scrub_canaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with canary validation: inject deterministic
+    synthetic PII, scrub it, and verify nothing survives.
+
+    The standard way to validate a redaction pass over a corpus that
+    should contain no PII is to plant canaries: a deterministic subset
+    (``doc_id % 7 == 0``) gets a synthetic email + phone appended, the
+    scrubber runs over everything, and the output reports per-doc
+    detection counts plus ``n_residual`` — matches remaining AFTER
+    scrubbing, which must be zero or the scrubber leaks.  The patterns
+    avoid every Java-vs-RE2 divergence (no backrefs/lookaround), so
+    Spark and the DuckDB oracle agree byte-for-byte.
+
+    Pure map pipeline: regex count + replace in one projection, zero
+    shuffle, whole-stage codegen end to end — at 100 TB this runs at
+    scan speed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("itext"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("itext"), PII_EMAIL_RE, "[EMAIL]"),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    scrubbed = injected.select("doc_id", "itext", clean.alias("clean"))
+    return scrubbed.select(
+        "doc_id",
+        F.regexp_count("itext", F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_email"),
+        F.regexp_count("itext", F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phone"),
+        F.length("clean").cast("bigint").alias("clean_len"),
+        (
+            F.regexp_count("clean", F.lit(PII_EMAIL_RE))
+            + F.regexp_count("clean", F.lit(PII_PHONE_RE))
+        )
+        .cast("bigint")
+        .alias("n_residual"),
+    )
+
+
+#: training-order shards; at scale set to ~4× total cores so every
+#: executor sorts a bounded slice (the shard count is the parallelism)
+SHUFFLE_SHARDS = 8
+
+_SHUFFLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         (doc_id * 2654435761) % 1000003 AS skey
+  FROM documents
+)
+SELECT doc_id,
+       CAST(skey % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY skey % {SHUFFLE_SHARDS} ORDER BY skey, doc_id
+       ) AS BIGINT) AS pos
+FROM keyed
+"""
+
+
+@register("shuffle_shard_order", _SHUFFLE_ORACLE)
+def shuffle_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: shard + position.
+
+    Trainers need the corpus in a pseudo-random but REPRODUCIBLE order.
+    A seeded ``orderBy(rand())`` depends on partitioning; instead each
+    doc gets a multiplicative-hash key (mod a prime so consecutive ids
+    scatter), a shard (``key mod SHUFFLE_SHARDS``), and a dense
+    in-shard position from a per-shard window — the same order on any
+    engine, any partitioning, any rerun.  Ties (hash collisions) break
+    on ``doc_id``, so the order is total.
+
+    One shuffle on shard, then an in-partition sort of a 1/shards
+    slice.  Shard count is the scaling knob: at 100 TB use ~4× cores
+    so each sort is bounded; writing shard files in ``pos`` order then
+    yields streaming-ready training data with no global sort anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "skey", (F.col("doc_id") * F.lit(2654435761)) % 1000003
+    ).withColumn("shard", (F.col("skey") % SHUFFLE_SHARDS).cast("bigint"))
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

@@ -399,6 +399,32 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=1,  # the 1-row avg aggregate
     ),
+    # chunking is per-document: the plan must be a pure map pipeline —
+    # any Exchange here means the corpus text is being shuffled
+    "chunk_documents": dict(
+        must=[r"Generate"],  # the posexplode of the chunk list
+        must_not=[r"Exchange", r"Join", r"CartesianProduct"],
+        hinted_broadcasts=0,
+    ),
+    # two-pass resample: per-source counts, then rate application;
+    # only the 1-row totals aggregate is broadcast-hinted
+    "mixture_resample_sources": dict(
+        must=[r"partial_", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=1,  # the 1-row (total, k) aggregate
+    ),
+    # regex count+replace in one projection: scan-speed map, no shuffle
+    "pii_scrub_canaries": dict(
+        must=[r"codegen id"],
+        must_not=[r"Exchange", r"Join", r"CartesianProduct"],
+        hinted_broadcasts=0,
+    ),
+    # one shuffle on shard, bounded in-partition sort
+    "shuffle_shard_order": dict(
+        must=[r"Window"],
+        must_not=[r"CartesianProduct", r"Join"],
+        hinted_broadcasts=0,
+    ),
 }
 
 

@@ -347,3 +347,37 @@ def unpivot_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="event_type",
         valueColumnName="amount",
     ).filter(F.col("amount").isNotNull())
+
+
+_HISTOGRAM_ORACLE = """
+SELECT
+  CAST(round(l_extendedprice * 100, 0) AS BIGINT) // 500000 AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+    AS total_price
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register("histogram_prices", _HISTOGRAM_ORACLE)
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of extended price ($5,000 bins).
+
+    Equi-width binning as pure integer arithmetic: price → exact cents
+    (fixed point) → integer-divide by the bin width in cents.  No float
+    ever decides a bin boundary, so engine and oracle bucket
+    identically even for prices exactly on an edge.  One scan, one
+    partial+final hash aggregate on a low-cardinality key — the
+    histogram never materializes more rows than bins.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cents = fixed_point(F.col("l_extendedprice"), 2)
+    return (
+        lineitem.select(cents.alias("cents"))
+        .groupBy((F.col("cents") / 500000).cast("long").alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("cents").cast("double") / 100.0).alias("total_price"),
+        )
+    )

@@ -1,0 +1,197 @@
+"""Time-series and change-data-capture shapes: gap-fill, SCD2, upserts.
+
+The reference engine has no temporal operators (its closest construct
+is the in-key secondary sort, tinymr.py:316-343) — these are capability
+extensions in the direction every warehouse workload eventually needs:
+densifying an irregular event series onto a calendar, building
+slowly-changing-dimension history from a changelog, and applying a
+changelog onto a keyed snapshot (the MERGE/upsert shape Spark expresses
+as a join when no transactional table format is present).
+
+Scale posture: every query here shuffles once on its natural key
+(``user_id`` / ``c_custkey``) and then runs bounded per-key windows —
+state per key is the key's own row span, never the corpus.  Calendar
+densification generates rows with ``sequence`` + ``explode`` JVM-side
+(no Python), so the expansion happens after the shuffle, inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mr_python_spark.registry import register
+from mr_python_spark.session import load_table
+
+
+_GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
+cal AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+)
+SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day,
+       COALESCE(d.n_events, 0) AS n_events,
+       last_value(CAST(d.v AS DOUBLE) IGNORE NULLS) OVER (
+         PARTITION BY c.user_id ORDER BY c.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+"""
+
+
+@register("timeseries_gapfill", _GAPFILL_ORACLE)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify per-user daily series onto a calendar + forward-fill.
+
+    Irregular events → one row per (user, day) over each user's own
+    [first_day, last_day] span: missing days appear with ``n_events=0``
+    and the day's summed value forward-filled from the last observed
+    day (``last(..., ignorenulls=True)`` over a running frame).
+
+    Scale: the calendar is generated per user from an aggregated
+    2-column span table (``sequence`` + ``explode``, JVM codegen), so
+    the expansion is output-sized, and the fill window partitions by
+    user — state is one user's day span.  The daily sum is exact
+    fixed-point (decimal) before a single cast to double, so the
+    forward-filled value is bit-deterministic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+        )
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last(F.col("v").cast("double"), ignorenulls=True)
+            .over(w)
+            .alias("v_filled"),
+        )
+    )
+
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM changes
+"""
+
+
+@register("scd2_event_intervals", _SCD2_ORACLE)
+def scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build SCD2 validity intervals from an event changelog.
+
+    Per user, consecutive events with the same type collapse into one
+    row whose interval is ``[valid_from, valid_to)``; the current state
+    has ``valid_to IS NULL``.  Two stacked windows on the SAME
+    partitioning+ordering (``user_id``, then ``ts, event_id``): change
+    detection via ``lag``, interval close via ``lead`` — Catalyst
+    reuses one shuffle+sort for both since the window specs match.
+    Event id breaks timestamp ties so the history is deterministic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
+_CDC_ORACLE = """
+WITH latest AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT c.c_custkey,
+       CASE WHEN l.user_id IS NULL THEN 'unchanged' ELSE 'updated' END AS status,
+       COALESCE(l.value, CAST(c.c_acctbal AS DOUBLE)) AS balance
+FROM customer c
+LEFT JOIN latest l ON c.c_custkey = l.user_id
+WHERE l.user_id IS NULL OR l.event_type <> 'error'
+"""
+
+
+@register("cdc_latest_snapshot", _CDC_ORACLE)
+def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a changelog onto a keyed snapshot (MERGE without MERGE).
+
+    The upsert shape: events play a CDC stream keyed by ``user_id``
+    over the customer snapshot — the newest record per key wins
+    (``row_number`` window, timestamp + id tiebreak), ``error`` events
+    act as deletes, anything else updates the balance.  Expressed as
+    latest-per-key reduction → left join → filter/coalesce, which is
+    exactly what table formats compile MERGE into; both sides shuffle
+    once on the key and AQE picks the join strategy from runtime sizes
+    (at this SF the reduced changelog broadcasts; at 100 TB it
+    shuffle-joins co-partitioned with the snapshot).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        events.select("user_id", "event_type", "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "ts", "event_id")
+    )
+    return (
+        customer.join(latest, customer.c_custkey == latest.user_id, "left")
+        .filter(F.col("user_id").isNull() | (F.col("event_type") != "error"))
+        .select(
+            "c_custkey",
+            F.when(F.col("user_id").isNull(), "unchanged")
+            .otherwise("updated")
+            .alias("status"),
+            F.coalesce("value", F.col("c_acctbal").cast("double")).alias("balance"),
+        )
+    )

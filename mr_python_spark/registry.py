@@ -50,9 +50,10 @@ PRIORITY: list[str] = [
     "join_range_tiers",
     "join_asof_events",
     "join_bucketed_colocated",
-    # window functions
+    # window functions (running-frame shape also covered by the
+    # gap-fill's ignore-nulls running window)
     "window_rank_dense",
-    "window_running_total",
+    "timeseries_gapfill",
     # set ops
     "setop_intersect",
     # sorts / limits
@@ -123,6 +124,7 @@ def load_all_modules() -> None:
         setops,
         sorting,
         stats,
+        timeseries,
         tpch,
         tpch_advanced,
         windows,

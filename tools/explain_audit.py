@@ -425,6 +425,34 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"Join"],
         hinted_broadcasts=0,
     ),
+    # calendar densification: JVM-side sequence+explode (Generate),
+    # map-side-combined daily aggregate, per-user fill window; join
+    # strategy left to stats (both sides scale with the corpus)
+    "timeseries_gapfill": dict(
+        must=[r"Generate", r"partial_", r"Window"],
+        must_not=[r"CartesianProduct", r"PythonUDF"],
+        hinted_broadcasts=0,
+    ),
+    # both stacked windows (lag-change-detect, lead-close) share ONE
+    # shuffle+sort: exactly one Exchange node in the whole plan
+    "scd2_event_intervals": dict(
+        must=[r"lag\(", r"lead\("],
+        must_not=[r"CartesianProduct", r"(?s)\(\d+\) Exchange.*\(\d+\) Exchange"],
+        hinted_broadcasts=0,
+    ),
+    # latest-per-key must push the top-1 into the shuffle as
+    # partial+final WindowGroupLimit, not rank-then-filter a full sort
+    "cdc_latest_snapshot": dict(
+        must=[r"WindowGroupLimit", r"row_number"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=0,
+    ),
+    # single pruned column into a partial+final hash aggregate
+    "histogram_prices": dict(
+        must=[r"ReadSchema: struct<l_extendedprice:double>", r"partial_"],
+        must_not=[r"CartesianProduct", r"Exchange.*Exchange.*Exchange"],
+        hinted_broadcasts=0,
+    ),
 }
 
 

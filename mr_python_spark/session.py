@@ -124,10 +124,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     """
     ensure_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # timestamp[us] parquet without a timezone loads as
+            # TIMESTAMP_NTZ; the session timezone is pinned to UTC
+            # (ensure_session), so casting to TIMESTAMP is
+            # value-preserving and keeps withWatermark usable downstream.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

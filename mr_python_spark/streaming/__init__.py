@@ -62,8 +62,15 @@ def staged_events_stream(spark: SparkSession, sf_dir: str):
         shutil.copy(src, staged)
     raw_schema = spark.read.parquet(staged).schema
     stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
-    if dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts") == "bigint":
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # parquet timestamp[us] without a timezone loads as TIMESTAMP_NTZ,
+        # which withWatermark rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+        # ensure_session pins the session timezone to UTC, so the cast is
+        # value-preserving and batch oracles keep matching.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -205,3 +205,131 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(spark, sessions, "stream_sessions")
+
+
+def _has_protobuf() -> bool:
+    """pyspark's transformWithState Python workers speak protobuf to the
+    JVM (pyspark/sql/streaming/proto/StateMessage_pb2); without the
+    ``protobuf`` package the driver worker crashes on import."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via ``transformWithStateInPandas`` (Spark 4.x API).
+
+    The successor to ``applyInPandasWithState``: state variables are
+    named and typed (``getValueState``), timers are first-class, and
+    the state store must be RocksDB — the production-scale backend
+    (incremental checkpoints, state no longer bounded by executor
+    heap).  Same sessionization semantics and oracle as
+    ``streaming_stateful_sessions``, which is kept for comparison on
+    the legacy API.
+
+    Registered only when the ``protobuf`` package is importable: the
+    API's Python↔JVM state channel is protobuf-serialized, so on
+    environments without it (this container) the query is withheld
+    from the registry rather than registered-and-broken; calling it
+    directly raises immediately with the reason.
+    """
+    if not _has_protobuf():
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark's state channel is protobuf-serialized); use "
+            "streaming_stateful_sessions (applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    gap_us = 30 * 60 * 1_000_000
+
+    class Sessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # open-session state: (start_epoch_us, last_epoch_us, n_events)
+            self._open = handle.getValueState(
+                "open_session", "start_us long, last_us long, n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            prior = self._open.get() if self._open.exists() else None
+            start_us, last_us, n = prior if prior is not None else (-1, -1, 0)
+            closed: list[tuple[int, int, int]] = []
+            # rows for one key can span Arrow chunks in shuffle order;
+            # accumulate every chunk, then sort once (same contract as
+            # the applyInPandasWithState variant above)
+            chunks = [
+                pd.to_datetime(pdf["ts"]).astype("int64") // 1000 for pdf in rows
+            ]
+            ts_all = (
+                pd.concat(chunks).sort_values()
+                if chunks
+                else pd.Series([], dtype="int64")
+            )
+            for t in ts_all:
+                t = int(t)
+                if n == 0:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us <= gap_us:
+                    last_us, n = t, n + 1
+                else:
+                    closed.append((user_id, start_us // 1_000_000, n))
+                    start_us, last_us, n = t, t, 1
+            # availableNow: the stream ends with this batch — flush the
+            # open session.  (Production: keep state + register an
+            # event-time timer and emit from handleExpiredTimer.)
+            if n > 0:
+                closed.append((user_id, start_us // 1_000_000, n))
+                self._open.clear()
+            if closed:
+                yield pd.DataFrame(
+                    closed, columns=["user_id", "session_start", "n_events"]
+                )
+
+    # transformWithState requires the RocksDB state store provider
+    prior_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = staged_events_stream(spark, sf_dir).select("user_id", "ts")
+        sessions = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                Sessionizer(),
+                outputStructType=out_schema,
+                outputMode="append",
+                timeMode="eventTime",
+            )
+        )
+        return run_to_memory(spark, sessions, "stream_sessions_tws")
+    finally:
+        if prior_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior_provider
+            )
+
+
+if _has_protobuf():
+    streaming_sessions_tws = register("streaming_sessions_tws", _SSESSION_ORACLE)(
+        streaming_sessions_tws
+    )

@@ -63,3 +63,29 @@ def test_streaming_static_enrich_matches_batch(spark):
     live = {tuple(r) for r in streaming_static_enrich(spark, SF).collect()}
     assert live == expected
     assert len(live) > 0
+
+
+def test_streaming_sessions_tws_gate(spark):
+    """transformWithStateInPandas variant: runs (and matches the legacy
+    applyInPandasWithState sessionizer) when protobuf is available;
+    without it, the query is withheld from the registry and raises a
+    clear ImportError instead of crashing deep inside the stream."""
+    import pytest
+
+    from mr_python_spark.registry import QUERIES, load_all_modules
+    from mr_python_spark.streaming.stateful import (
+        _has_protobuf,
+        streaming_sessions_tws,
+        streaming_stateful_sessions,
+    )
+
+    load_all_modules()
+    if not _has_protobuf():
+        assert "streaming_sessions_tws" not in QUERIES
+        with pytest.raises(ImportError, match="protobuf"):
+            streaming_sessions_tws(spark, SF)
+        pytest.skip("protobuf not installed: transformWithState unavailable")
+    assert "streaming_sessions_tws" in QUERIES
+    new = {tuple(r) for r in streaming_sessions_tws(spark, SF).collect()}
+    old = {tuple(r) for r in streaming_stateful_sessions(spark, SF).collect()}
+    assert new == old and len(new) > 0

@@ -43,6 +43,11 @@ MERSENNE_PRIME = (1 << 31) - 1
 #: deterministic affine hash family (fixed seeds → reproducible runs)
 _HASH_A = [2 * i + 1 for i in range(1, MINHASH_HASHES + 1)]
 _HASH_B = [1_000_003 * i + 12345 for i in range(MINHASH_HASHES)]
+#: LSH buckets with more docs than this are dropped from candidate
+#: generation (a boilerplate band hash would otherwise cost |bucket|²
+#: pairs); observed bucket sizes at tested SFs top out at 16, so the
+#: default only engages on pathological boilerplate
+LSH_BUCKET_CAP = 64
 
 
 def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
@@ -308,13 +313,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, *, docs: DataFrame | None = None
+) -> DataFrame:
     """64 minhashes per document in one pass (doc_id, sig array<long>).
 
     Shingle → xxhash64 → 64 affine permutations (a·h+b mod p) →
     64 parallel MIN aggregates with map-side combine.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     sh = (
         shingle_sets(docs)
         .select("doc_id", F.explode("sh").alias("shingle"))
@@ -334,17 +342,40 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("dedup_minhash_lsh")  # driver-tier rows-only; udf-oracle in tools/udf_oracles.py
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    docs: DataFrame | None = None,
+) -> DataFrame:
     """MinHash-LSH near-dup candidates, verified with exact Jaccard.
 
-    Band signatures (16 bands × 4 rows) → bucket join on
-    (band, band_hash) → distinct candidate pairs → exact Jaccard via
+    Band signatures (16 bands × 4 rows) → per-(band, band_hash) bucket
+    grouping → pairs within each bucket → exact Jaccard via
     array_intersect on distinct-shingle arrays.  Returns pairs with
     jaccard ≥ 0.5.  Fully deterministic (seeded hash family) but
-    rows-only checked — DuckDB lacks xxhash64.
+    rows-only checked at the driver — DuckDB lacks xxhash64; the full
+    udf-oracle lives in tools/udf_oracles.py and the Python
+    reimplementation in tests/test_hash_pipelines.py.
+
+    Scale posture: buckets larger than ``bucket_cap`` docs are DROPPED
+    (standard LSH practice — same recall trade as the ngram path's
+    df-cap).  A bucket of size B yields B² candidate pairs, so one
+    boilerplate band hash shared by 10⁶ documents would alone cost
+    10¹² pairs; the cap bounds per-bucket work at cap² while real
+    near-dup clusters (which collide in MANY bands) keep their pairs
+    from whichever of their buckets stay under the cap.  Candidates
+    are generated by grouping each bucket's doc list and exploding
+    in-bucket pairs JVM-side — ONE shuffle of (band, bhash, doc_id),
+    against three for the equivalent bands-table self-join, and the
+    cap is a WHERE on the grouped size rather than a separate
+    bucket-histogram join.
     """
     rows_per_band = MINHASH_HASHES // MINHASH_BANDS
-    sig = minhash_signatures(spark, sf_dir)
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(spark, sf_dir, docs=docs)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -360,20 +391,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bhash").cache()
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    ).select("doc_id", "bb.band", "bb.bhash")
+    buckets = (
+        bands.groupBy("band", "bhash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= bucket_cap))
     )
-    docs = load_table(spark, sf_dir, "documents")
+    pair = F.explode(
+        F.expr(
+            """
+            flatten(transform(ds, (x, i) ->
+              transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+                struct(x AS doc_a, y AS doc_b))))
+            """
+        )
+    )
+    cand = buckets.select(pair.alias("p")).select("p.doc_a", "p.doc_b").distinct()
     sh_sets = shingle_sets(docs).cache()
     sa = sh_sets.alias("sa")
     sb = sh_sets.alias("sb")

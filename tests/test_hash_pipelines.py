@@ -78,8 +78,12 @@ def test_minhash_lsh_pipeline(spark):
         for b in range(MINHASH_BANDS):
             band_key = (b, tuple(sig[b * rows_per_band : (b + 1) * rows_per_band]))
             buckets[band_key].add(doc)
+    from mr_python_spark.dedup import LSH_BUCKET_CAP
+
     cand = set()
     for docs_in_bucket in buckets.values():
+        if len(docs_in_bucket) > LSH_BUCKET_CAP:
+            continue  # engine drops oversized buckets
         ds = sorted(docs_in_bucket)
         for i, x in enumerate(ds):
             for y in ds[i + 1 :]:
@@ -281,3 +285,33 @@ def test_ann_ivf_kmeans_matches_numpy(spark):
         for r in ann_ivf_kmeans(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_minhash_lsh_bucket_cap(spark):
+    """Oversized LSH buckets are dropped; small buckets keep their pairs.
+
+    A 6-copy boilerplate cluster collides in every band, so with
+    bucket_cap=4 all its buckets are oversized and it yields NO pairs;
+    a 2-copy pair stays under the cap and survives.  The same corpus
+    with the default cap returns the boilerplate pairs too — proving
+    the cap (not banding) is what removed them.
+    """
+    from mr_python_spark.dedup import dedup_minhash_lsh
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    near = "completely different text about distributed minhash banding"
+    rows = [(i, boiler) for i in range(6)] + [(100, near), (101, near)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(spark, SF, bucket_cap=4, docs=docs).collect()
+    }
+    assert capped == {(100, 101)}
+
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(spark, SF, docs=docs).collect()
+    }
+    boiler_pairs = {(a, b) for a in range(6) for b in range(6) if a < b}
+    assert full == boiler_pairs | {(100, 101)}

@@ -137,19 +137,30 @@ def run() -> None:
     spark = get_spark("scale_probe")
     qs = entrymod.queries()
 
-    # warm: run the set once at sf0.1 (codegen, readers, shuffle paths)
-    for name in QUERIES:
-        qs[name](spark, SRC).write.format("noop").mode("overwrite").save()
+    # Warm BOTH scale factors (codegen, parquet footers, page cache,
+    # shuffle paths).  The probe's question is whether COMPUTE scales
+    # sub-quadratically with data — warming only sf0.1 (the old
+    # behavior) charged sf1 alone for one-time costs and inflated its
+    # ratios ~2-3x (minhash read 7.3x cold vs ~2x steady-state),
+    # which misreads as superlinear compute.  One-time costs are
+    # per-process, not per-decade-of-data: a cluster pays them once.
+    for sf_dir in (SRC, DST):
+        for name in QUERIES:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     result: dict[str, dict[str, float]] = {}
     for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
         timings = {}
         for name in QUERIES:
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(2):  # best-of-2: shield ratios from noise
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
         timings["total"] = round(sum(timings.values()), 3)
         result[sf_name] = timings
+    result["method"] = "both SFs warmed, per-query best-of-2"
     result["ratio_10x_data"] = {
         k: round(result["sf1"][k] / result["sf0.1"][k], 2)
         for k in result["sf0.1"]

@@ -39,6 +39,7 @@ MINHASH_BANDS = 16
 MERSENNE_PRIME = (1 << 31) - 1
 HASH_A = [2 * i + 1 for i in range(1, MINHASH_HASHES + 1)]
 HASH_B = [1_000_003 * i + 12345 for i in range(MINHASH_HASHES)]
+LSH_BUCKET_CAP = 64
 RP_BANDS = 4
 RP_SLOT_BITS = 16
 RP_MAX_BITS = RP_BANDS * RP_SLOT_BITS
@@ -132,10 +133,16 @@ sig AS (
 bands AS (
   {band_selects}
 ),
+small_buckets AS (
+  -- mirror the engine's LSH_BUCKET_CAP: oversized buckets are dropped
+  SELECT band, bhash FROM bands
+  GROUP BY band, bhash HAVING count(*) <= {LSH_BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+  JOIN small_buckets s ON a.band = s.band AND a.bhash = s.bhash
 ),
 shs AS (
   SELECT doc_id, list(shingle) AS sh FROM sh GROUP BY doc_id

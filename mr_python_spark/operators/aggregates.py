@@ -162,6 +162,43 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENVELOPE_ORACLE = """
+SELECT
+  event_type,
+  COUNT(DISTINCT user_id) AS n_users_exact,
+  TRUE AS approx_within_2pct
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("approx_distinct_envelope", _ENVELOPE_ORACLE)
+def approx_distinct_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable envelope on the HLL estimate.
+
+    ``approx_distinct_users`` itself can only be rows-only checked
+    (HLL sketches are engine-specific), so this companion makes the
+    accuracy claim gateable: it emits the EXACT per-key distinct
+    count (verified value-for-value against DuckDB's own exact
+    count) plus a flag asserting the HLL estimate (rsd = 1%) landed
+    within ±2% (2×rsd) of it.  If Spark's estimator ever drifts past
+    the envelope the flag flips false and the hash compare fails.
+    """
+    events = load_table(spark, sf_dir, "events")
+    both = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+    )
+    return both.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("approx") - F.col("n_users_exact"))
+            <= 0.02 * F.col("n_users_exact")
+        ).alias("approx_within_2pct"),
+    )
+
+
 _CUBE_ORACLE = """
 SELECT
   o_orderstatus,

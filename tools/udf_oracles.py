@@ -82,6 +82,15 @@ def register_udfs(con) -> None:
             [duckdb.list_type(duckdb.typing.DOUBLE), INTEGER, INTEGER],
             BIGINT,
         )
+        con.create_function(
+            "km_cell", _km_cell, [duckdb.list_type(duckdb.typing.DOUBLE)], INTEGER
+        )
+        con.create_function(
+            "km_probe",
+            _km_probe,
+            [duckdb.list_type(duckdb.typing.DOUBLE)],
+            duckdb.list_type(INTEGER),
+        )
     except Exception as e:  # already registered on this connection
         if "already" not in str(e).lower():
             raise
@@ -259,6 +268,94 @@ WHERE list_sum(list_transform(list_zip(a.e, b.e), p -> CAST(p[1] AS DOUBLE) * CA
 """
 
 
+# --- trained-quantizer IVF (ann_ivf_kmeans) ---------------------------
+# mirror the engine's spec (mr_python_spark/similarity/__init__.py):
+# sample = vec_id % stride == 0, ordered, first 1024; first-k init;
+# 5 Lloyd rounds; argmin ties to the lowest cell; empty cells frozen.
+KM_CELLS = 16
+KM_ITERS = 5
+KM_SAMPLE_STRIDE = 7
+KM_SAMPLE_CAP = 1024
+KM_PROBE_CELLS = 2
+KM_QUERY_STRIDE = 50
+KM_TOP_K = 3
+
+#: centroid matrices keyed by sf_dir (training reads the parquet
+#: directly; the harness exposes the SF under test via this env var)
+_KM_CENTROIDS: dict[str, "np.ndarray"] = {}
+
+
+def _km_centroids() -> "np.ndarray":
+    sf_dir = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
+    C = _KM_CENTROIDS.get(sf_dir)
+    if C is None:
+        import duckdb
+
+        rows = duckdb.sql(
+            f"""
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM '{sf_dir}/embeddings.parquet'
+            WHERE vec_id % {KM_SAMPLE_STRIDE} = 0
+            ORDER BY vec_id LIMIT {KM_SAMPLE_CAP}
+            """
+        ).fetchall()
+        X = np.array([r[0] for r in rows], dtype=np.float64)
+        k = min(KM_CELLS, len(X))
+        C = X[:k].copy()
+        for _ in range(KM_ITERS):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for j in range(k):
+                members = X[a == j]
+                if len(members):
+                    C[j] = members.mean(0)
+        _KM_CENTROIDS[sf_dir] = C
+    return C
+
+
+def _km_cell(e) -> int:
+    C = _km_centroids()
+    d = ((np.asarray(e, dtype=np.float64)[None, :] - C) ** 2).sum(-1)
+    return int(d.argmin())
+
+
+def _km_probe(e) -> list:
+    C = _km_centroids()
+    d = ((np.asarray(e, dtype=np.float64)[None, :] - C) ** 2).sum(-1)
+    return [int(c) for c in np.argsort(d, kind="stable")[:KM_PROBE_CELLS]]
+
+
+def _ann_ivf_kmeans_sql() -> str:
+    # cosine formulation copied from the passing ann_brute_topk oracle
+    # (list_zip product sum / norms) so score bits match the engine's
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+), cells AS (
+  SELECT vec_id, km_cell(e) AS cell, e, nrm FROM n
+), q AS (
+  SELECT vec_id AS query_id, unnest(km_probe(e)) AS cell, e AS qe, nrm AS qnrm
+  FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0
+), scored AS (
+  SELECT
+    q.query_id,
+    cells.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(q.qe, cells.e), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (q.qnrm * cells.nrm) AS score
+  FROM q JOIN cells ON q.cell = cells.cell AND q.query_id <> cells.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {KM_TOP_K}
+"""
+
+
 def udf_oracles() -> dict[str, str]:
     """name -> DuckDB SQL requiring :func:`register_udfs` on the connection."""
     return {
@@ -266,4 +363,5 @@ def udf_oracles() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "dedup_embedding_lsh": _embedding_lsh_sql(),
+        "ann_ivf_kmeans": _ann_ivf_kmeans_sql(),
     }

@@ -337,3 +337,195 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= KM_TOP_K)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+#: product-quantization parameters (deterministic, like the coarse stage)
+PQ_M = 8  #: subvector count (64-dim vectors → 8-dim subspaces)
+PQ_KS = 16  #: codebook entries per subspace (4-bit codes)
+PQ_RERANK = 10  #: ADC shortlist size fed to the exact rerank
+
+
+def _pq_train(Xn: "np.ndarray") -> "np.ndarray":
+    """Per-subspace deterministic k-means codebooks (PQ_M × PQ_KS × dsub).
+
+    Same Lloyd spec as the coarse quantizer (first-k init, fixed
+    rounds, argmin ties to the lowest code, empty codes frozen), run
+    independently in each of the PQ_M subspaces of the normalized
+    sample.
+    """
+    dsub = Xn.shape[1] // PQ_M
+    books = []
+    for m in range(PQ_M):
+        S = Xn[:, m * dsub : (m + 1) * dsub]
+        k = min(PQ_KS, len(S))
+        C = S[:k].copy()
+        for _ in range(KM_ITERS):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for j in range(k):
+                members = S[a == j]
+                if len(members):
+                    C[j] = members.mean(0)
+        books.append(C)
+    return np.stack(books)
+
+
+_ENC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("code", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+_PROBE_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("adc_table", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+@register("ann_ivf_pq")  # udf-oracle in tools/udf_oracles.py (numpy PQ reimplementation)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact rerank — the billion-vector production ANN shape.
+
+    Three stages, all bounded:
+
+    1. TRAIN (driver, constant): the same ≤1024-row sample as
+       ``ann_ivf_kmeans``, L2-normalized; coarse k-means for the IVF
+       cells plus per-subspace k-means codebooks (8 subspaces × 16
+       codes — 4-bit PQ).
+    2. ENCODE (one ``mapInPandas`` pass): every corpus vector →
+       (cell, 8-byte code).  At 100 TB this is the point: the search
+       structure is 8 bytes + a cell id per vector — a 256-dim f32
+       corpus compresses ~128×, so the candidate scan reads codes,
+       never vectors.
+    3. SEARCH: queries (stride-50) probe their 2 nearest cells; the
+       per-query ADC lookup table (subspace-dot of the query against
+       every codebook entry — 8×16 doubles) is built query-side and
+       travels WITH the query row, so candidate scoring is a pure
+       JVM table-lookup sum (``aggregate(transform(code, ...))``)
+       over broadcast queries — no Python in the per-candidate path.
+       The ADC top-``PQ_RERANK`` shortlist then gets EXACT cosine
+       (the standard rerank) and the final window keeps top-k.
+
+    Fully deterministic (seeded nothing — first-k init everywhere),
+    verified against an independent numpy reimplementation via the
+    DuckDB udf-oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sample = (
+        emb.filter(F.col("vec_id") % KM_SAMPLE_STRIDE == 0)
+        .orderBy("vec_id")
+        .limit(KM_SAMPLE_CAP)
+        .collect()
+    )
+    X = np.array([r.embedding for r in sample], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = _kmeans_train(Xn)
+    books = _pq_train(Xn)
+    dsub = Xn.shape[1] // PQ_M
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(list(pdf["embedding"]), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            cell = ((Mn[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            codes = np.empty((len(Mn), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                S = Mn[:, m * dsub : (m + 1) * dsub]
+                codes[:, m] = (
+                    ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(-1).argmin(1)
+                )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cell": cell.astype(np.int32),
+                    "code": list(codes),
+                }
+            )
+
+    def probe_with_table(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(list(pdf["embedding"]), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            d = ((Mn[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            near = np.argsort(d, axis=1, kind="stable")[:, :KM_PROBE_CELLS]
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out_ids, out_cells, out_tables = [], [], []
+            for row in range(len(Mn)):
+                # ADC table: subspace-dot of the query against every
+                # codebook entry, flattened [m * PQ_KS + c]
+                table = np.concatenate(
+                    [
+                        books[m] @ Mn[row, m * dsub : (m + 1) * dsub]
+                        for m in range(PQ_M)
+                    ]
+                )
+                for cell in near[row]:
+                    out_ids.append(ids[row])
+                    out_cells.append(int(cell))
+                    out_tables.append(table)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_ids, dtype=np.int64),
+                    "cell": np.array(out_cells, dtype=np.int32),
+                    "adc_table": out_tables,
+                }
+            )
+
+    enc = emb.mapInPandas(encode, _ENC_SCHEMA)
+    queries = emb.filter(F.col("vec_id") % KM_QUERY_STRIDE == 0).mapInPandas(
+        probe_with_table, _PROBE_TABLE_SCHEMA
+    )
+    # candidate scoring: pure JVM lookup-sum over the broadcast queries
+    approx = (
+        F.broadcast(queries)
+        .join(enc, (queries.cell == enc.cell) & (queries.query_id != enc.vec_id))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                f"aggregate(transform(code, (c, m) -> "
+                f"element_at(adc_table, m * {PQ_KS} + c + 1)), "
+                f"cast(0 as double), (acc, x) -> acc + x)"
+            ).alias("adc_score"),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    shortlist = approx.withColumn("srank", F.row_number().over(w_short)).filter(
+        F.col("srank") <= PQ_RERANK
+    )
+    # exact rerank on the shortlist
+    v = emb.select("vec_id", to_double(F.col("embedding")).alias("e"))
+    reranked = (
+        shortlist.join(
+            v.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")),
+            F.col("query_id") == F.col("qid"),
+        )
+        .join(
+            v.select(F.col("vec_id").alias("nid"), F.col("e").alias("ne")),
+            F.col("neighbor_id") == F.col("nid"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("ne")).alias("score"),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w_final).cast("long"))
+        .filter(F.col("rank") <= KM_TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )

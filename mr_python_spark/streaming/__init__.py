@@ -26,7 +26,9 @@ from mr_python_spark.registry import register
 from mr_python_spark.session import load_table
 
 
-def staged_events_stream(spark: SparkSession, sf_dir: str):
+def staged_events_stream(
+    spark: SparkSession, sf_dir: str, *, watermark_sentinel: bool = False
+):
     """``readStream`` over a staged copy of ``events.parquet``.
 
     The file-stream source wants a directory, so the single parquet
@@ -35,6 +37,20 @@ def staged_events_stream(spark: SparkSession, sf_dir: str):
     dataset, or a different dataset dir that happens to share a
     basename, gets a fresh stage dir instead of silently replaying
     stale data copied by an earlier run.
+
+    ``watermark_sentinel`` stages an EXTRA parquet file holding one
+    far-future event per event type (``user_id`` −1…, ``event_id``
+    −1…, ts = max(ts) + 1 day).  Outer stream-stream joins need it
+    under availableNow: an unmatched left row is only emittable once
+    the right-side watermark passes its join window, and with a
+    finite stream the watermark otherwise stops (delay) short of the
+    tail — the tail's NULL rows would be withheld forever.  The
+    sentinel pushes the final watermark past every real event.  This
+    is an artifact of FINITE streams; a production continuous stream
+    advances its watermark with every new event and needs no
+    sentinel.  Callers must exclude sentinel rows from results
+    (filter ``user_id >= 0``).  Sentinel and plain stages use
+    different dirs, so other streaming queries are untouched.
     """
     import os
     import shutil
@@ -46,7 +62,8 @@ def staged_events_stream(spark: SparkSession, sf_dir: str):
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     fingerprint = f"{st.st_size:x}_{st.st_mtime_ns:x}"
-    prefix = f"mrps_stream_{os.path.basename(sf_dir)}_"
+    variant = "sent_" if watermark_sentinel else ""
+    prefix = f"mrps_stream_{variant}{os.path.basename(sf_dir)}_"
     stage_dir = os.path.join(tempfile.gettempdir(), prefix + fingerprint)
     # best-effort GC: a regenerated dataset gets a new fingerprint, so
     # sibling dirs with a stale fingerprint would otherwise pile up in
@@ -60,6 +77,29 @@ def staged_events_stream(spark: SparkSession, sf_dir: str):
     staged = os.path.join(stage_dir, "events.parquet")
     if not os.path.exists(staged):
         shutil.copy(src, staged)
+    if watermark_sentinel:
+        sentinel = os.path.join(stage_dir, "events_sentinel.parquet")
+        if not os.path.exists(sentinel):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(staged)
+            far = pc.max(t["ts"]).as_py() + __import__("datetime").timedelta(days=1)
+            etypes = pc.unique(t["event_type"]).to_pylist()
+            cols = {
+                "event_id": [-(i + 1) for i in range(len(etypes))],
+                "ts": [far] * len(etypes),
+                "user_id": [-(i + 1) for i in range(len(etypes))],
+                "event_type": etypes,
+                "value": [0.0] * len(etypes),
+                "props": ["{}"] * len(etypes),
+            }
+            rows = pa.table(
+                {f.name: pa.array(cols[f.name], type=f.type) for f in t.schema},
+                schema=t.schema,
+            )
+            pq.write_table(rows, sentinel)
     raw_schema = spark.read.parquet(staged).schema
     stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
     ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts")
@@ -422,3 +462,135 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # complete mode so windows the watermark hasn't closed still emit
     # (same availableNow posture as streaming_tumbling_live)
     return run_to_memory(spark, agg, "stream_enrich", output_mode="complete")
+
+
+_SJOIN_OUTER_ORACLE = """
+SELECT
+  p.event_id,
+  p.user_id,
+  p.ts,
+  c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+"""
+
+
+@register("streaming_join_outer_live", _SJOIN_OUTER_ORACLE)
+def streaming_join_outer_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase, clicks optional.
+
+    The outer variant of ``streaming_join_live`` — the shape that
+    needs watermarks on BOTH sides even more than the inner join
+    does: a purchase with no matching click can only be emitted as
+    (purchase, NULL) once the click-side watermark has passed the
+    join window's upper bound, proving no match can still arrive.
+    Under availableNow the stream ends, which finalizes the watermark
+    and flushes the NULL rows — the batch LEFT JOIN oracle gates the
+    full result exactly.
+
+    Scale notes: identical state shape to the inner join (both sides
+    buffer (watermark + interval) worth of events per user); the only
+    addition is the unmatched-row bookkeeping the state store already
+    tracks per join key.
+    """
+    clicks = (
+        staged_events_stream(spark, sf_dir, watermark_sentinel=True)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        staged_events_stream(spark, sf_dir, watermark_sentinel=True)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("ts")),
+        "left_outer",
+    ).select("event_id", "user_id", "ts", "click_ts")
+    result = run_to_memory(spark, joined, "stream_join_outer")
+    # Drop the sentinels (negative user ids by construction) from the
+    # MATERIALIZED sink, not inside the streaming plan: Catalyst pushes
+    # a deterministic filter through the left side of the outer join to
+    # BELOW the EventTimeWatermark node, where it would remove the
+    # sentinel before the watermark operator ever saw it — silently
+    # restoring the withheld-tail bug the sentinel exists to fix.
+    return result.filter(F.col("user_id") >= 0)
+
+
+_DYN_SESSION_ORACLE = """
+WITH g AS (
+  SELECT
+    user_id,
+    event_id,
+    ts,
+    epoch(ts) + CASE WHEN event_type IN ('purchase', 'signup') THEN 3600
+                     WHEN event_type = 'error' THEN 600
+                     ELSE 1800 END AS win_end
+  FROM events
+), marked AS (
+  SELECT
+    user_id,
+    ts,
+    CASE WHEN MAX(win_end) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) >= epoch(ts) THEN 0 ELSE 1 END AS new_session
+  FROM g
+), numbered AS (
+  SELECT
+    user_id,
+    ts,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_no
+  FROM marked
+)
+SELECT
+  user_id,
+  CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+  COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+@register("session_window_dynamic_gap", _DYN_SESSION_ORACLE)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type session gaps: conversions hold a session open an
+    hour, errors only 10 minutes, everything else 30.
+
+    ``F.session_window`` takes a COLUMN gap, so the per-row gap is a
+    ``when`` expression and the whole thing stays one stateful
+    operator — the tinymr equivalent is a hand-written reducer over
+    (ts, type) pairs.  The oracle is gaps-and-islands generalized to
+    variable windows: an event joins the running session iff the
+    cumulative max of previous window-ends reaches its timestamp.
+
+    Scale notes: same per-key state as the fixed-gap session window —
+    the gap expression is evaluated row-side, not stored.
+    """
+    events = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type").isin("purchase", "signup"), F.lit("1 hour"))
+        .when(F.col("event_type") == "error", F.lit("10 minutes"))
+        .otherwise(F.lit("30 minutes"))
+    )
+    sw = F.session_window("ts", gap)
+    return (
+        events.groupBy(sw.alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            "n_events",
+        )
+    )

@@ -315,3 +315,80 @@ def test_minhash_lsh_bucket_cap(spark):
     }
     boiler_pairs = {(a, b) for a in range(6) for b in range(6) if a < b}
     assert full == boiler_pairs | {(100, 101)}
+
+
+def test_ann_ivf_pq_matches_numpy(spark):
+    """Full numpy recompute of the IVF-PQ pipeline: normalized-sample
+    training (coarse + per-subspace codebooks), encoding, ADC
+    shortlist, exact rerank — identical final top-k set."""
+    import numpy as np
+
+    from mr_python_spark.session import load_table
+    from mr_python_spark.similarity import (
+        KM_PROBE_CELLS,
+        KM_QUERY_STRIDE,
+        KM_SAMPLE_CAP,
+        KM_SAMPLE_STRIDE,
+        KM_TOP_K,
+        PQ_M,
+        PQ_RERANK,
+        _kmeans_train,
+        _pq_train,
+        ann_ivf_pq,
+    )
+
+    rows = (
+        load_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    X = M[ids % KM_SAMPLE_STRIDE == 0][:KM_SAMPLE_CAP]
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = _kmeans_train(Xn)
+    books = _pq_train(Xn)
+    dsub = Mn.shape[1] // PQ_M
+
+    d = ((Mn[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    cell = d.argmin(1)
+    codes = np.stack(
+        [
+            ((Mn[:, None, m * dsub : (m + 1) * dsub] - books[m][None, :, :]) ** 2)
+            .sum(-1)
+            .argmin(1)
+            for m in range(PQ_M)
+        ],
+        axis=1,
+    )
+
+    by_id = {int(v): i for i, v in enumerate(ids)}
+    expected = set()
+    for qi, qid in enumerate(ids):
+        if qid % KM_QUERY_STRIDE != 0:
+            continue
+        probes = np.argsort(d[qi], kind="stable")[:KM_PROBE_CELLS]
+        cands = [
+            int(ids[j])
+            for j in range(len(ids))
+            if cell[j] in probes and ids[j] != qid
+        ]
+        table = np.concatenate(
+            [books[m] @ Mn[qi, m * dsub : (m + 1) * dsub] for m in range(PQ_M)]
+        )
+        adc = {
+            n: sum(table[m * 16 + codes[by_id[n], m]] for m in range(PQ_M))
+            for n in cands
+        }
+        short = sorted(cands, key=lambda n: (-adc[n], n))[:PQ_RERANK]
+        short.sort(key=lambda n: (-(Mn[qi] @ Mn[by_id[n]]), n))
+        for rank, n in enumerate(short[:KM_TOP_K], start=1):
+            expected.add((int(qid), n, rank))
+
+    got = {
+        (r.query_id, r.neighbor_id, r.rank) for r in ann_ivf_pq(spark, SF).collect()
+    }
+    assert got == expected

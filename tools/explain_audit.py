@@ -307,6 +307,20 @@ AUDITS: dict[str, dict] = {
     ),
     # trained-quantizer IVF: Arrow-batched assignment, broadcast only
     # the (tiny) probed-query side, window top-k
+    # IVF-PQ: Arrow-batched encode/probe, broadcast probed queries
+    # (stride-subset, same bound as ann_ivf_kmeans), JVM-side ADC
+    # lookup-sum, two windows (ADC shortlist + exact-rerank top-k)
+    "ann_ivf_pq": dict(
+        must=[r"MapInPandas", r"Window", r"BroadcastExchange"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=1,  # the stride-50 probed query set
+    ),
+    # dynamic-gap sessions: same stateful session operator as the
+    # fixed-gap query; the per-row gap is an expression, not state
+    "session_window_dynamic_gap": dict(
+        must=[r"(?i)session"],
+        must_not=[r"CartesianProduct"],
+    ),
     "ann_ivf_kmeans": dict(
         must=[r"MapInPandas", r"Window", r"BroadcastExchange"],
         must_not=[r"CartesianProduct"],

@@ -91,6 +91,27 @@ def register_udfs(con) -> None:
             [duckdb.list_type(duckdb.typing.DOUBLE)],
             duckdb.list_type(INTEGER),
         )
+        con.create_function(
+            "pq_cell", _pq_cell, [duckdb.list_type(duckdb.typing.DOUBLE)], INTEGER
+        )
+        con.create_function(
+            "pq_probe",
+            _pq_probe,
+            [duckdb.list_type(duckdb.typing.DOUBLE)],
+            duckdb.list_type(INTEGER),
+        )
+        con.create_function(
+            "pq_code",
+            _pq_code,
+            [duckdb.list_type(duckdb.typing.DOUBLE)],
+            duckdb.list_type(INTEGER),
+        )
+        con.create_function(
+            "pq_adc",
+            _pq_adc,
+            [duckdb.list_type(duckdb.typing.DOUBLE), duckdb.list_type(INTEGER)],
+            duckdb.typing.DOUBLE,
+        )
     except Exception as e:  # already registered on this connection
         if "already" not in str(e).lower():
             raise
@@ -325,6 +346,141 @@ def _km_probe(e) -> list:
     return [int(c) for c in np.argsort(d, kind="stable")[:KM_PROBE_CELLS]]
 
 
+# --- IVF-PQ (ann_ivf_pq) ----------------------------------------------
+# mirrors mr_python_spark/similarity/__init__.py: the NORMALIZED sample
+# trains both the coarse quantizer and the per-subspace codebooks
+PQ_M = 8
+PQ_KS = 16
+PQ_RERANK = 10
+
+_PQ_MODELS: dict[str, tuple] = {}
+
+
+def _pq_model() -> tuple:
+    sf_dir = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
+    model = _PQ_MODELS.get(sf_dir)
+    if model is None:
+        import duckdb
+
+        rows = duckdb.sql(
+            f"""
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM '{sf_dir}/embeddings.parquet'
+            WHERE vec_id % {KM_SAMPLE_STRIDE} = 0
+            ORDER BY vec_id LIMIT {KM_SAMPLE_CAP}
+            """
+        ).fetchall()
+        X = np.array([r[0] for r in rows], dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        k = min(KM_CELLS, len(Xn))
+        C = Xn[:k].copy()
+        for _ in range(KM_ITERS):
+            d = ((Xn[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for j in range(k):
+                members = Xn[a == j]
+                if len(members):
+                    C[j] = members.mean(0)
+        dsub = Xn.shape[1] // PQ_M
+        books = []
+        for m in range(PQ_M):
+            S = Xn[:, m * dsub : (m + 1) * dsub]
+            kb = min(PQ_KS, len(S))
+            B = S[:kb].copy()
+            for _ in range(KM_ITERS):
+                d = ((S[:, None, :] - B[None, :, :]) ** 2).sum(-1)
+                a = d.argmin(1)
+                for j in range(kb):
+                    members = S[a == j]
+                    if len(members):
+                        B[j] = members.mean(0)
+            books.append(B)
+        model = (C, np.stack(books), dsub)
+        _PQ_MODELS[sf_dir] = model
+    return model
+
+
+def _normed(e) -> "np.ndarray":
+    v = np.asarray(e, dtype=np.float64)
+    return v / np.linalg.norm(v)
+
+
+def _pq_cell(e) -> int:
+    C, _, _ = _pq_model()
+    vn = _normed(e)
+    return int(((vn[None, :] - C) ** 2).sum(-1).argmin())
+
+
+def _pq_probe(e) -> list:
+    C, _, _ = _pq_model()
+    vn = _normed(e)
+    d = ((vn[None, :] - C) ** 2).sum(-1)
+    return [int(c) for c in np.argsort(d, kind="stable")[:KM_PROBE_CELLS]]
+
+
+def _pq_code(e) -> list:
+    _, books, dsub = _pq_model()
+    vn = _normed(e)
+    return [
+        int(((vn[m * dsub : (m + 1) * dsub][None, :] - books[m]) ** 2).sum(-1).argmin())
+        for m in range(PQ_M)
+    ]
+
+
+def _pq_adc(qe, code) -> float:
+    """ADC score: Σ_m <q_m, codebook[m][code_m]>, accumulated in
+    subspace order — the same left-to-right double additions as the
+    engine's ``aggregate(transform(code, ...))``, so bits match."""
+    _, books, dsub = _pq_model()
+    qn = _normed(qe)
+    acc = 0.0
+    for m, c in enumerate(code):
+        acc += float(books[m][c] @ qn[m * dsub : (m + 1) * dsub])
+    return acc
+
+
+def _ann_ivf_pq_sql() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+), enc AS (
+  SELECT vec_id, pq_cell(e) AS cell, pq_code(e) AS code, e, nrm FROM n
+), q AS (
+  SELECT vec_id AS query_id, unnest(pq_probe(e)) AS cell, e AS qe, nrm AS qnrm
+  FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0
+), approx AS (
+  SELECT
+    q.query_id,
+    enc.vec_id AS neighbor_id,
+    pq_adc(q.qe, enc.code) AS adc_score,
+    q.qe, q.qnrm, enc.e AS ne, enc.nrm AS nnrm
+  FROM q JOIN enc ON q.cell = enc.cell AND q.query_id <> enc.vec_id
+), shortlist AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id
+    ) AS srank FROM approx
+  ) WHERE srank <= {PQ_RERANK}
+), reranked AS (
+  SELECT
+    query_id,
+    neighbor_id,
+    list_sum(list_transform(list_zip(qe, ne), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (qnrm * nnrm) AS score
+  FROM shortlist
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM reranked
+)
+WHERE rank <= {KM_TOP_K}
+"""
+
+
 def _ann_ivf_kmeans_sql() -> str:
     # cosine formulation copied from the passing ann_brute_topk oracle
     # (list_zip product sum / norms) so score bits match the engine's
@@ -364,4 +520,5 @@ def udf_oracles() -> dict[str, str]:
         "doc_fingerprint": _fingerprint_sql(),
         "dedup_embedding_lsh": _embedding_lsh_sql(),
         "ann_ivf_kmeans": _ann_ivf_kmeans_sql(),
+        "ann_ivf_pq": _ann_ivf_pq_sql(),
     }

@@ -283,24 +283,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("sh")
     ).cache()
     exploded = sh_sets.select("doc_id", F.explode("sh").alias("shingle"))
-    rare = (
+    # ONE shuffle: group the inverted index by shingle, keep rare
+    # postings (df ≤ cap), explode in-posting pairs JVM-side — the
+    # same plan shape as the LSH bucket grouping, replacing the
+    # rare-filter join + self-join (three shuffles of the exploded
+    # index) it used to cost.  Each kept posting holds ≤ DF_CAP docs,
+    # so per-group pair fan-out is bounded at cap²/2.
+    postings = (
         exploded.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= DF_CAP)
-        .select("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= DF_CAP))
     )
-    keyed = exploded.join(rare, "shingle")
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    pair = F.explode(
+        F.expr(
+            """
+            flatten(transform(ds, (x, i) ->
+              transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+                struct(x AS doc_a, y AS doc_b))))
+            """
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    cand = postings.select(pair.alias("p")).select("p.doc_a", "p.doc_b").distinct()
     sa = sh_sets.alias("sa")
     sb = sh_sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))

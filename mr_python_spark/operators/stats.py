@@ -381,3 +381,51 @@ def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents").cast("double") / 100.0).alias("total_price"),
         )
     )
+
+
+_QUANTILE_ENVELOPE_ORACLE = """
+SELECT
+  lang,
+  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(n_chars AS BIGINT)) AS BIGINT)
+    AS median_exact,
+  TRUE AS sketch_within_tolerance
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("approx_quantile_envelope", _QUANTILE_ENVELOPE_ORACLE)
+def approx_quantile_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable accuracy envelope on the quantile sketch.
+
+    Same pattern as ``approx_distinct_envelope``: the t-digest-style
+    ``approx_percentile`` (accuracy 10⁴ ⇒ rank error ≤ 1/10⁴) is an
+    engine-specific sketch DuckDB can't reproduce, so the gateable
+    claim is the envelope — the sketch's median must land within the
+    exact p40–p60 band.  The exact discrete median itself is verified
+    value-for-value against DuckDB.  At 100 TB the sketch is the only
+    viable path (single pass, mergeable map-side); this query keeps
+    its error budget honest.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.col("n_chars").cast("long")
+    agg = docs.groupBy("lang").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(n_chars AS BIGINT))"
+        ).cast("long").alias("median_exact"),
+        F.percentile_approx(n, F.lit(0.5), F.lit(10000)).alias("median_sketch"),
+        F.expr(
+            "percentile_disc(0.4) WITHIN GROUP (ORDER BY CAST(n_chars AS BIGINT))"
+        ).cast("long").alias("p40"),
+        F.expr(
+            "percentile_disc(0.6) WITHIN GROUP (ORDER BY CAST(n_chars AS BIGINT))"
+        ).cast("long").alias("p60"),
+    )
+    return agg.select(
+        "lang",
+        "median_exact",
+        (
+            (F.col("median_sketch") >= F.col("p40"))
+            & (F.col("median_sketch") <= F.col("p60"))
+        ).alias("sketch_within_tolerance"),
+    )

@@ -307,3 +307,34 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
             dec_sum("value").alias("sum_value"),
         )
     )
+
+
+_XML_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@register("xml_scan_nation", _XML_ORACLE)
+def xml_scan_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + scan roundtrip (built-in ``xml`` source, Spark 4).
+
+    nation is written element-per-row XML and read back with a
+    declared schema + ``rowTag`` — the ingest pattern for the XML
+    feeds (sitemaps, legacy enterprise exports) a crawl pipeline
+    still meets.  Same explicit-schema posture as the CSV/JSON
+    scans: no inference pre-scan at scale.
+    """
+    path = _scratch("nation_xml")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").format("xml").option(
+        "rootTag", "nations"
+    ).option("rowTag", "nation").save(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema).format("xml").option("rowTag", "nation").load(path)
+    )

@@ -333,3 +333,104 @@ if _has_protobuf():
     streaming_sessions_tws = register("streaming_sessions_tws", _SSESSION_ORACLE)(
         streaming_sessions_tws
     )
+
+
+@register("streaming_sessions_timeout", _SSESSION_ORACLE)
+def streaming_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization emitted by EVENT-TIME TIMEOUT — the production shape.
+
+    ``streaming_stateful_sessions`` flushes its open sessions when the
+    availableNow batch ends — correct for a finite replay, but a real
+    deployment emits a session when its gap EXPIRES, i.e. when the
+    watermark passes last_event + gap.  This variant does exactly
+    that: the open session stays in state with
+    ``setTimeoutTimestamp(last + gap)``, and the emission happens in
+    ``hasTimedOut`` callbacks.  The watermark-sentinel staging (one
+    far-future event per type) is what makes the final timeouts fire
+    under a finite stream: the sentinel pushes the terminal watermark
+    past every real session's expiry, so the timer path — not an
+    end-of-batch flush — produces every row.  Sentinel users (negative
+    ids by construction) session among themselves and are dropped
+    from the MATERIALIZED sink (a pre-group filter would be pushed
+    below the watermark node and defeat the sentinel — see
+    ``streaming_join_outer_live``).
+
+    Scale notes: state is one open session per active user, expired
+    exactly at watermark + gap — the state-store contract RocksDB
+    enforces per key at any scale.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            # watermark passed last + gap: the session is final
+            start_us, _last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, start_us // 1_000_000, n)],
+                columns=["user_id", "session_start", "n_events"],
+            )
+            return
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = -1
+            n = 0
+        closed: list[tuple[int, int, int]] = []
+        chunks = [
+            pd.to_datetime(pdf["ts"]).astype("int64") // 1000 for pdf in pdf_iter
+        ]
+        ts_all = (
+            pd.concat(chunks).sort_values() if chunks else pd.Series([], dtype="int64")
+        )
+        for t in ts_all:
+            t = int(t)
+            if n == 0:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us <= gap_us:
+                last_us, n = t, n + 1
+            else:
+                closed.append((user_id, start_us // 1_000_000, n))
+                start_us, last_us, n = t, t, 1
+        if n > 0:
+            # keep the open session; it EMITS when the watermark
+            # passes its expiry (timeout timestamp is in millis)
+            state.update((start_us, last_us, n))
+            state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "session_start", "n_events"]
+            )
+
+    stream = staged_events_stream(spark, sf_dir, watermark_sentinel=True).select(
+        "user_id", "ts"
+    )
+    sessions = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    result = run_to_memory(spark, sessions, "stream_sessions_to")
+    # sentinel users (negative ids) filtered from the materialized sink
+    return result.filter(F.col("user_id") >= 0)

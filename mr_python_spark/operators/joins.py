@@ -319,6 +319,59 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_FWD_ORACLE = """
+SELECT
+  p.event_id,
+  p.user_id,
+  p.ts,
+  c.ts AS next_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+"""
+
+
+@register("join_asof_forward", _ASOF_FWD_ORACLE)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase's earliest click at-or-after.
+
+    The mirror of :func:`join_asof_events` (kdb ``aj`` forward /
+    pandas ``merge_asof(direction="forward")``): same shuffle-once
+    union-window plan, with the running carry reversed — the window
+    runs ``currentRow → unboundedFollowing`` and takes the FIRST
+    non-null click ts, and purchases sort before clicks at equal ts
+    so an exactly-simultaneous click still matches (``<=``).
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(1).alias("is_click"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("is_click"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        merged.withColumn(
+            "next_click_ts", F.first("click_ts", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_click") == 0)
+        .select("event_id", "user_id", "ts", "next_click_ts")
+    )
+
+
 _FULL_OUTER_ORACLE = """
 SELECT
   COALESCE(c.c_custkey, o.o_custkey) AS custkey,

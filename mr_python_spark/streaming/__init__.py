@@ -594,3 +594,59 @@ def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_SJOIN_FULL_ORACLE = """
+SELECT
+  p.event_id,
+  p.user_id AS p_user,
+  p.ts,
+  c.user_id AS c_user,
+  c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+"""
+
+
+@register("streaming_join_full_live", _SJOIN_FULL_ORACLE)
+def streaming_join_full_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join — both sides' unmatched rows emit.
+
+    Completes the streaming join matrix (inner, left-outer, full):
+    clicks with no qualifying purchase AND purchases with no
+    qualifying click both surface as NULL-extended rows, each only
+    after the OTHER side's watermark proves no match can arrive.
+    Both sides therefore need the sentinel finalization; sentinel
+    rows (negative user ids on either side) are excluded from the
+    materialized sink — in-plan filters would be pushed below the
+    watermark nodes.
+    """
+    clicks = (
+        staged_events_stream(spark, sf_dir, watermark_sentinel=True)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        staged_events_stream(spark, sf_dir, watermark_sentinel=True)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", F.col("user_id").alias("p_user"), "ts")
+        .withWatermark("ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("ts")),
+        "full_outer",
+    ).select("event_id", "p_user", "ts", "c_user", "click_ts")
+    result = run_to_memory(spark, joined, "stream_join_full")
+    # sentinels can surface from EITHER side; both id columns are
+    # NULL-safe checked against the negative sentinel range
+    return result.filter(
+        (F.coalesce(F.col("p_user"), F.lit(0)) >= 0)
+        & (F.coalesce(F.col("c_user"), F.lit(0)) >= 0)
+    )

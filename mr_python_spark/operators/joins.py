@@ -557,3 +557,42 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("qty_fp") * F.col("weight")).alias("weighted_qty_fp"),
         )
     )
+
+
+_LATERAL_ORACLE = """
+SELECT c.c_custkey, t.o_orderkey, CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+"""
+
+
+@register("lateral_top2_orders", _LATERAL_ORACLE)
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's two largest orders.
+
+    The SQL-standard lateral form of per-key top-k — a different
+    operator surface from the window-function formulation
+    (``window_top3_per_customer``): Catalyst decorrelates the LATERAL
+    into a join + per-key limit instead of a ranking window.  Total
+    order inside the lateral (price desc, orderkey) keeps the result
+    engine-deterministic.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("mrps_lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("mrps_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM mrps_lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM mrps_lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        """
+    )

@@ -17,7 +17,7 @@ give it the value list explicitly to avoid an extra distinct-scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mr_python_spark.operators.aggregates import fixed_point
@@ -428,4 +428,39 @@ def approx_quantile_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("median_sketch") >= F.col("p40"))
             & (F.col("median_sketch") <= F.col("p60"))
         ).alias("sketch_within_tolerance"),
+    )
+
+
+_RESERVOIR_ORACLE = """
+SELECT event_type, event_id, user_id
+FROM events
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY event_type
+  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+) <= 5
+"""
+
+
+@register("reservoir_sample_per_key", _RESERVOIR_ORACLE)
+def reservoir_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key reservoir: 5 uniform rows per event type.
+
+    The distributed reservoir-sampling trick without an RNG: rank
+    rows per key by a hash of their unique id and keep the k
+    smallest.  md5 makes the rank uniform AND engine-portable (Spark
+    and DuckDB agree on the hex digest, unlike their native hash
+    functions), so the "random" sample is bit-reproducible across
+    engines, partitionings, and reruns — the property a training
+    pipeline needs for auditable subsampling.  Executes as partial
+    top-k per partition before the shuffle (window top-k over a
+    computed column), O(k · keys) rows moved.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "event_id", "user_id")
     )

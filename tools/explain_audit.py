@@ -310,6 +310,16 @@ AUDITS: dict[str, dict] = {
     # IVF-PQ: Arrow-batched encode/probe, broadcast probed queries
     # (stride-subset, same bound as ann_ivf_kmeans), JVM-side ADC
     # lookup-sum, two windows (ADC shortlist + exact-rerank top-k)
+    # hash-ordered deterministic reservoir: per-partition partial
+    # top-k (window) — no full sort, no cartesian
+    "reservoir_sample_per_key": dict(
+        must=[r"Window"],
+        must_not=[r"CartesianProduct"],
+    ),
+    # correlated LATERAL decorrelates into a join + per-key limit
+    "lateral_top2_orders": dict(
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
     "ann_ivf_pq": dict(
         must=[r"MapInPandas", r"Window", r"BroadcastExchange"],
         must_not=[r"CartesianProduct"],

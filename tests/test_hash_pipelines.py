@@ -259,9 +259,13 @@ def test_ann_ivf_kmeans_matches_numpy(spark):
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     M = np.array([r.embedding for r in rows], dtype=np.float64)
 
+    from mr_python_spark.similarity import ivf_cells
+
+    from mr_python_spark.similarity import cell_distances
+
     X = M[ids % KM_SAMPLE_STRIDE == 0][:KM_SAMPLE_CAP]
-    C = _kmeans_train(X)
-    d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    C = _kmeans_train(X, k=ivf_cells(len(M)))
+    d = cell_distances(M, C)
     cell = d.argmin(1)
 
     normed = M / np.linalg.norm(M, axis=1, keepdims=True)
@@ -347,13 +351,17 @@ def test_ann_ivf_pq_matches_numpy(spark):
     M = np.array([r.embedding for r in rows], dtype=np.float64)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
 
+    from mr_python_spark.similarity import ivf_cells
+
     X = M[ids % KM_SAMPLE_STRIDE == 0][:KM_SAMPLE_CAP]
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    C = _kmeans_train(Xn)
+    from mr_python_spark.similarity import cell_distances
+
+    C = _kmeans_train(Xn, k=ivf_cells(len(M)))
     books = _pq_train(Xn)
     dsub = Mn.shape[1] // PQ_M
 
-    d = ((Mn[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    d = cell_distances(Mn, C)
     cell = d.argmin(1)
     codes = np.stack(
         [

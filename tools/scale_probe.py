@@ -42,6 +42,7 @@ QUERIES = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
+    "ann_ivf_pq",
 ]
 
 

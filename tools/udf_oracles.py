@@ -292,7 +292,8 @@ WHERE list_sum(list_transform(list_zip(a.e, b.e), p -> CAST(p[1] AS DOUBLE) * CA
 # --- trained-quantizer IVF (ann_ivf_kmeans) ---------------------------
 # mirror the engine's spec (mr_python_spark/similarity/__init__.py):
 # sample = vec_id % stride == 0, ordered, first 1024; first-k init;
-# 5 Lloyd rounds; argmin ties to the lowest cell; empty cells frozen.
+# 5 Lloyd rounds; argmin ties to the lowest cell; empty cells frozen;
+# cell count corpus-adaptive (~KM_TARGET_CELL vectors per cell).
 KM_CELLS = 16
 KM_ITERS = 5
 KM_SAMPLE_STRIDE = 7
@@ -300,6 +301,12 @@ KM_SAMPLE_CAP = 1024
 KM_PROBE_CELLS = 2
 KM_QUERY_STRIDE = 50
 KM_TOP_K = 3
+KM_TARGET_CELL = 128
+KM_MAX_CELLS = 256
+
+
+def _ivf_cells(n: int) -> int:
+    return min(KM_MAX_CELLS, max(KM_CELLS, -(-n // KM_TARGET_CELL)))
 
 #: centroid matrices keyed by sf_dir (training reads the parquet
 #: directly; the harness exposes the SF under test via this env var)
@@ -321,11 +328,13 @@ def _km_centroids() -> "np.ndarray":
             """
         ).fetchall()
         X = np.array([r[0] for r in rows], dtype=np.float64)
-        k = min(KM_CELLS, len(X))
+        n_corpus = duckdb.sql(
+            f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()[0]
+        k = min(_ivf_cells(n_corpus), len(X))
         C = X[:k].copy()
         for _ in range(KM_ITERS):
-            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            a = d.argmin(1)
+            a = ((C * C).sum(1) - 2.0 * (X @ C.T)).argmin(1)
             for j in range(k):
                 members = X[a == j]
                 if len(members):
@@ -334,15 +343,21 @@ def _km_centroids() -> "np.ndarray":
     return C
 
 
+def _cell_distances(v: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """Same GEMM-identity surrogate as the engine's cell_distances:
+    ||c||^2 - 2 v.c (the ||v||^2 term is constant per row)."""
+    return (C * C).sum(1) - 2.0 * (C @ v)
+
+
 def _km_cell(e) -> int:
     C = _km_centroids()
-    d = ((np.asarray(e, dtype=np.float64)[None, :] - C) ** 2).sum(-1)
+    d = _cell_distances(np.asarray(e, dtype=np.float64), C)
     return int(d.argmin())
 
 
 def _km_probe(e) -> list:
     C = _km_centroids()
-    d = ((np.asarray(e, dtype=np.float64)[None, :] - C) ** 2).sum(-1)
+    d = _cell_distances(np.asarray(e, dtype=np.float64), C)
     return [int(c) for c in np.argsort(d, kind="stable")[:KM_PROBE_CELLS]]
 
 
@@ -372,11 +387,13 @@ def _pq_model() -> tuple:
         ).fetchall()
         X = np.array([r[0] for r in rows], dtype=np.float64)
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        k = min(KM_CELLS, len(Xn))
+        n_corpus = duckdb.sql(
+            f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()[0]
+        k = min(_ivf_cells(n_corpus), len(Xn))
         C = Xn[:k].copy()
         for _ in range(KM_ITERS):
-            d = ((Xn[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            a = d.argmin(1)
+            a = ((C * C).sum(1) - 2.0 * (Xn @ C.T)).argmin(1)
             for j in range(k):
                 members = Xn[a == j]
                 if len(members):
@@ -407,14 +424,12 @@ def _normed(e) -> "np.ndarray":
 
 def _pq_cell(e) -> int:
     C, _, _ = _pq_model()
-    vn = _normed(e)
-    return int(((vn[None, :] - C) ** 2).sum(-1).argmin())
+    return int(_cell_distances(_normed(e), C).argmin())
 
 
 def _pq_probe(e) -> list:
     C, _, _ = _pq_model()
-    vn = _normed(e)
-    d = ((vn[None, :] - C) ** 2).sum(-1)
+    d = _cell_distances(_normed(e), C)
     return [int(c) for c in np.argsort(d, kind="stable")[:KM_PROBE_CELLS]]
 
 

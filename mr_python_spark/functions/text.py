@@ -444,3 +444,71 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return docs.select("doc_id", norm.alias("norm_text"))
+
+
+_BIGRAM_FLUENCY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+),
+df AS (
+  SELECT bigram, COUNT(DISTINCT doc_id) AS ndocs FROM bg GROUP BY bigram
+)
+SELECT
+  bg.doc_id,
+  COUNT(*) AS n_bigrams,
+  CAST(SUM(df.ndocs) AS BIGINT) AS sum_df,
+  CAST(SUM(df.ndocs) AS DOUBLE) / COUNT(*) AS fluency
+FROM bg JOIN df USING (bigram)
+GROUP BY bg.doc_id
+"""
+
+
+@register("bigram_fluency", _BIGRAM_FLUENCY_ORACLE)
+def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-grounded fluency proxy: mean document-frequency of a
+    document's word bigrams.
+
+    Boilerplate and natural prose score high (their phrases recur
+    across the corpus); tokenizer junk, lorem-noise, and glued words
+    score near 1 (each bigram appears only in its own document) — a
+    cheap fluency/quality signal a data pipeline can threshold
+    without a language model.  Kept log-free on purpose: the score is
+    one IEEE division of two exact ints (Σ df, bigram count), so it
+    is bit-deterministic cross-engine, unlike a log-prob.
+
+    Scale notes: bigram df is a word-count-shaped aggregate
+    (partial+final on hashed phrases); the re-join onto the exploded
+    bigram stream shuffles (bigram, df) pairs — both shapes already
+    proven at scale by word_count / dedup's inverted index.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select("doc_id", tokens_col().alias("t"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(t, slice(t, 2, size(t)), (x, y) -> "
+                "CASE WHEN y IS NOT NULL THEN concat(x, ' ', y) END)"
+            )
+        ).alias("bigram"),
+    ).filter(F.col("bigram").isNotNull())
+    df = bg.groupBy("bigram").agg(F.countDistinct("doc_id").alias("ndocs"))
+    return (
+        bg.join(df, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("ndocs").alias("sum_df"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_df",
+            (F.col("sum_df").cast("double") / F.col("n_bigrams")).alias("fluency"),
+        )
+    )

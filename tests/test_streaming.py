@@ -89,3 +89,43 @@ def test_streaming_sessions_tws_gate(spark):
     new = {tuple(r) for r in streaming_sessions_tws(spark, SF).collect()}
     old = {tuple(r) for r in streaming_stateful_sessions(spark, SF).collect()}
     assert new == old and len(new) > 0
+
+
+def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restarting a file-source stream from its checkpoint must process
+    only NEW files — the offsets log makes replays exactly-once even
+    though the source directory still contains the old data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_batch(name, ids):
+        pq.write_table(
+            pa.table({"id": pa.array(ids, type=pa.int64())}), src / f"{name}.parquet"
+        )
+
+    def run_once():
+        stream = spark.readStream.schema("id long").parquet(str(src))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    write_batch("a", [1, 2, 3])
+    run_once()
+    first = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert first == [1, 2, 3]
+
+    write_batch("b", [4, 5])
+    run_once()  # same checkpoint: file a must NOT replay
+    second = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert second == [1, 2, 3, 4, 5]

@@ -222,7 +222,7 @@ KM_CELLS = 16
 KM_ITERS = 5
 KM_SAMPLE_STRIDE = 7
 KM_SAMPLE_CAP = 1024
-KM_PROBE_CELLS = 2
+KM_PROBE_CELLS = 4
 KM_QUERY_STRIDE = 50
 KM_TOP_K = 3
 #: corpus-adaptive cell sizing: aim for ~this many vectors per cell
@@ -405,7 +405,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: product-quantization parameters (deterministic, like the coarse stage)
 PQ_M = 8  #: subvector count (64-dim vectors → 8-dim subspaces)
 PQ_KS = 16  #: codebook entries per subspace (4-bit codes)
-PQ_RERANK = 10  #: ADC shortlist size fed to the exact rerank
+PQ_RERANK = 25  #: ADC shortlist size fed to the exact rerank
 
 
 def _pq_train(Xn: "np.ndarray") -> "np.ndarray":

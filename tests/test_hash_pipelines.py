@@ -400,3 +400,45 @@ def test_ann_ivf_pq_matches_numpy(spark):
         (r.query_id, r.neighbor_id, r.rank) for r in ann_ivf_pq(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_ann_recall_floors(spark):
+    """Approximate ANN quality is tracked, not just determinism: mean
+    recall@3 vs the exact cosine top-3 must stay above a floor for
+    both trained-IVF variants.  (Values are deterministic — seeded
+    nothing, first-k init — so the floors only move if someone
+    changes the quantizer or its knobs; a probe/rerank regression
+    shows up here, not in the exact-match gates, whose semantics are
+    probed-cell-relative.)"""
+    import numpy as np
+
+    from mr_python_spark.session import load_table
+    from mr_python_spark.similarity import KM_TOP_K, ann_ivf_kmeans, ann_ivf_pq
+
+    rows = (
+        load_table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    )
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    by_id = {int(v): i for i, v in enumerate(ids)}
+
+    def mean_recall(fn):
+        got = {}
+        for r in fn(spark, SF).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recalls = []
+        for qid, neigh in got.items():
+            qi = by_id[qid]
+            s = S[qi].copy()
+            s[qi] = -np.inf
+            order = sorted(range(len(ids)), key=lambda j: (-s[j], ids[j]))
+            exact = {int(ids[j]) for j in order[:KM_TOP_K]}
+            recalls.append(len(neigh & exact) / KM_TOP_K)
+        return float(np.mean(recalls))
+
+    r_kmeans = mean_recall(ann_ivf_kmeans)
+    r_pq = mean_recall(ann_ivf_pq)
+    assert r_kmeans >= 0.55, r_kmeans
+    assert r_pq >= 0.40, r_pq

@@ -312,6 +312,13 @@ AUDITS: dict[str, dict] = {
     # lookup-sum, two windows (ADC shortlist + exact-rerank top-k)
     # hash-ordered deterministic reservoir: per-partition partial
     # top-k (window) — no full sort, no cartesian
+    # bigram df is a word-count-shaped partial+final aggregate; the
+    # df re-join onto the exploded stream must stay an equi-join
+    "bigram_fluency": dict(
+        must=[r"partial_"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    "xml_scan_nation": dict(must=[r"(?i)xml"], must_not=[r"CartesianProduct"]),
     "reservoir_sample_per_key": dict(
         must=[r"Window"],
         must_not=[r"CartesianProduct"],

@@ -298,7 +298,7 @@ KM_CELLS = 16
 KM_ITERS = 5
 KM_SAMPLE_STRIDE = 7
 KM_SAMPLE_CAP = 1024
-KM_PROBE_CELLS = 2
+KM_PROBE_CELLS = 4
 KM_QUERY_STRIDE = 50
 KM_TOP_K = 3
 KM_TARGET_CELL = 128
@@ -366,7 +366,7 @@ def _km_probe(e) -> list:
 # trains both the coarse quantizer and the per-subspace codebooks
 PQ_M = 8
 PQ_KS = 16
-PQ_RERANK = 10
+PQ_RERANK = 25
 
 _PQ_MODELS: dict[str, tuple] = {}
 

@@ -596,3 +596,72 @@ def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+_BLOOM_ORACLE = """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
+@register("join_bloom_runtime_filter", _BLOOM_ORACLE)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact-fact join under runtime bloom-filter injection.
+
+    Catalyst's runtime row-level filtering: the selective side
+    (urgent orders) builds a bloom filter of its join keys during its
+    own scan, and the optimizer injects ``might_contain`` into the
+    BIG side's scan — lineitem rows whose orderkey can't match are
+    dropped BEFORE the shuffle, turning a full-fact shuffle into a
+    fraction-of-fact one.  This is the 100 TB lever for star joins
+    too big to broadcast.  The size thresholds are lowered locally
+    (the 10 GB application-side default exists because the filter
+    only pays for itself on huge scans) and restored after planning;
+    the plan audit asserts ``might_contain`` actually landed in the
+    scan, so a silent optimizer regression fails loudly.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        out = (
+            lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dec_sum("l_extendedprice").alias("sum_price"),
+            )
+        )
+        # Materialize the physical plan WHILE the confs are set: the
+        # DataFrame is lazy, so without this the restored confs would
+        # silently plan away the bloom filter at action time.  The
+        # Dataset caches its QueryExecution, so subsequent actions on
+        # `out` reuse the bloom-injected plan.
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -319,6 +319,13 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
     "xml_scan_nation": dict(must=[r"(?i)xml"], must_not=[r"CartesianProduct"]),
+    # runtime bloom-filter injection must actually land in the big
+    # side's scan (the query pins its plan inside the conf window —
+    # a regression here means the filter silently planned away)
+    "join_bloom_runtime_filter": dict(
+        must=[r"might_contain"],
+        must_not=[r"CartesianProduct"],
+    ),
     "reservoir_sample_per_key": dict(
         must=[r"Window"],
         must_not=[r"CartesianProduct"],

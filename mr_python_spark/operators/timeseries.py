@@ -195,3 +195,98 @@ def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("value", F.col("c_acctbal").cast("double")).alias("balance"),
         )
     )
+
+
+_MERGE_ORACLE = """
+WITH changes AS (
+  SELECT
+    o_orderkey,
+    o_custkey,
+    o_orderstatus,
+    CAST(round(o_totalprice * 110, 0) AS BIGINT) / 100.0 AS o_totalprice,
+    'U' AS op
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT
+    o_orderkey + (SELECT MAX(o_orderkey) FROM orders) AS o_orderkey,
+    o_custkey,
+    'N' AS o_orderstatus,
+    CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+    'I' AS op
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, NULL, 'D' AS op
+  FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 10 <> 0
+)
+SELECT
+  COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+  COALESCE(c.o_custkey, b.o_custkey) AS o_custkey,
+  COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+  COALESCE(c.o_totalprice, CAST(b.o_totalprice AS DOUBLE)) AS o_totalprice
+FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders) b
+FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+WHERE COALESCE(c.op, '') <> 'D'
+"""
+
+
+@register("merge_upsert_orders", _MERGE_ORACLE)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet: upsert + delete in one pass.
+
+    The lakehouse write pattern (Delta/Iceberg ``MERGE``) expressed
+    as its relational core, since this engine ships no table format:
+    base FULL OUTER JOIN changes on the key, matched-update /
+    not-matched-insert via ``coalesce``, matched-delete via an op
+    filter.  The change set is derived deterministically from the
+    base (updates +10% price on keys ≡0 mod 10, inserts with offset
+    keys, deletes on keys ≡0 mod 13) so the oracle reproduces it
+    exactly.  One shuffle on the merge key; at 100 TB the same plan
+    rides a bucketed base table, and a real deployment would also
+    partition-prune the rewrite to touched partitions.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn(
+            "o_totalprice",
+            (F.round(F.col("o_totalprice") * 110, 0).cast("long") / 100.0),
+        )
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(max_key))
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
+        .withColumn("op", F.lit("I"))
+    )
+    deletes = (
+        orders.filter((F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") % 10 != 0))
+        .select(
+            "o_orderkey",
+            F.lit(None).cast("long").alias("o_custkey"),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+            F.lit("D").alias("op"),
+        )
+    )
+    changes = updates.unionByName(inserts).unionByName(deletes)
+    b = orders.alias("b")
+    c = changes.alias("c")
+    return (
+        b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+        .filter(F.coalesce(F.col("c.op"), F.lit("")) != "D")
+        .select(
+            F.coalesce(F.col("c.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+            F.coalesce(F.col("c.o_custkey"), F.col("b.o_custkey")).alias("o_custkey"),
+            F.coalesce(F.col("c.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.coalesce(
+                F.col("c.o_totalprice"), F.col("b.o_totalprice").cast("double")
+            ).alias("o_totalprice"),
+        )
+    )

@@ -132,29 +132,40 @@ def main() -> None:
     timings = {name: min(r[name] for r in runs) for name in HEADLINE}
 
     total = round(sum(timings.values()), 3)
+    # The driver parses the FINAL stdout line from a bounded tail
+    # capture, so that line must stay compact: metric + per-query best
+    # times only.  Everything bulky (per-run timings, the stored sf1
+    # scaling probe) goes to docs/bench_detail.json instead — round 5's
+    # official record was lost to a clipped oversized line.
+    detail = {
+        "timing_mode": "best_of_2",
+        "runs": runs,
+        "sf": sf_from_dir(SF_DIR),
+        "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    # Cross-SF scaling evidence (tools/scale_probe.py: synthetic sf1 =
+    # facts x10 with offset keys): a STORED artifact referenced when
+    # present — the file's mtime marks when it was measured; it is NOT
+    # re-measured on every bench run.
+    probe = os.path.join(REPO, "docs", "scale_probe_sf1.json")
+    if os.path.exists(probe):
+        with open(probe) as f:
+            detail["sf1_scaling_probe"] = json.load(f)
+        detail["sf1_scaling_probe"]["recorded_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime(os.path.getmtime(probe))
+        )
+        detail["sf1_scaling_probe"]["note"] = (
+            "stored artifact from tools/scale_probe.py, not re-measured per bench run"
+        )
+    with open(os.path.join(REPO, "docs", "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "timing_mode": "best_of_2",
-        "runs": runs,
         "sf": sf_from_dir(SF_DIR),
     }
-    # Cross-SF scaling evidence (tools/scale_probe.py: synthetic sf1 =
-    # facts x10 with offset keys): a STORED artifact attached when
-    # present — recorded_at (the file's mtime) marks when it was
-    # measured; it is NOT re-measured on every bench run.
-    probe = os.path.join(REPO, "docs", "scale_probe_sf1.json")
-    if os.path.exists(probe):
-        with open(probe) as f:
-            out["sf1_scaling_probe"] = json.load(f)
-        out["sf1_scaling_probe"]["recorded_at"] = time.strftime(
-            "%Y-%m-%dT%H:%M:%SZ", time.gmtime(os.path.getmtime(probe))
-        )
-        out["sf1_scaling_probe"]["note"] = (
-            "stored artifact from tools/scale_probe.py, not re-measured per bench run"
-        )
     print(json.dumps(out))
 
 

@@ -25,17 +25,37 @@ from mr_python_spark.registry import register
 from mr_python_spark.session import load_table
 
 
+def _pillow():
+    """Pillow's Image module when importable, else None (this container
+    ships no imaging library; environments that have one get the real
+    decode with zero code changes)."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes):
     """Decode an image payload → (width, height, channels).
 
-    STUB: image libraries are not available in this environment.
-    The real implementation plugs Pillow/libvips in here; everything
-    around it (schemas, batching, partitioning) is already wired.
+    Real decode via Pillow when the library is importable; otherwise
+    raises ``NotImplementedError`` (no imaging library in this
+    container — ``fake_probe`` is the deterministic tested stand-in).
+    Everything around this call (schemas, Arrow batching,
+    partitioning) is identical on both paths.
     """
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "container; use fake_probe() for deterministic tests"
-    )
+    Image = _pillow()
+    if Image is None:
+        raise NotImplementedError(
+            "image decode requires an imaging library not present in this "
+            "container; use fake_probe() for deterministic tests"
+        )
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return (im.width, im.height, len(im.getbands()))
 
 
 def fake_probe(payload: bytes) -> tuple[int, int, int]:

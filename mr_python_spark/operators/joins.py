@@ -654,9 +654,12 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Materialize the physical plan WHILE the confs are set: the
         # DataFrame is lazy, so without this the restored confs would
-        # silently plan away the bloom filter at action time.  The
-        # Dataset caches its QueryExecution, so subsequent actions on
-        # `out` reuse the bloom-injected plan.
+        # silently plan away the bloom filter at action time.  Only
+        # collect-style actions (collect/toPandas — what the driver,
+        # the plan audit, and the oracle gate all use) reuse this
+        # cached QueryExecution; `out.write...` builds a NEW one after
+        # the confs are restored, so write-based timing of this query
+        # would not include the bloom filter.
         out._jdf.queryExecution().executedPlan()
         return out
     finally:

@@ -127,6 +127,7 @@ def load_all_modules() -> None:
         timeseries,
         tpch,
         tpch_advanced,
+        typed,
         windows,
     )
 

@@ -465,7 +465,8 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
        structure is 8 bytes + a cell id per vector — a 256-dim f32
        corpus compresses ~128×, so the candidate scan reads codes,
        never vectors.
-    3. SEARCH: queries (stride-50) probe their 2 nearest cells; the
+    3. SEARCH: queries (stride-50) probe their ``KM_PROBE_CELLS`` (4)
+       nearest cells; the
        per-query ADC lookup table (subspace-dot of the query against
        every codebook entry — 8×16 doubles) is built query-side and
        travels WITH the query row, so candidate scoring is a pure

@@ -85,7 +85,14 @@ def staged_events_stream(
             import pyarrow.parquet as pq
 
             t = pq.read_table(staged)
-            far = pc.max(t["ts"]).as_py() + __import__("datetime").timedelta(days=1)
+            ts_max = pc.max(t["ts"]).as_py()
+            if pa.types.is_integer(t.schema.field("ts").type):
+                # int64 encoding = epoch NANOS (the reader branch below
+                # divides by 1000 before timestamp_micros); datetime
+                # arithmetic would raise TypeError on int + timedelta
+                far = ts_max + 86_400 * 1_000_000_000
+            else:
+                far = ts_max + __import__("datetime").timedelta(days=1)
             etypes = pc.unique(t["event_type"]).to_pylist()
             cols = {
                 "event_id": [-(i + 1) for i in range(len(etypes))],

@@ -157,3 +157,41 @@ def test_rows_only_queries_run(spark, entrymod):
             continue  # exercised in test_streaming
         df = qs[name](spark, SF)
         assert df.count() >= 0, name
+
+
+def test_decode_image_gated_on_pillow():
+    """decode_image is real when Pillow is importable, a clear
+    NotImplementedError when not — both paths pinned."""
+    import pytest
+
+    from mr_python_spark.multimodal import _pillow, decode_image
+
+    if _pillow() is None:
+        with pytest.raises(NotImplementedError, match="imaging library"):
+            decode_image(b"\x89PNG\r\n")
+    else:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (5, 7)).save(buf, format="PNG")
+        assert decode_image(buf.getvalue()) == (5, 7, 3)
+
+
+def test_typed_surfaces_schemas(spark):
+    """The decimal query must genuinely compute in DecimalType (the
+    string render is hash plumbing only) and the interval query must
+    surface real day-time intervals."""
+    from mr_python_spark.operators.typed import (
+        interval_ship_latency,
+        q1_decimal_plan,
+    )
+
+    plan = dict(q1_decimal_plan(spark, SF).dtypes)
+    assert plan["sum_qty_dec"] == "decimal(15,2)"
+    assert plan["sum_base_dec"] == "decimal(15,2)"
+    assert plan["sum_disc_dec"] == "decimal(18,4)"
+    iv = dict(interval_ship_latency(spark, SF).dtypes)
+    assert iv["max_latency"] == "interval day to second"
+    assert iv["min_latency"] == "interval day to second"

@@ -66,29 +66,63 @@ def test_streaming_static_enrich_matches_batch(spark):
 
 
 def test_streaming_sessions_tws_gate(spark):
-    """transformWithStateInPandas variant: runs (and matches the legacy
-    applyInPandasWithState sessionizer) when protobuf is available;
-    without it, the query is withheld from the registry and raises a
-    clear ImportError instead of crashing deep inside the stream."""
-    import pytest
-
+    """transformWithStateInPandas variant is ALWAYS registered and must
+    match the legacy applyInPandasWithState sessionizer: via the real
+    TWS path when protobuf is available, via the documented guarded
+    fallback (same semantics through applyInPandasWithState) when the
+    environment lacks protobuf."""
     from mr_python_spark.registry import QUERIES, load_all_modules
     from mr_python_spark.streaming.stateful import (
-        _has_protobuf,
         streaming_sessions_tws,
         streaming_stateful_sessions,
     )
 
     load_all_modules()
-    if not _has_protobuf():
-        assert "streaming_sessions_tws" not in QUERIES
-        with pytest.raises(ImportError, match="protobuf"):
-            streaming_sessions_tws(spark, SF)
-        pytest.skip("protobuf not installed: transformWithState unavailable")
     assert "streaming_sessions_tws" in QUERIES
     new = {tuple(r) for r in streaming_sessions_tws(spark, SF).collect()}
     old = {tuple(r) for r in streaming_stateful_sessions(spark, SF).collect()}
     assert new == old and len(new) > 0
+
+
+def test_sentinel_staging_int64_ts(spark, tmp_path):
+    """The watermark-sentinel builder must survive events.ts regenerating
+    as int64 (epoch nanos): datetime arithmetic on an int max would
+    raise TypeError.  Verifies the sentinel file is written with
+    far-future int values and the staged stream still yields a
+    watermarkable timestamp column."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mr_python_spark.streaming import staged_events_stream
+
+    base = 1_700_000_000 * 1_000_000_000  # epoch ns
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "ts": pa.array(
+                [base, base + 10**9, base + 2 * 10**9], type=pa.int64()
+            ),
+            "user_id": pa.array([10, 11, 12], type=pa.int64()),
+            "event_type": pa.array(["click", "view", "click"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    sf_dir = tmp_path / "sfint"
+    sf_dir.mkdir()
+    pq.write_table(t, str(sf_dir / "events.parquet"))
+    stream = staged_events_stream(spark, str(sf_dir), watermark_sentinel=True)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    stage_dirs = glob.glob(
+        os.path.join(__import__("tempfile").gettempdir(), "mrps_stream_sent_sfint_*")
+    )
+    assert stage_dirs, "sentinel stage dir not created"
+    sent = pq.read_table(os.path.join(stage_dirs[0], "events_sentinel.parquet"))
+    assert pa.types.is_integer(sent.schema.field("ts").type)
+    assert min(sent["ts"].to_pylist()) > base + 2 * 10**9
 
 
 def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):

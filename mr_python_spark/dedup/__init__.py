@@ -82,6 +82,41 @@ def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
     )
 
 
+#: (applicationId, documents.parquet realpath, mtime_ns) → cached
+#: hashed-shingle-set DataFrame; see :func:`hashed_shingle_sets`
+_HSH_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def hashed_shingle_sets(
+    spark: SparkSession, sf_dir: str, *, docs: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, sh: array<long>) — xxhash64'd distinct 3-shingles.
+
+    The ONE shingling pass every text-dedup query shares: ngram
+    candidate generation, ngram/LSH verification, and the minhash
+    signatures all consume this frame, so within a run the corpus is
+    tokenized and shingled once (shingling is the dominant CPU cost of
+    the family), not once per query.  Cached per (Spark application,
+    documents file identity) — a regenerated dataset changes the
+    mtime key and evicts the stale entry.  Custom ``docs`` frames
+    (test corpora) bypass the cache.
+    """
+    import os
+
+    hashed = lambda d: shingle_sets(d).select(  # noqa: E731
+        "doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("sh")
+    )
+    if docs is not None:
+        return hashed(docs)
+    path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    key = (spark.sparkContext.applicationId, path, os.stat(path).st_mtime_ns)
+    if key not in _HSH_CACHE:
+        for stale in [k for k in _HSH_CACHE if k[:2] == key[:2]]:
+            _HSH_CACHE.pop(stale).unpersist()
+        _HSH_CACHE[key] = hashed(load_table(spark, sf_dir, "documents")).cache()
+    return _HSH_CACHE[key]
+
+
 _EXACT_ORACLE = """
 SELECT
   md5(lower(trim(text))) AS content_hash,
@@ -278,21 +313,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     principle inflate one intersection count; at (shingles/doc)² ≈
     10⁴ trials per pair the probability is ~10⁻¹⁵ — accepted.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh_sets = shingle_sets(docs).select(
-        "doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("sh")
-    ).cache()
+    sh_sets = hashed_shingle_sets(spark, sf_dir)
     exploded = sh_sets.select("doc_id", F.explode("sh").alias("shingle"))
     # ONE shuffle: group the inverted index by shingle, keep rare
     # postings (df ≤ cap), explode in-posting pairs JVM-side — the
     # same plan shape as the LSH bucket grouping, replacing the
     # rare-filter join + self-join (three shuffles of the exploded
     # index) it used to cost.  Each kept posting holds ≤ DF_CAP docs,
-    # so per-group pair fan-out is bounded at cap²/2.
+    # so per-group pair fan-out is bounded at cap²/2.  Cached: the
+    # grouped postings feed BOTH the candidate pairs and the
+    # candidate-doc semi-join key below; without the cache each
+    # consumer would redo the exploded-index shuffle.
     postings = (
         exploded.groupBy("shingle")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= DF_CAP))
+        .cache()
     )
     pair = F.explode(
         F.expr(
@@ -304,8 +340,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = postings.select(pair.alias("p")).select("p.doc_a", "p.doc_b").distinct()
-    sa = sh_sets.alias("sa")
-    sb = sh_sets.alias("sb")
+    # Verification pruning: only docs that appear in some kept posting
+    # can be in a candidate pair, so semi-join the cached shingle
+    # arrays down to that set BEFORE the pair join — never-candidate
+    # docs' arrays (the vast majority of the corpus) don't shuffle
+    # into the verification at all, and the shrunken side lets AQE
+    # plan broadcast joins for the pair lookup.
+    need = postings.select(F.explode("ds").alias("doc_id")).distinct()
+    sh_small = sh_sets.join(need, "doc_id", "left_semi")
+    sa = sh_small.alias("sa")
+    sb = sh_small.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
     union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
     return (
@@ -322,14 +366,15 @@ def minhash_signatures(
     """64 minhashes per document in one pass (doc_id, sig array<long>).
 
     Shingle → xxhash64 → 64 affine permutations (a·h+b mod p) →
-    64 parallel MIN aggregates with map-side combine.
+    64 parallel MIN aggregates with map-side combine.  The xxhash64'd
+    shingles come from the shared :func:`hashed_shingle_sets` cache,
+    so a run that already shingled the corpus (e.g. for the ngram
+    path) pays nothing here.
     """
-    if docs is None:
-        docs = load_table(spark, sf_dir, "documents")
     sh = (
-        shingle_sets(docs)
-        .select("doc_id", F.explode("sh").alias("shingle"))
-        .select("doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_PRIME)).alias("h"))
+        hashed_shingle_sets(spark, sf_dir, docs=docs)
+        .select("doc_id", F.explode("sh").alias("h64"))
+        .select("doc_id", F.pmod(F.col("h64"), F.lit(MERSENNE_PRIME)).alias("h"))
     )
     mins = [
         F.min(
@@ -395,10 +440,13 @@ def dedup_minhash_lsh(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bhash")
+    # cached: buckets feed both the candidate pairs and the
+    # candidate-doc semi-join key (same pruning as the ngram path)
     buckets = (
         bands.groupBy("band", "bhash")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= bucket_cap))
+        .cache()
     )
     pair = F.explode(
         F.expr(
@@ -410,9 +458,17 @@ def dedup_minhash_lsh(
         )
     )
     cand = buckets.select(pair.alias("p")).select("p.doc_a", "p.doc_b").distinct()
-    sh_sets = shingle_sets(docs).cache()
-    sa = sh_sets.alias("sa")
-    sb = sh_sets.alias("sb")
+    # exact-Jaccard verification over the SHARED hashed shingle arrays
+    # (identical intersection counts to string shingles modulo 64-bit
+    # collisions — see dedup_ngram_jaccard's docstring), pruned to
+    # docs that appear in some surviving bucket
+    sh_sets = hashed_shingle_sets(spark, sf_dir, docs=docs)
+    if docs is not None:
+        sh_sets = sh_sets.cache()
+    need = buckets.select(F.explode("ds").alias("doc_id")).distinct()
+    sh_small = sh_sets.join(need, "doc_id", "left_semi")
+    sa = sh_small.alias("sa")
+    sb = sh_small.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
     union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
     return (

@@ -173,15 +173,33 @@ GROUP BY c_custkey, c_name
 
 @register("join_left_outer_agg", _LEFT_AGG_ORACLE)
 def join_left_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER join keeping order-less customers (NULL-safe agg)."""
+    """LEFT OUTER join keeping order-less customers (NULL-safe agg).
+
+    The aggregation is pushed BELOW the join (a rewrite Catalyst does
+    not do itself): orders pre-aggregates per ``o_custkey`` — partial
+    map-side combine collapses the fact table to one row per customer
+    BEFORE any join — and customer then left-joins the collapsed frame.
+    At 10× data the join input grows ~0× instead of 10× (10× more
+    orders per customer still aggregate to one row), which is what
+    keeps this plan flat at 100 TB; the join-then-aggregate shape
+    shuffles every order row through the join first.  Semantics are
+    identical: a customer with no orders misses the aggregate → NULL →
+    coalesce to (0, 0.0), exactly what COUNT/SUM over an empty left
+    join group produced.
+    """
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_spent"),
+    )
     return (
-        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(dec_sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        customer.join(per_cust, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
         )
     )
 

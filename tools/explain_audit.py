@@ -61,6 +61,19 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"SortAggregate"],
     ),
     "distinct_users_per_event": dict(must=[r"HashAggregate", r"partial_"], must_not=[]),
+    # decimal aggregation is algebraic too: partial+final, one exchange
+    "q1_pricing_decimal": dict(
+        must=[r"partial_sum", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"SortAggregate"],
+        hinted_broadcasts=0,
+    ),
+    # interval min/max combine map-side like any algebraic agg; the
+    # orders⋈lineitem join stays an equi-join on the natural key
+    "interval_ship_latency": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
     "cube_orders": dict(must=[r"Expand", r"HashAggregate"], must_not=[r"CartesianProduct"]),
     "rollup_region_nation": dict(must=[r"Expand", r"HashAggregate"], must_not=[r"CartesianProduct"]),
     "grouping_sets_lineitem": dict(must=[r"Expand", r"HashAggregate"], must_not=[r"CartesianProduct"]),
@@ -131,6 +144,22 @@ AUDITS: dict[str, dict] = {
         must=[r"BroadcastNestedLoopJoin"],
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=1,  # the 5-row distinct-priority side
+    ),
+    # aggregate pushed BELOW the join (see the query docstring): the
+    # count/sum partials must appear, the join stays LeftOuter, and no
+    # aggregate node may consume the join output — the only HashAggregates
+    # in the plan belong to the pre-join per-customer rollup.  Pinned
+    # after the sf1 probe measured join-then-aggregate at 2.4x per
+    # 10x data vs ~1x for this shape.
+    "join_left_outer_agg": dict(
+        must=[r"partial_count", r"LeftOuter"],
+        must_not=[r"CartesianProduct",
+                  # detail sections are numbered leaves-first, so a
+                  # join NODE followed by a later HashAggregate node
+                  # means the aggregate consumes the join output —
+                  # i.e. the agg-below-join rewrite regressed
+                  r"(?s)\(\d+\) (?:\w+Hash|SortMerge)Join.*\(\d+\) HashAggregate"],
+        hinted_broadcasts=0,
     ),
     "join_left_anti": dict(must=[r"LeftAnti"], must_not=[r"CartesianProduct"]),
     "join_full_outer": dict(must=[r"FullOuter"], must_not=[r"CartesianProduct"]),

@@ -64,13 +64,20 @@ class _Collect(MapReduce):
         return {k: v[0] for k, v in mapping.items()}
 
 
+#: adversarial partition counts: single-partition, a prime that
+#: splits keys unevenly, and full local[32] width — the documented
+#: semantics (sort modes, first-wins collisions, encounter order)
+#: must be invariant to how the input happens to be partitioned
+_NPARTS = st.sampled_from([1, 7, 32])
+
+
 @settings(
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
-@given(data=_TRIPLES, flags=_FLAGS)
-def test_three_tuple_sort_modes(spark, data, flags):
+@given(data=_TRIPLES, flags=_FLAGS, nparts=_NPARTS)
+def test_three_tuple_sort_modes(spark, data, flags, nparts):
     with_value, reverse = flags
 
     class Task(_Collect):
@@ -79,7 +86,8 @@ def test_three_tuple_sort_modes(spark, data, flags):
 
     t = Task()
     t.spark = spark
-    assert t(data) == _oracle(data, with_value, reverse)
+    rdd = spark.sparkContext.parallelize(data, nparts)
+    assert t(rdd) == _oracle(data, with_value, reverse)
 
 
 @settings(
@@ -88,10 +96,15 @@ def test_three_tuple_sort_modes(spark, data, flags):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(
-    data=st.lists(st.tuples(st.integers(0, 5), st.integers(-9, 9)), min_size=1, max_size=30)
+    data=st.lists(st.tuples(st.integers(0, 5), st.integers(-9, 9)), min_size=1, max_size=30),
+    nparts=_NPARTS,
 )
-def test_two_tuple_sum_rekey(spark, data):
-    """Aggregation + re-key funnel: totals must match a dict oracle."""
+def test_two_tuple_sum_rekey(spark, data, nparts):
+    """Aggregation + re-key funnel: totals must match a dict oracle,
+    and first-wins collision semantics must hold for EVERY input
+    partitioning (the collision winner is defined by encounter order
+    of the mapper stream, never by which partition's reducer ran
+    first)."""
 
     class Sum(MapReduce):
         def mapper(self, item):
@@ -110,13 +123,13 @@ def test_two_tuple_sum_rekey(spark, data):
 
     s = Sum()
     s.spark = spark
-    assert s(data) == dict(per_key)
+    assert s(spark.sparkContext.parallelize(data, nparts)) == dict(per_key)
 
     # re-key collision: FIRST reducer output wins (tinymr.py:226-227);
     # first = the key whose reducer output appears first in encounter
     # order of the mapper stream
     f = Funnel()
     f.spark = spark
-    result = f(data)
+    result = f(spark.sparkContext.parallelize(data, nparts))
     first_key = data[0][0]
     assert result == {"all": per_key[first_key]}

@@ -346,7 +346,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs' arrays (the vast majority of the corpus) don't shuffle
     # into the verification at all, and the shrunken side lets AQE
     # plan broadcast joins for the pair lookup.
-    need = postings.select(F.explode("ds").alias("doc_id")).distinct()
+    # no .distinct() on the semi-join key: LEFT SEMI dedupes inherently,
+    # and the extra exchange would cost more than the duplicate rows
+    need = postings.select(F.explode("ds").alias("doc_id"))
     sh_small = sh_sets.join(need, "doc_id", "left_semi")
     sa = sh_small.alias("sa")
     sb = sh_small.alias("sb")
@@ -465,7 +467,8 @@ def dedup_minhash_lsh(
     sh_sets = hashed_shingle_sets(spark, sf_dir, docs=docs)
     if docs is not None:
         sh_sets = sh_sets.cache()
-    need = buckets.select(F.explode("ds").alias("doc_id")).distinct()
+    # LEFT SEMI dedupes the key stream itself — no .distinct() exchange
+    need = buckets.select(F.explode("ds").alias("doc_id"))
     sh_small = sh_sets.join(need, "doc_id", "left_semi")
     sa = sh_small.alias("sa")
     sb = sh_small.alias("sb")

@@ -224,6 +224,20 @@ AUDITS: dict[str, dict] = {
         must=[r"HashAggregate", r"partial_"],
         must_not=[r"Exchange hashpartitioning.*text"],
     ),
+    # corpus collapses to a fingerprint->winner index BEFORE the probe
+    # join (agg-below-join, same pin as join_left_outer_agg); only
+    # 32-byte hashes shuffle, never text
+    "dedup_incremental_prefix": dict(
+        must=[r"partial_min"],
+        must_not=[r"CartesianProduct",
+                  r"(?s)\(\d+\) (?:\w+Hash|SortMerge)Join.*\(\d+\) HashAggregate",
+                  r"Exchange hashpartitioning.*text"],
+        hinted_broadcasts=0,
+    ),
+    "dedup_incremental_minhash": dict(
+        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
     # block-grid exact cosine: grouped-map pandas op, no driver collect,
     # no corpus-sized broadcast anywhere in the plan
     "dedup_embedding_cosine": dict(

@@ -527,10 +527,67 @@ WHERE rank <= {KM_TOP_K}
 """
 
 
+def _inc_minhash_sql() -> str:
+    """Asymmetric batch-probes-corpus variant of :func:`_minhash_sql`:
+    candidates pair batch docs (doc_id % 10 = 0) with corpus docs in
+    the same (band, bhash) bucket; corpus-side buckets over the cap
+    are dropped, mirroring the engine."""
+    p = MERSENNE_PRIME
+    mins = ",\n    ".join(
+        f"MIN(({HASH_A[i]} * h + {HASH_B[i]}) % {p}) AS m{i}"
+        for i in range(MINHASH_HASHES)
+    )
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, xxh64_long4({args}) AS bhash FROM sig".format(
+            b=b,
+            args=", ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES},
+h AS (
+  SELECT doc_id, ((xxh64_str(shingle) % {p}) + {p}) % {p} AS h FROM sh
+),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+small_corpus_buckets AS (
+  SELECT band, bhash FROM bands WHERE doc_id % 10 <> 0
+  GROUP BY band, bhash HAVING count(*) <= {LSH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bhash = b.bhash
+    AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+  JOIN small_corpus_buckets s ON a.band = s.band AND a.bhash = s.bhash
+),
+shs AS (
+  SELECT doc_id, list(shingle) AS sh FROM sh GROUP BY doc_id
+)
+SELECT doc_new, doc_old,
+  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+FROM cand
+JOIN shs sa ON doc_new = sa.doc_id
+JOIN shs sb ON doc_old = sb.doc_id
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+"""
+
+
 def udf_oracles() -> dict[str, str]:
     """name -> DuckDB SQL requiring :func:`register_udfs` on the connection."""
     return {
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_incremental_minhash": _inc_minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "dedup_embedding_lsh": _embedding_lsh_sql(),

@@ -139,6 +139,43 @@ def json_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VARIANT_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("variant_props_events", _VARIANT_ORACLE)
+def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ``VariantType`` (Spark 4): parse once, extract typed.
+
+    ``parse_json`` builds the binary variant encoding — the Spark-4
+    answer to schema-on-read JSON columns: parsed ONCE at the scan
+    instead of per-``get_json_object`` call, with typed path extraction
+    (``variant_get``) and NULL semantics for absent paths
+    (``try_variant_get`` here, so a missing key counts instead of
+    erroring).  Same aggregate gate as ``json_funcs_events``, which is
+    kept on the string-path API for comparison.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    rows = events.select(
+        "event_type",
+        F.variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.missing", "long").alias("missing"),
+    )
+    return rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0)).alias("n_missing"),
+    )
+
+
 _MAP_ORACLE = """
 SELECT
   event_id,

@@ -114,6 +114,7 @@ def register(name: str, oracle: str | None = None):
 def load_all_modules() -> None:
     """Import every module that registers queries, then apply PRIORITY order."""
     from mr_python_spark import dedup, multimodal, similarity, sources, streaming  # noqa: F401
+    from mr_python_spark.sources import pyds  # noqa: F401
     from mr_python_spark.streaming import stateful  # noqa: F401
     from mr_python_spark.functions import pipeline, pyudf, scalars, text, vectors  # noqa: F401
     from mr_python_spark.operators import (  # noqa: F401

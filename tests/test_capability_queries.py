@@ -195,3 +195,21 @@ def test_typed_surfaces_schemas(spark):
     iv = dict(interval_ship_latency(spark, SF).dtypes)
     assert iv["max_latency"] == "interval day to second"
     assert iv["min_latency"] == "interval day to second"
+
+
+def test_pyds_calendar_partition_planning(spark):
+    """The custom Python Data Source must plan one input partition per
+    year (the API's partition-planning path), and rows must land in
+    their own year's partition."""
+    from mr_python_spark.sources.pyds import calendar_frame
+
+    cal = calendar_frame(spark, "1995-01-01", "1997-12-31")
+    assert cal.rdd.getNumPartitions() == 3
+    assert cal.count() == 365 + 366 + 365
+    from pyspark.sql import functions as F
+
+    per_year = {
+        r.year: r.n
+        for r in cal.groupBy("year").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_year == {1995: 365, 1996: 366, 1997: 365}

@@ -47,6 +47,18 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
     "csv_scan_nation": dict(must=[r"Scan csv"], must_not=[r"CartesianProduct"]),
+    # Spark 4 Python Data Source: the custom source must appear as a
+    # BatchScan and feed a partial+final aggregate
+    "pyds_calendar_scan": dict(
+        must=[r"BatchScan pycalendar", r"partial_"],
+        must_not=[r"CartesianProduct"],
+    ),
+    # VariantType path extraction stays a JVM projection feeding a
+    # map-side-combined aggregate — no Python evaluation anywhere
+    "variant_props_events": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+    ),
     "json_scan_orders": dict(must=[r"Scan json"], must_not=[r"CartesianProduct"]),
     "orc_scan_supplier": dict(must=[r"Scan orc"], must_not=[r"CartesianProduct"]),
     # partitioned layout: the filter prunes directories at the scan

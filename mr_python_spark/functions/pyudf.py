@@ -113,6 +113,92 @@ def udtf_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UDTF_ANALYZE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, lang, t, generate_subscripts(t, 1) AS i FROM toks
+)
+SELECT lang, COUNT(*) AS n_grams, COUNT(DISTINCT t[i]) AS n_distinct_lead
+FROM pos WHERE i <= len(t) - 2
+GROUP BY lang
+"""
+
+
+@register("udtf_ngram_analyze", _UDTF_ANALYZE_ORACLE)
+def udtf_ngram_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze``): schema from args.
+
+    The UDTF's output columns (``g0..g{n-1}``) are computed at plan
+    time by its static ``analyze`` method from the CONSTANT ``n``
+    argument — the Spark-4 polymorphic-UDTF surface, one step past
+    the fixed-schema UDTF in :func:`udtf_word_explode`.  Called with
+    n=3 over documents and aggregated per language (total trigram
+    rows + distinct leading token).
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class NgramCols:
+        @staticmethod
+        def analyze(text, n):  # noqa: D102 — UDTF analyze contract
+            return AnalyzeResult(
+                schema=StructType(
+                    [StructField(f"g{i}", StringType()) for i in range(n.value)]
+                )
+            )
+
+        def eval(self, text: str, n: int):  # noqa: D102 — UDTF contract
+            if text is None:
+                return
+            toks = [t for t in text.lower().split() if t]
+            for i in range(len(toks) - n + 1):
+                yield tuple(toks[i : i + n])
+
+    spark.udtf.register("ngram_cols", udtf(NgramCols))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_ngram_udtf")
+    return spark.sql(
+        """
+        SELECT d.lang, COUNT(*) AS n_grams, COUNT(DISTINCT t.g0) AS n_distinct_lead
+        FROM docs_ngram_udtf d, LATERAL ngram_cols(text, 3) t
+        GROUP BY d.lang
+        """
+    )
+
+
+_ARROW_UDF_ORACLE = """
+SELECT
+  p_partkey,
+  CAST(length(p_name) AS INTEGER) AS name_len,
+  CAST(length(p_name) - length(replace(p_name, 'a', '')) AS INTEGER) AS n_a
+FROM part
+"""
+
+
+@register("arrow_python_udf", _ARROW_UDF_ORACLE)
+def arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized plain Python UDF (Spark 4 ``useArrow=True``).
+
+    The third Python-evaluation tier alongside row-pickled UDFs
+    (never used here) and pandas UDFs: a scalar Python function whose
+    input/output cross the boundary as Arrow batches.  Kept off the
+    hot paths — this query exists to pin the surface; equivalent
+    JVM-side expressions are what production queries use.
+    """
+    arrow_metrics = F.udf(
+        lambda s: (len(s), s.count("a")) if s is not None else None,
+        "struct<name_len:int, n_a:int>",
+        useArrow=True,
+    )
+    part = load_table(spark, sf_dir, "part")
+    return part.select("p_partkey", arrow_metrics("p_name").alias("m")).select(
+        "p_partkey", "m.name_len", "m.n_a"
+    )
+
+
 # --------------------------------------------------------------------
 # applyInPandas — the reference's reducer contract (key, values) → rows
 

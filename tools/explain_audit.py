@@ -277,6 +277,17 @@ AUDITS: dict[str, dict] = {
     ),
     # ---------------- python surfaces ----------------
     "pandas_udf_token_count": dict(must=[r"ArrowEvalPython"], must_not=[r"Exchange"]),
+    # Spark 4 arrow-optimized plain UDF: Arrow evaluation, zero shuffle
+    "arrow_python_udf": dict(
+        must=[r"ArrowEvalPython|BatchEvalPython"],
+        must_not=[r"Exchange", r"CartesianProduct"],
+    ),
+    # polymorphic UDTF (analyze): Generate-over-Python-UDTF feeding a
+    # partial+final distinct aggregate
+    "udtf_ngram_analyze": dict(
+        must=[r"(?i)udtf|PythonUDTF", r"partial_"],
+        must_not=[r"CartesianProduct"],
+    ),
     "grouped_map_top2_sharded": dict(
         must=[r"FlatMapGroupsInPandas|GroupedMapPandas"], must_not=[r"CartesianProduct"]
     ),

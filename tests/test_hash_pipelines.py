@@ -442,3 +442,41 @@ def test_ann_recall_floors(spark):
     r_pq = mean_recall(ann_ivf_pq)
     assert r_kmeans >= 0.55, r_kmeans
     assert r_pq >= 0.40, r_pq
+
+
+def test_hashed_shingle_cache_invalidation(spark, tmp_path):
+    """The run-wide shingle cache must key on file identity: rewriting
+    documents.parquet (new mtime) evicts the stale entry instead of
+    silently serving old shingles."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mr_python_spark.dedup import _HSH_CACHE, hashed_shingle_sets
+
+    def write(texts):
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    write(["alpha beta gamma delta"])
+    first = hashed_shingle_sets(spark, str(tmp_path)).collect()
+    assert len(first[0].sh) == 2  # 4 tokens -> 2 trigrams
+    n_before = len(_HSH_CACHE)
+    # same file identity -> same cached frame, no new entry
+    hashed_shingle_sets(spark, str(tmp_path))
+    assert len(_HSH_CACHE) == n_before
+    time.sleep(0.01)  # ensure a distinct mtime_ns
+    write(["one two three four five six"])
+    second = hashed_shingle_sets(spark, str(tmp_path)).collect()
+    assert len(second[0].sh) == 4  # 6 tokens -> 4 trigrams
+    assert len(_HSH_CACHE) == n_before  # stale entry evicted, not leaked

@@ -144,6 +144,47 @@ def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(probe, _PROBE_SCHEMA)
 
 
+@register("multimodal_probe_arrow", _PROBE_ORACLE)
+def multimodal_probe_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same probe through ``mapInArrow`` — RecordBatch-level Python.
+
+    One tier below ``mapInPandas``: the UDF receives raw
+    ``pyarrow.RecordBatch``es and answers with Arrow arrays built by
+    vectorized ``pyarrow.compute`` kernels — no pandas
+    materialization at all, the right shape when the payload column
+    is large binary and copying it into a pandas object column would
+    double memory.  Same deterministic fake-dimension semantics and
+    oracle as ``multimodal_probe``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def probe(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            blen = pc.cast(pc.binary_length(batch.column("payload")), pa.int64())
+            # n % 512 == n & 511 for non-negative n (pyarrow.compute has
+            # no modulo kernel; the fake dims use a power-of-two base)
+            width = pc.add(pc.bit_wise_and(blen, 511), 64)
+            height = pc.add(pc.bit_wise_and(pc.multiply(blen, 7), 511), 64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    blen,
+                    pc.cast(width, pa.int32()),
+                    pc.cast(height, pa.int32()),
+                    pa.array([3] * batch.num_rows, type=pa.int32()),
+                ],
+                names=["doc_id", "byte_len", "width", "height", "channels"],
+            )
+
+    return with_payload.mapInArrow(probe, _PROBE_SCHEMA)
+
+
 _FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

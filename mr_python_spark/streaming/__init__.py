@@ -344,6 +344,55 @@ def streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, joined, "stream_join")
 
 
+_SJOIN_SEMI_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND EXISTS (
+    SELECT 1 FROM events c
+    WHERE c.event_type = 'click'
+      AND c.user_id = p.user_id
+      AND c.ts >= p.ts - INTERVAL 1 HOUR
+      AND c.ts <= p.ts
+  )
+"""
+
+
+@register("streaming_join_semi_live", _SJOIN_SEMI_ORACLE)
+def streaming_join_semi_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join — purchases with a click in the hour.
+
+    Completes the streaming join matrix (inner / left-outer /
+    full-outer / semi): the semi variant emits each purchase AT MOST
+    once, on its first qualifying click, and buffers no click payload
+    past the match — the attribution-check shape ("did a click
+    precede this purchase?") where the inner join's one-row-per-click
+    fan-out is wrong.  Same watermark + interval-bound state contract
+    as ``streaming_join_live``; output is the deterministic EXISTS
+    set, so the batch SQL oracle gates it exactly.
+    """
+    clicks = (
+        staged_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        staged_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("ts")),
+        "left_semi",
+    ).select("event_id", "user_id", "ts")
+    return run_to_memory(spark, joined, "stream_join_semi")
+
+
 _SSINK_ORACLE = """
 SELECT
   event_type,

@@ -213,3 +213,28 @@ def test_pyds_calendar_partition_planning(spark):
         for r in cal.groupBy("year").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert per_year == {1995: 365, 1996: 366, 1997: 365}
+
+
+def test_observation_metrics_ride_the_action(spark):
+    """Spark's Observation API: per-action metrics collected during the
+    normal pass (no second job), matching a direct aggregate."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from mr_python_spark.session import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    obs = Observation("li_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("cents"),
+    )
+    n_filtered = observed.filter(F.col("l_quantity") > 25).count()
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("c"),
+    ).collect()[0]
+    assert obs.get["n_rows"] == direct.n
+    assert obs.get["cents"] == direct.c
+    assert 0 < n_filtered < direct.n

@@ -340,6 +340,11 @@ AUDITS: dict[str, dict] = {
     "multimodal_keyframes": dict(
         must=[r"MapInPandas"], must_not=[r"CartesianProduct", r"Exchange"]
     ),
+    # RecordBatch-level Python (mapInArrow): PythonMapInArrow node,
+    # zero shuffle — payloads never leave their partition
+    "multimodal_probe_arrow": dict(
+        must=[r"(?i)MapInArrow"], must_not=[r"CartesianProduct", r"Exchange"]
+    ),
     # ---------------- round-3 pipeline passes ----------------
     # repetition: two map-side-combined aggs + per-doc lead window
     "quality_repetition": dict(

@@ -120,6 +120,7 @@ def load_all_modules() -> None:
     from mr_python_spark.operators import (  # noqa: F401
         aggregates,
         bucketing,
+        graph,
         joins,
         parity,
         setops,

@@ -369,6 +369,12 @@ AUDITS: dict[str, dict] = {
         must=[r"Window"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # iterative join-aggregate kernel: equi-joins on the edge list
+    # only, never a cartesian or nested-loop anywhere in the 3 rounds
+    "pagerank_dedup_graph": dict(
+        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"partial_sum"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
     # decontamination: hash equi-join of two inverted indexes, both
     # shuffled (eval side deliberately unhinted), text never moves
     "decontaminate_against_eval": dict(

@@ -45,6 +45,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_incremental_prefix",
+    "dedup_incremental_minhash",
     "dedup_embedding_cosine",
     "ann_brute_topk",
     "ann_ivf_label",
@@ -52,6 +54,7 @@ HEADLINE = [
     "grouped_map_top2_sharded",
     "stats_variance_quantity",
     "pivot_daily_event_values",
+    "variant_props_events",
 ]
 
 

@@ -556,6 +556,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     rows_per_band = MINHASH_HASHES // MINHASH_BANDS
     sig = minhash_signatures(spark, sf_dir)
+    # cached: bands feed BOTH the corpus-bucket index and the batch
+    # probe side — without the cache the batch probe recomputes every
+    # signature just to keep 10% of the rows
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -571,7 +574,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bhash")
+    ).select("doc_id", "bb.band", "bb.bhash").cache()
     is_batch = F.col("doc_id") % 10 == 0
     corpus_buckets = (
         bands.filter(~is_batch)

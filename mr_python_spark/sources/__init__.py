@@ -148,6 +148,56 @@ def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVOLVE_ORACLE = """
+SELECT
+  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("schema_evolution_read", _EVOLVE_ORACLE)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolved parquet directory read via ``mergeSchema``.
+
+    The data-lake reality: a dataset directory accretes batches whose
+    schemas EVOLVE — here a legacy batch (orderkey, totalprice) and a
+    current batch that added ``o_orderpriority``.  ``mergeSchema``
+    unions the footers into one superset schema; legacy rows surface
+    NULL for the added column, and the aggregate groups them as their
+    own bucket.  The oracle recomputes the identical semantics from
+    the source table (priority visible only for odd keys).
+
+    Scale notes: footer-merging is a one-time planning cost; at 100 TB
+    the production setting is a table-level schema (metastore) with
+    per-file pruning, but the NULL-fill semantics verified here are
+    exactly what evolved columns must do either way.
+    """
+    base = _scratch("orders_evolved")
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "batch=legacy"))
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "batch=current"))
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "batch=legacy"), os.path.join(base, "batch=current")
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("sum_price"),
+    )
+
+
 _ORC_ORACLE = """
 SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal
 FROM supplier

@@ -47,6 +47,10 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
     "csv_scan_nation": dict(must=[r"Scan csv"], must_not=[r"CartesianProduct"]),
+    # merged-schema read still partial-aggregates map-side
+    "schema_evolution_read": dict(
+        must=[r"partial_", r"HashAggregate"], must_not=[r"CartesianProduct"]
+    ),
     # Spark 4 Python Data Source: the custom source must appear as a
     # BatchScan and feed a partial+final aggregate
     "pyds_calendar_scan": dict(

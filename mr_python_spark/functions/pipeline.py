@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from mr_python_spark.functions.text import STOPWORDS, tokens_col
 from mr_python_spark.registry import register
-from mr_python_spark.session import load_table
+from mr_python_spark.session import load_table, spread
 
 
 _REPETITION_ORACLE = """
@@ -672,4 +672,111 @@ def shuffle_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+#: vocabulary cap for token-id encoding (the corpus vocabulary is ~31
+#: tokens at test SFs, so 16 exercises BOTH in-vocab and OOV paths)
+VOCAB_SIZE = 16
+
+_ENCODE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks
+), counts AS (
+  SELECT tok, COUNT(*) AS c FROM pos GROUP BY tok
+), vocab AS (
+  SELECT tok, CAST(rk - 1 AS INTEGER) AS id FROM (
+    SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM counts
+  ) WHERE rk <= {VOCAB_SIZE}
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_tokens,
+       list(COALESCE(v.id, {VOCAB_SIZE})::INTEGER ORDER BY p.i) AS ids
+FROM pos p
+LEFT JOIN vocab v ON v.tok = p.tok
+GROUP BY p.doc_id
+"""
+
+
+@register("encode_tokens_to_ids", _ENCODE_ORACLE)
+def encode_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token→id encoding: frequency vocabulary + ordered id sequences.
+
+    The step between cleaned text and a trainer: build a vocabulary of
+    the top ``VOCAB_SIZE`` tokens (count DESC, token ASC — a total
+    order), assign dense ids 0..V-1, map every token to its id (OOV →
+    the reserved id V), and re-assemble each document's id sequence in
+    token order.
+
+    Scale notes: the vocabulary build is TakeOrdered (top-V by count,
+    never a global sort) followed by a window over ≤V rows; the encode
+    join is vocab⋈exploded-tokens left to stats (a 50k-row vocabulary
+    broadcasts; AQE decides).  Sequence re-assembly sorts (position,
+    id) structs inside each doc's aggregate — JVM-side, one shuffle on
+    doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "doc_id", F.posexplode(tokens_col()).alias("i", "tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.desc("c"), F.asc("tok")).limit(VOCAB_SIZE)
+    vocab = top.select(
+        "tok",
+        (
+            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok"))) - 1
+        ).cast("int").alias("id"),
+    )
+    encoded = toks.join(vocab, "tok", "left").select(
+        "doc_id", "i", F.coalesce("id", F.lit(VOCAB_SIZE)).cast("int").alias("id")
+    )
+    return (
+        encoded.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("transform(array_sort(collect_list(struct(i, id))), s -> s.id)").alias("ids"),
+        )
+    )
+
+
+_SPLIT_ORACLE = """
+SELECT
+  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split,
+  source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register("split_train_val_test", _SPLIT_ORACLE)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment report.
+
+    Same multiplicative-hash determinism contract as
+    ``stratified_sample_documents``: assignment is a pure function of
+    doc_id — identical on every engine, partitioning, and rerun, and
+    stable as the corpus grows (a document never changes split when
+    new data arrives, unlike percentile-based cuts).  The report
+    aggregates per (split, source) so leakage-relevant skew is
+    visible.  Pure scan + one map-side-combined aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        )
     )

@@ -438,6 +438,18 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"BroadcastHashJoin"],
         hinted_broadcasts=0,
     ),
+    # vocab is TakeOrdered top-V (never a global sort); the encode
+    # join is an equi-join; re-assembly is one doc_id aggregate
+    "encode_tokens_to_ids": dict(
+        must=[r"TakeOrderedAndProject", r"partial_"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # pure function of doc_id: scan + one map-side-combined aggregate
+    "split_train_val_test": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"Join"],
+        hinted_broadcasts=0,
+    ),
     # sequence packing: per-shard window + final rollup, no joins
     "pack_training_batches": dict(
         must=[r"Window", r"partial_"],

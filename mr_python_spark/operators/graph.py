@@ -153,3 +153,60 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization happens at the driver's action; frames stay cached
     # for the run (tiny: |verts| rows) — matching dedup_clusters' pattern
     return out
+
+
+_REACH_ORACLE = """
+WITH """ + _PAIRS_CTES.strip() + """,
+seed AS (
+  SELECT MIN(src) AS s FROM bidir
+),
+walk AS (
+  WITH RECURSIVE w(node, depth) AS (
+    SELECT s, 0 FROM seed
+    UNION ALL
+    SELECT b.dst, w.depth + 1
+    FROM w JOIN bidir b ON b.src = w.node
+    WHERE w.depth < 3
+  )
+  SELECT node, MIN(depth) AS hops FROM w GROUP BY node
+)
+SELECT node AS doc_id, CAST(hops AS BIGINT) AS hops FROM walk
+"""
+
+
+@register("reach_flagged_neighborhood", _REACH_ORACLE)
+def reach_flagged_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): ≤3-hop contamination walk.
+
+    The triage query after flagging a document: everything transitively
+    similar within k hops of the seed (the min doc id on the near-dup
+    edge set).  Runs as a genuine Spark 4 recursive CTE — ``UNION ALL``
+    rows with a depth guard, which terminates on CYCLIC graphs because
+    depth is bounded, where the unguarded closure would not (Spark does
+    not yet support ``UNION`` distinct recursion); path-multiplicity
+    duplicates collapse in the final MIN(depth) aggregate, identically
+    on both engines.  The edge list is the same capped jaccard ≥ 0.2
+    graph as :func:`pagerank_dedup_graph`, registered as a temp view.
+    """
+    from mr_python_spark.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    bidir = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    bidir.createOrReplaceTempView("neardup_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE w(node, depth) AS (
+          SELECT MIN(src), 0 FROM neardup_edges
+          UNION ALL
+          SELECT b.dst, w.depth + 1
+          FROM w JOIN neardup_edges b ON b.src = w.node
+          WHERE w.depth < 3
+        )
+        SELECT node AS doc_id, CAST(MIN(depth) AS BIGINT) AS hops
+        FROM w GROUP BY node
+        """
+    )

@@ -373,6 +373,12 @@ AUDITS: dict[str, dict] = {
         must=[r"Window"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # Spark 4 recursive CTE: the plan must contain the recursion
+    # operator pair (UnionLoop driving UnionLoopRef), equi-joins only
+    "reach_flagged_neighborhood": dict(
+        must=[r"UnionLoop", r"UnionLoopRef"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
     # iterative join-aggregate kernel: equi-joins on the edge list
     # only, never a cartesian or nested-loop anywhere in the 3 rounds
     "pagerank_dedup_graph": dict(

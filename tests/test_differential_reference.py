@@ -164,3 +164,25 @@ def test_arity_error_matches_reference(spark, bad):
         ref_task([1])
     with pytest.raises(OurErr):
         our_task([1])
+
+
+@settings(**_SETTINGS)
+@given(data=_PAIRS)
+def test_pooled_execution_matches_reference(spark, data):
+    """The caller-pooled contract (mapper_map/reducer_map): both engines
+    run the SAME thread pool and must agree — including the
+    generator-expansion wrapping both apply around pooled hooks."""
+    from multiprocessing.dummy import Pool  # thread pool: picklability-free
+
+    def mapper(self, item):
+        yield item[0], item[1]
+        yield item[0] + 50, item[1] - 1
+
+    def reducer(self, key, values):
+        return key, sum(values)
+
+    ref_task, our_task = _pair(spark, {"mapper": mapper, "reducer": reducer})
+    with Pool(4) as p1, Pool(4) as p2:
+        ours = our_task(data, mapper_map=p1.map, reducer_map=p1.map)
+        ref = ref_task(iter(data), mapper_map=p2.map, reducer_map=p2.map)
+    assert ours == ref

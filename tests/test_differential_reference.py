@@ -186,3 +186,43 @@ def test_pooled_execution_matches_reference(spark, data):
         ours = our_task(data, mapper_map=p1.map, reducer_map=p1.map)
         ref = ref_task(iter(data), mapper_map=p2.map, reducer_map=p2.map)
     assert ours == ref
+
+
+def test_heterogeneous_keys_match_reference(spark):
+    """Arbitrary hashable Python keys in ONE run (None, ints, tuples,
+    strings) — the reason the parity layer lives on RDDs, where a
+    DataFrame column could hold none of this."""
+
+    def mapper(self, item):
+        yield None, item
+        yield (item % 2, "pair"), item * 2
+        yield "label", -item
+
+    def reducer(self, key, values):
+        yield key, sorted(values)
+
+    def output(self, mapping):
+        return dict(mapping)
+
+    ref_task, our_task = _pair(
+        spark, {"mapper": mapper, "reducer": reducer, "output": output}
+    )
+    data = [3, 1, 4, 1, 5]
+    assert our_task(data) == ref_task(iter(data))
+
+
+def test_empty_input_matches_reference(spark):
+    """Both engines raise StopIteration on empty input (the reference's
+    unprotected first-tuple peek, tinymr.py:302)."""
+
+    def mapper(self, item):
+        return item
+
+    def reducer(self, key, values):
+        return key, 0
+
+    ref_task, our_task = _pair(spark, {"mapper": mapper, "reducer": reducer})
+    with pytest.raises(StopIteration):
+        ref_task(iter([]))
+    with pytest.raises(StopIteration):
+        our_task([])

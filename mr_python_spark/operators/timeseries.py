@@ -290,3 +290,88 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("o_totalprice"),
         )
     )
+
+
+_FUNNEL_ORACLE = """
+WITH first_view AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), first_click AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN first_view fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'click' AND e.ts > fv.v_ts
+    AND e.ts <= fv.v_ts + INTERVAL 6 HOUR
+  GROUP BY e.user_id
+), first_purchase AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN first_click fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fc.c_ts
+    AND e.ts <= fc.c_ts + INTERVAL 6 HOUR
+  GROUP BY e.user_id
+)
+SELECT
+  CASE WHEN p_ts IS NOT NULL THEN 'purchase'
+       WHEN c_ts IS NOT NULL THEN 'click'
+       ELSE 'view' END AS stage,
+  COUNT(*) AS n_users
+FROM first_view fv
+LEFT JOIN first_click fc USING (user_id)
+LEFT JOIN first_purchase fp USING (user_id)
+GROUP BY 1
+"""
+
+
+@register("funnel_stages_events", _FUNNEL_ORACLE)
+def funnel_stages_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: view → click-after-view → purchase-after-click.
+
+    The product-analytics staple: each stage's timestamp must follow
+    the PREVIOUS stage's first occurrence (a click before any view
+    does not count), so naive per-type MINs are wrong — the funnel is
+    three chained conditional aggregates, each joining the prior
+    stage's first-time per user.  Output: users by deepest stage
+    reached.
+
+    Scale notes: three aggregates with map-side combine, each join on
+    user_id; stage frames shrink monotonically (stage k+1 only joins
+    stage-k survivors), so later stages are cheaper, and everything
+    stays hash-partitioned on the same key — AQE reuses the layout.
+    """
+    events = load_table(spark, sf_dir, "events")
+    first_view = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    first_click = (
+        events.filter(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .filter(
+            (F.col("ts") > F.col("v_ts"))
+            & (F.col("ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    first_purchase = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(
+            (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + F.expr("INTERVAL 6 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    stage = (
+        F.when(F.col("p_ts").isNotNull(), "purchase")
+        .when(F.col("c_ts").isNotNull(), "click")
+        .otherwise("view")
+    )
+    return (
+        first_view.join(first_click, "user_id", "left")
+        .join(first_purchase, "user_id", "left")
+        .select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -562,6 +562,13 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"Join"],
         hinted_broadcasts=0,
     ),
+    # three chained conditional aggregates, all joined on user_id —
+    # map-side combine everywhere, no cartesian anywhere
+    "funnel_stages_events": dict(
+        must=[r"partial_min", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
     # calendar densification: JVM-side sequence+explode (Generate),
     # map-side-combined daily aggregate, per-user fill window; join
     # strategy left to stats (both sides scale with the corpus)

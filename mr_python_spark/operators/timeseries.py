@@ -375,3 +375,54 @@ def funnel_stages_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, fs.cohort_week,
+         date_diff('week', fs.cohort_week, date_trunc('week', e.ts)) AS week_offset
+  FROM events e JOIN firsts fs ON e.user_id = fs.user_id
+)
+SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+       COUNT(*) AS n_active
+FROM activity
+GROUP BY cohort_week, week_offset
+"""
+
+
+@register("cohort_retention_events", _COHORT_ORACLE)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users by first-seen week × weeks since.
+
+    The other product-analytics staple beside the funnel: users cohort
+    by the week of their first event; each (cohort, week-offset) cell
+    counts users active that many weeks later.  ``date_trunc('week')``
+    is Monday-based in both engines and the offset is a whole-week
+    difference of truncated timestamps, so the matrix is deterministic.
+
+    Scale notes: one aggregate for first-seen (map-side combined), one
+    user_id equi-join, one distinct on (user, cohort, offset) — all
+    hash-partitioned on user_id until the final small rollup.
+    """
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )

@@ -569,6 +569,12 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         hinted_broadcasts=0,
     ),
+    # first-seen aggregate + user_id equi-join + distinct rollup
+    "cohort_retention_events": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
     # calendar densification: JVM-side sequence+explode (Generate),
     # map-side-combined daily aggregate, per-user fill window; join
     # strategy left to stats (both sides scale with the corpus)

@@ -55,3 +55,40 @@ def test_plan_properties(spark, entrymod, name):
         assert got == expected_hints, (
             f"{name}: {got} hinted broadcasts, expected {expected_hints}\n{nostats}"
         )
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The 100 TB skew story must actually engage: a join where one key
+    holds ~90% of the left side gets its skewed partition SPLIT by AQE
+    (SortMergeJoin(skew=true) + a 'coalesced and skewed' shuffle read)
+    instead of stalling one task on the whole key."""
+    from pyspark.sql import functions as F
+
+    left = spark.range(400_000).select(
+        F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(50_000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("w")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = left.join(right, "k").select(F.sum("v").alias("s"))
+        j.collect()
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "coalesced and skewed" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)

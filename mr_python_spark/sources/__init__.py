@@ -388,3 +388,63 @@ def xml_scan_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.schema(schema).format("xml").option("rowTag", "nation").load(path)
     )
+
+
+_CORRUPT_ORACLE = """
+SELECT
+  CASE WHEN n_nationkey % 5 = 0 THEN 'corrupt' ELSE 'good' END AS row_class,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 0 ELSE n_nationkey END) AS BIGINT) AS key_sum
+FROM nation
+GROUP BY 1
+"""
+
+
+@register("csv_corrupt_records_permissive", _CORRUPT_ORACLE)
+def csv_corrupt_records_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion: malformed rows captured, not fatal.
+
+    Real feeds contain garbage lines; the ingestion contract is to
+    LAND them (``_corrupt_record``) for quarantine instead of failing
+    the batch (FAILFAST) or silently dropping them (DROPMALFORMED).
+    The staged file deterministically corrupts every 5th nation row
+    (single-field line), so the oracle knows exactly which rows must
+    surface as corrupt; the aggregate proves malformed rows carry a
+    NULL schema + the raw line while healthy rows parse fully.
+    """
+    import glob
+    import shutil
+
+    path = _scratch("nation_corrupt_csv")
+    nation = load_table(spark, sf_dir, "nation")
+    lines = nation.select(
+        F.when(
+            F.col("n_nationkey") % 5 == 0,
+            F.concat(F.lit("GARBAGE-"), F.col("n_nationkey")),
+        ).otherwise(
+            F.concat_ws("|", "n_nationkey", "n_name", "n_regionkey")
+        ).alias("value")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    schema = (
+        "n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt_record STRING"
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("sep", "|")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    row_class = F.when(
+        F.col("_corrupt_record").isNotNull(), "corrupt"
+    ).otherwise("good")
+    return (
+        parsed.select(row_class.alias("row_class"), "n_nationkey")
+        .groupBy("row_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce(F.col("n_nationkey").cast("long"), F.lit(0))).alias("key_sum"),
+        )
+    )

@@ -47,6 +47,11 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
     "csv_scan_nation": dict(must=[r"Scan csv"], must_not=[r"CartesianProduct"]),
+    # PERMISSIVE ingestion: corrupt rows land, healthy rows aggregate
+    "csv_corrupt_records_permissive": dict(
+        must=[r"Scan csv", r"partial_"],
+        must_not=[r"CartesianProduct"],
+    ),
     # merged-schema read still partial-aggregates map-side
     "schema_evolution_read": dict(
         must=[r"partial_", r"HashAggregate"], must_not=[r"CartesianProduct"]

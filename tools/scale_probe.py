@@ -40,6 +40,7 @@ QUERIES = [
     # dedup/ANN family: the sub-quadratic-candidates claims under 10x data
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "ann_ivf_pq",

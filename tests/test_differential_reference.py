@@ -226,3 +226,28 @@ def test_empty_input_matches_reference(spark):
         ref_task(iter([]))
     with pytest.raises(StopIteration):
         our_task([])
+
+
+@settings(**_SETTINGS)
+@given(data=_PAIRS)
+def test_filtering_mapper_matches_reference(spark, data):
+    """Generator mappers may yield ZERO tuples for an item (the
+    documented filter idiom); both engines must agree — including the
+    StopIteration when everything is filtered out."""
+
+    def mapper(self, item):
+        if item[1] % 2 != 0:
+            return  # filtered: zero tuples for this item
+        yield item[0], item[1]
+
+    def reducer(self, key, values):
+        return key, sum(values)
+
+    ref_task, our_task = _pair(spark, {"mapper": mapper, "reducer": reducer})
+    if any(v % 2 == 0 for _, v in data):
+        assert our_task(data) == ref_task(iter(data))
+    else:
+        with pytest.raises(StopIteration):
+            ref_task(iter(data))
+        with pytest.raises(StopIteration):
+            our_task(data)

@@ -43,9 +43,17 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             import shutil
 
             shutil.rmtree(loc)
+    # repartition on the bucket column with #partitions == #buckets
+    # BEFORE the bucketed write: repartition and bucketing share the
+    # Murmur3 hash, so each task holds exactly one bucket and writes
+    # ONE file per bucket — the condition under which Spark trusts the
+    # sortBy order at read time and elides the per-side Sort under the
+    # merge join (multi-file buckets are only per-file sorted, so the
+    # reader would have to re-sort)
     if not catalog.tableExists(o_name):
         (
             load_table(spark, sf_dir, "orders")
+            .repartition(_N_BUCKETS, F.col("o_orderkey"))
             .write.bucketBy(_N_BUCKETS, "o_orderkey")
             .sortBy("o_orderkey")
             .mode("overwrite")
@@ -54,6 +62,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     if not catalog.tableExists(l_name):
         (
             load_table(spark, sf_dir, "lineitem")
+            .repartition(_N_BUCKETS, F.col("l_orderkey"))
             .write.bucketBy(_N_BUCKETS, "l_orderkey")
             .sortBy("l_orderkey")
             .mode("overwrite")
@@ -76,25 +85,43 @@ GROUP BY o_orderpriority
 
 @register("join_bucketed_colocated", _BUCKETED_ORACLE)
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """orders⋈lineitem with both sides bucketed on the join key.
+    """orders⋈lineitem with both sides bucketed AND sorted on the join key.
 
     The merge hint forces the join strategy the bucketing pays for
     (locally the small sides would otherwise broadcast); the scans
-    report ``Bucketed: true`` and no exchange precedes the join —
-    the shape every fact-fact query gets for free after the one-time
-    bucketed backfill.
+    report ``Bucketed: true`` and the join runs with NO exchange and
+    NO sort on either side — the scans' ``sortBy`` order is trusted
+    because each bucket is exactly one file (the write repartitions on
+    the bucket hash first) and
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` is enabled
+    for this plan (off by default since Spark 3 because multi-file
+    buckets are only per-file sorted; the single-file layout here is
+    the case the knob exists for).  The conf window pins the physical
+    plan the same way the bloom-filter query does — collect-style
+    actions reuse it.
     """
     o_name, l_name = _bucketed_tables(spark, sf_dir)
-    orders = spark.table(o_name).filter(F.col("o_orderstatus") == "F")
-    li = spark.table(l_name)
-    return (
-        orders.hint("merge")
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            dec_sum_expr(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue"),
+    conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        orders = spark.table(o_name).filter(F.col("o_orderstatus") == "F")
+        li = spark.table(l_name)
+        out = (
+            orders.hint("merge")
+            .join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dec_sum_expr(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).alias("revenue"),
+            )
         )
-    )
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)

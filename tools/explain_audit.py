@@ -187,11 +187,14 @@ AUDITS: dict[str, dict] = {
     "join_asof_events": dict(
         must=[r"Window", r"Union"], must_not=[r"CartesianProduct"]
     ),
-    # bucketed layout: co-located scans, NO exchange feeding the join
+    # bucketed+sorted layout: co-located scans, NO exchange AND NO
+    # sort feeding the merge join (single-file buckets, sortBy order
+    # trusted via the pinned outputOrdering conf)
     "join_bucketed_colocated": dict(
         must=[r"Bucketed: true", r"SortMergeJoin"],
         must_not=[r"Exchange hashpartitioning\(o_orderkey",
-                  r"Exchange hashpartitioning\(l_orderkey"],
+                  r"Exchange hashpartitioning\(l_orderkey",
+                  r"\(\d+\) Sort\b"],
     ),
     # ---------------- windows: one shuffle on the partition key ----------------
     "window_top3_per_customer": dict(

@@ -426,3 +426,43 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+_TRANSITION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+FROM ordered
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+@register("event_transition_matrix", _TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences.
+
+    The Markov-chain view of behavior: for each user's time-ordered
+    stream, count (previous event type → next event type) pairs.  The
+    per-user order is TOTAL (ts, then event_id as the unique
+    tiebreaker), so simultaneous events order identically on both
+    engines.  One shuffle on user_id for the lag window, then a
+    map-side-combined rollup over the 25-cell matrix.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

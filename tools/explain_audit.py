@@ -577,6 +577,12 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         hinted_broadcasts=0,
     ),
+    # one lag window on user_id + map-side-combined 25-cell rollup
+    "event_transition_matrix": dict(
+        must=[r"Window", r"partial_"],
+        must_not=[r"CartesianProduct", r"Join"],
+        hinted_broadcasts=0,
+    ),
     # first-seen aggregate + user_id equi-join + distinct rollup
     "cohort_retention_events": dict(
         must=[r"partial_", r"HashAggregate"],

@@ -780,3 +780,69 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
         )
     )
+
+
+_CURATE_ORACLE = f"""
+WITH survivors AS (
+{_QFILTER_ORACLE}
+), dd AS (
+  SELECT s.doc_id, s.n_tokens, d.lang, md5(lower(trim(d.text))) AS h
+  FROM survivors s JOIN documents d USING (doc_id)
+), winners AS (
+  SELECT h, MIN(doc_id) AS doc_id FROM dd GROUP BY h
+), kept AS (
+  SELECT dd.* FROM dd JOIN winners w ON dd.doc_id = w.doc_id AND dd.h = w.h
+)
+SELECT
+  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split,
+  lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM kept
+GROUP BY 1, 2
+"""
+
+
+@register("pipeline_curate_report", _CURATE_ORACLE)
+def pipeline_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition: quality filter → dedup → split → report.
+
+    A real curation run is these passes CHAINED, and the operators
+    here compose as plain DataFrames: the quality survivors
+    (:func:`docs_quality_filter`) are exact-deduped (min-doc_id winner
+    per content hash, computed among survivors only), assigned their
+    deterministic train/val/test split, and rolled up per (split,
+    lang) with document and token totals — the manifest a training
+    run starts from.  Every stage is individually gated elsewhere;
+    this query gates their composition.
+
+    Scale notes: the pipeline inherits each stage's posture — no
+    stage adds a join wider than (survivors ⋈ documents) on doc_id,
+    and the dedup winner index collapses before its join, so the
+    chain's shuffle inventory is the sum of its parts, nothing
+    multiplicative.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = docs_quality_filter(spark, sf_dir).select("doc_id", "n_tokens")
+    dd = survivors.join(docs, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "lang",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+    )
+    winners = dd.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = dd.join(winners, ["h", "doc_id"])
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        kept.select(split.alias("split"), "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

@@ -577,6 +577,13 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         hinted_broadcasts=0,
     ),
+    # the capstone chain: every join is a doc_id/hash equi-join, the
+    # dedup winner index collapses before its join, partials everywhere
+    "pipeline_curate_report": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
     # one lag window on user_id + map-side-combined 25-cell rollup
     "event_transition_matrix": dict(
         must=[r"Window", r"partial_"],

@@ -1020,3 +1020,182 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", "cluster_id")
+
+
+# --- exact-substring span dedup ---------------------------------------
+
+#: character-level span length / sampling stride (Lee et al. 2021,
+#: "Deduplicating Training Data Makes Language Models Better",
+#: arXiv:2107.06499 — their suffix-array pass finds verbatim ≥50-char
+#: repeats; this distributed reformulation samples fixed-length spans
+#: on a stride and finds the cross-document verbatim ones)
+SPAN_LEN = 40
+SPAN_STRIDE = 10
+
+_SUBSTR_ORACLE = f"""
+WITH offs AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - {SPAN_LEN - 1}, 1),
+                                {SPAN_STRIDE})) AS i
+  FROM documents
+),
+spans AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), {SPAN_LEN}) AS s
+  FROM offs
+),
+dfreq AS (
+  SELECT s, COUNT(*) AS df FROM spans GROUP BY s
+)
+SELECT sp.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_span_frac
+FROM spans sp JOIN dfreq f USING (s)
+GROUP BY sp.doc_id
+"""
+
+
+@register("dedup_exact_substring", _SUBSTR_ORACLE)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-span contamination: per document, how much of it is
+    repeated character-for-character somewhere else in the corpus.
+
+    The suffix-array formulation of Lee et al. 2021 (arXiv:2107.06499)
+    is a single-machine algorithm; the distributed reformulation
+    samples every ``SPAN_LEN``-char window on a ``SPAN_STRIDE`` grid,
+    hashes it to a long (``xxhash64``) JVM-side, and counts each
+    span's document frequency with one map-side-combined aggregate.  A
+    span seen in ≥2 documents is a verbatim cross-document repeat; the
+    per-doc repeated fraction is the Lee-style "memorized span" signal
+    used to drop or trim documents.
+
+    100 TB posture: the text never shuffles — only 8-byte span hashes
+    (≈ chars/stride per doc) and doc ids.  There is no pairwise join
+    anywhere (document frequency, not pair enumeration), so cost is
+    strictly linear in corpus size: two shuffles (df aggregate, per-doc
+    rollup), both combiner-reduced.  Collision risk of hashing spans
+    to 64-bit is ~n²/2⁶⁴ on distinct spans — negligible against the
+    stride sampling noise this method already accepts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    flat = spread(
+        docs.select(
+            "doc_id",
+            F.expr(
+                f"""
+                array_distinct(transform(
+                  sequence(1, greatest(length(text) - {SPAN_LEN - 1}, 1),
+                           {SPAN_STRIDE}),
+                  i -> xxhash64(substring(text, i, {SPAN_LEN}))))
+                """
+            ).alias("hs"),
+        )
+    ).select("doc_id", F.explode("hs").alias("h"))
+    dfreq = flat.groupBy("h").agg(F.count("*").alias("df"))
+    per = flat.join(dfreq, "h").groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+    )
+    return per.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        (F.col("n_dup_spans").cast("double") / F.col("n_spans")).alias(
+            "dup_span_frac"
+        ),
+    )
+
+
+# --- semantic dedup (SemDeDup) ----------------------------------------
+
+#: within-cluster cosine threshold — the same near-dup bar as
+#: :func:`dedup_embedding_cosine`, so the two strategies are
+#: comparable on the same corpus
+SEM_TAU = 0.4
+
+
+@register("dedup_semantic")  # driver-tier rows-only; udf-oracle in tools/udf_oracles.py
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then near-dup ONLY within each cluster.
+
+    The trained coarse quantizer is shared with :func:`ann_ivf_kmeans`
+    (normalized centroids, deterministic Lloyd on a bounded ≤1024-row
+    sample — constant driver memory at any corpus size).  Cluster
+    assignment is one vectorized GEMM per Arrow batch; each cluster is
+    then one ``applyInPandas`` task computing its pairwise cosine
+    matrix.  A vector is dropped when some LOWER-vec_id vector in the
+    same cluster has cosine ≥ ``SEM_TAU`` — pairwise against all
+    earlier ids (not kept-only chains), so the decision is a pure
+    function of the cluster's contents: deterministic and independent
+    of partitioning.
+
+    100 TB posture: the O(n²) pairwise matrix of
+    :func:`dedup_embedding_cosine` becomes Σ|cluster|² — with k grown
+    as n/KM_TARGET_CELL (ivf_cells), expected cluster size is a
+    CONSTANT, making the whole pass linear in corpus size; this
+    cluster-then-pairs restructuring is exactly the SemDeDup paper's
+    scaling argument.  One shuffle (hash by cell), vectors shuffle
+    once, nothing collects to the driver.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from mr_python_spark.similarity import _trained_model, cell_distances
+
+    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    C = _trained_model(spark, sf_dir)["C_norm"]
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(list(pdf["embedding"]), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cell": cell_distances(M, C).argmin(1).astype(np.int32),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("is_kept", T.BooleanType()),
+        ]
+    )
+
+    def cluster_dedup(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        M = np.array(list(pdf["embedding"]), dtype=np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        sims = M @ M.T
+        dropped = np.tril(sims >= SEM_TAU, -1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                "cell": pdf["cell"].to_numpy(dtype=np.int32),
+                "is_kept": ~dropped,
+            }
+        )
+
+    return (
+        emb.mapInPandas(assign, assign_schema)
+        .groupBy("cell")
+        .applyInPandas(cluster_dedup, out_schema)
+    )

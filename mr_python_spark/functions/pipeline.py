@@ -846,3 +846,87 @@ def pipeline_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+# --- Gopher-style rule filter -----------------------------------------
+
+#: rule thresholds (Rae et al. 2021, "Scaling Language Models: ...
+#: Gopher", arXiv:2112.11446 §A1.1 — word-count band, mean-word-length
+#: band, alphabetic-word floor, stopword-presence floor; bands adapted
+#: to this corpus' 30–90-token documents)
+GOPHER_MIN_WORDS = 20
+GOPHER_MEAN_LEN_LO = 3.0
+GOPHER_MEAN_LEN_HI = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_DISTINCT_STOP = 2
+
+_GOPHER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+per AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+),
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_words,
+         CAST(SUM(length(tok)) AS DOUBLE) / COUNT(*) AS mean_word_len,
+         CAST(SUM(CASE WHEN regexp_matches(tok, '[a-z]') THEN 1 ELSE 0 END)
+              AS DOUBLE) / COUNT(*) AS alpha_word_frac,
+         CAST(COUNT(DISTINCT CASE WHEN tok IN {STOPWORDS!r} THEN tok END)
+              AS INTEGER) AS n_distinct_stop
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, n_distinct_stop,
+       (n_words >= {GOPHER_MIN_WORDS}
+        AND mean_word_len BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI}
+        AND alpha_word_frac >= {GOPHER_MIN_ALPHA_FRAC}
+        AND n_distinct_stop >= {GOPHER_MIN_DISTINCT_STOP}) AS passes
+FROM agg
+"""
+
+
+@register("gopher_quality_rules", _GOPHER_ORACLE)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality signals (arXiv:2112.11446 §A1.1) per
+    document, plus the composite pass/fail verdict.
+
+    Complements :func:`docs_quality_filter` (token-FREQUENCY signals:
+    repetition, stopword mass) with Gopher's SHAPE signals: word-count
+    band, mean word length 3–10, ≥80% of words containing an
+    alphabetic character, and ≥2 distinct stopwords present.  All four
+    metrics come out of ONE exploded-token aggregate — map-side
+    combined, zero joins — and every rule is a comparison of exact
+    counts (the two ratios are single IEEE divisions of exact longs),
+    so verdicts are bit-reproducible at any scale.  Emitting metrics +
+    verdict rather than the filtered subset is deliberate: a 100 TB
+    curation run wants the rejection REASONS distribution before
+    committing to a filter.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    per = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    agg = per.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        (F.sum(F.length("tok")).cast("double") / F.count("*")).alias("mean_word_len"),
+        (
+            F.sum(F.when(F.col("tok").rlike("[a-z]"), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("alpha_word_frac"),
+        F.countDistinct(
+            F.when(F.array_contains(stop_arr, F.col("tok")), F.col("tok"))
+        )
+        .cast("int")
+        .alias("n_distinct_stop"),
+    )
+    return agg.select(
+        "*",
+        (
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & F.col("mean_word_len").between(GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI)
+            & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC)
+            & (F.col("n_distinct_stop") >= GOPHER_MIN_DISTINCT_STOP)
+        ).alias("passes"),
+    )

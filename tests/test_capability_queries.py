@@ -107,6 +107,9 @@ REPRESENTATIVE = [
     "sink_dynamic_partition_overwrite",
     "join_salted_skew",
     "pack_training_batches",
+    # round-6 late additions
+    "dedup_exact_substring",
+    "gopher_quality_rules",
 ]
 
 

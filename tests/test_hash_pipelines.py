@@ -480,3 +480,38 @@ def test_hashed_shingle_cache_invalidation(spark, tmp_path):
     second = hashed_shingle_sets(spark, str(tmp_path)).collect()
     assert len(second[0].sh) == 4  # 6 tokens -> 4 trigrams
     assert len(_HSH_CACHE) == n_before  # stale entry evicted, not leaked
+
+
+def test_semantic_dedup_matches_numpy(spark):
+    """dedup_semantic must equal a pure-numpy SemDeDup: assign each
+    vector to its nearest normalized-trained centroid, then drop it iff
+    some lower-id vector in the same cluster has cosine >= SEM_TAU."""
+    import numpy as np
+
+    from mr_python_spark.dedup import SEM_TAU, dedup_semantic
+    from mr_python_spark.session import load_table
+    from mr_python_spark.similarity import _trained_model, cell_distances
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    emb.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in emb], dtype=np.int64)
+    M = np.array([r.embedding for r in emb], dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    C = _trained_model(spark, SF)["C_norm"]
+    cells = cell_distances(M, C).argmin(1)
+
+    expected = {}
+    for cell in np.unique(cells):
+        sel = cells == cell
+        sub_ids, sub = ids[sel], M[sel]
+        sims = sub @ sub.T
+        dropped = np.tril(sims >= SEM_TAU, -1).any(axis=1)
+        for vid, c, d in zip(sub_ids, cells[sel], dropped):
+            expected[int(vid)] = (int(c), not bool(d))
+
+    got = {
+        int(r.vec_id): (int(r.cell), bool(r.is_kept))
+        for r in dedup_semantic(spark, SF).collect()
+    }
+    assert got == expected
+    assert any(not kept for _, kept in got.values()) or len(got) < 50

@@ -262,6 +262,22 @@ AUDITS: dict[str, dict] = {
         must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # verbatim-span contamination: document-frequency counting only —
+    # no pair join, no text shuffle, df aggregate combiner-reduced
+    "dedup_exact_substring": dict(
+        must=[r"partial_count"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                  r"Exchange hashpartitioning.*text"],
+        hinted_broadcasts=0,
+    ),
+    # SemDeDup: one hash-by-cell exchange between the two pandas ops;
+    # no pair join, no corpus-sized broadcast
+    "dedup_semantic": dict(
+        must=[r"MapInPandas", r"FlatMapGroupsInPandas|GroupedMapPandas",
+              r"hashpartitioning\(cell"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Broadcast"],
+        hinted_broadcasts=0,
+    ),
     # block-grid exact cosine: grouped-map pandas op, no driver collect,
     # no corpus-sized broadcast anywhere in the plan
     "dedup_embedding_cosine": dict(
@@ -373,6 +389,13 @@ AUDITS: dict[str, dict] = {
     ),
     # composed filter: aggregation-only pass, zero joins
     "docs_quality_filter": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"Join"],
+        hinted_broadcasts=0,
+    ),
+    # Gopher shape rules: one exploded-token aggregate, zero joins
+    # (countDistinct adds an expand+second agg, still combiner-reduced)
+    "gopher_quality_rules": dict(
         must=[r"partial_", r"HashAggregate"],
         must_not=[r"CartesianProduct", r"Join"],
         hinted_broadcasts=0,

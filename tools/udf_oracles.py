@@ -107,6 +107,12 @@ def register_udfs(con) -> None:
             duckdb.list_type(INTEGER),
         )
         con.create_function(
+            "cosn",
+            _cosn,
+            [duckdb.list_type(duckdb.typing.DOUBLE), duckdb.list_type(duckdb.typing.DOUBLE)],
+            duckdb.typing.DOUBLE,
+        )
+        con.create_function(
             "pq_adc",
             _pq_adc,
             [duckdb.list_type(duckdb.typing.DOUBLE), duckdb.list_type(INTEGER)],
@@ -417,6 +423,14 @@ def _pq_model() -> tuple:
     return model
 
 
+def _cosn(a, b) -> float:
+    """Cosine of two raw vectors via per-vector normalize + dot —
+    the same float64 sequence as the engine's per-cluster GEMM rows."""
+    va = np.asarray(a, dtype=np.float64)
+    vb = np.asarray(b, dtype=np.float64)
+    return float((va / np.linalg.norm(va)) @ (vb / np.linalg.norm(vb)))
+
+
 def _normed(e) -> "np.ndarray":
     v = np.asarray(e, dtype=np.float64)
     return v / np.linalg.norm(v)
@@ -583,6 +597,28 @@ WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 """
 
 
+
+def _sem_dedup_sql() -> str:
+    """SemDeDup oracle: pq_cell IS the engine's normalized-trained
+    coarse quantizer (same sample, same Lloyd); a vector is kept iff
+    no lower-id vector in its cell has cosine >= 0.4 (SEM_TAU)."""
+    return """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), c AS (
+  SELECT vec_id, e, pq_cell(e) AS cell FROM v
+)
+SELECT a.vec_id, a.cell,
+       NOT EXISTS (
+         SELECT 1 FROM c b
+         WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+           AND cosn(a.e, b.e) >= 0.4
+       ) AS is_kept
+FROM c a
+"""
+
+
 def udf_oracles() -> dict[str, str]:
     """name -> DuckDB SQL requiring :func:`register_udfs` on the connection."""
     return {
@@ -593,4 +629,5 @@ def udf_oracles() -> dict[str, str]:
         "dedup_embedding_lsh": _embedding_lsh_sql(),
         "ann_ivf_kmeans": _ann_ivf_kmeans_sql(),
         "ann_ivf_pq": _ann_ivf_pq_sql(),
+        "dedup_semantic": _sem_dedup_sql(),
     }

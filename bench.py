@@ -55,6 +55,9 @@ HEADLINE = [
     "stats_variance_quantity",
     "pivot_daily_event_values",
     "variant_props_events",
+    "dedup_exact_substring",
+    "dedup_semantic",
+    "gopher_quality_rules",
 ]
 
 

@@ -1092,6 +1092,14 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hs"),
         )
     ).select("doc_id", F.explode("hs").alias("h"))
+    # the span frame feeds BOTH the df aggregate and the per-doc join
+    # probe below; without persistence the substring+hash transform (the
+    # pass's dominant CPU cost) executes twice — measured 6.1x at the
+    # 10x-data probe unpersisted vs 2.0x persisted.  16 bytes/span ≈ 4% of text
+    # size at stride 10, so the spill-safe persist is cheap at any SF.
+    from pyspark.storagelevel import StorageLevel
+
+    flat = flat.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = flat.groupBy("h").agg(F.count("*").alias("df"))
     per = flat.join(dfreq, "h").groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
@@ -1198,4 +1206,95 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.mapInPandas(assign, assign_schema)
         .groupBy("cell")
         .applyInPandas(cluster_dedup, out_schema)
+    )
+
+
+# --- containment (asymmetric near-dup) --------------------------------
+
+#: containment threshold: |A∩B| / min(|A|,|B|) — the measure that
+#: catches a small document embedded verbatim in a larger one, which
+#: Jaccard structurally misses (a 30-shingle doc inside a 300-shingle
+#: doc has jaccard ≤ 0.1 but containment 1.0)
+CONTAIN_TAU = 0.6
+
+_CONTAIN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM (
+    SELECT doc_id, t, unnest(t) FROM toks
+  )
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM pos WHERE i <= len(t) - 2
+), rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN rare r ON r.shingle = a.shingle
+), sets AS (
+  SELECT doc_id, list(shingle) AS ss FROM sh GROUP BY doc_id
+)
+SELECT
+  doc_a,
+  doc_b,
+  CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+    / least(len(sa.ss), len(sb.ss)) AS containment
+FROM cand
+JOIN sets sa ON sa.doc_id = doc_a
+JOIN sets sb ON sb.doc_id = doc_b
+WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+    / least(len(sa.ss), len(sb.ss)) >= {CONTAIN_TAU}
+"""
+
+
+@register("dedup_containment", _CONTAIN_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: |A∩B| / min(|A|,|B|) ≥ 0.6 —
+    catches a document quoted wholesale inside a larger one, the case
+    Jaccard structurally under-scores (union grows with the big doc).
+
+    Same scale architecture as :func:`dedup_ngram_jaccard` — and the
+    same physical work, because it consumes the identical cached
+    shingle frame and DF-capped posting lists: one shuffle groups the
+    inverted index, kept postings (df ≤ ``DF_CAP``) explode their
+    ≤ cap²/2 in-posting pairs JVM-side, and verification semi-joins
+    the shingle arrays down to candidate docs before computing the
+    exact intersection.  Only the final score expression differs
+    (min-size denominator instead of union).
+    """
+    sh_sets = hashed_shingle_sets(spark, sf_dir)
+    exploded = sh_sets.select("doc_id", F.explode("sh").alias("shingle"))
+    postings = (
+        exploded.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= DF_CAP))
+        .cache()
+    )
+    pair = F.explode(
+        F.expr(
+            """
+            flatten(transform(ds, (x, i) ->
+              transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+                struct(x AS doc_a, y AS doc_b))))
+            """
+        )
+    )
+    cand = postings.select(pair.alias("p")).select("p.doc_a", "p.doc_b").distinct()
+    need = postings.select(F.explode("ds").alias("doc_id"))
+    sh_small = sh_sets.join(need, "doc_id", "left_semi")
+    sa = sh_small.alias("sa")
+    sb = sh_small.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    denom = F.least(F.size(F.col("sa.sh")), F.size(F.col("sb.sh")))
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b", (inter.cast("double") / denom).alias("containment")
+        )
+        .filter(F.col("containment") >= CONTAIN_TAU)
     )

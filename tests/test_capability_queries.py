@@ -110,6 +110,8 @@ REPRESENTATIVE = [
     # round-6 late additions
     "dedup_exact_substring",
     "gopher_quality_rules",
+    "dedup_containment",
+    "embedding_int8_quantize",
 ]
 
 

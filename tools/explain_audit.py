@@ -262,6 +262,12 @@ AUDITS: dict[str, dict] = {
         must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # containment shares the jaccard plan: posting-list grouping, pair
+    # explosion JVM-side, semi-join-pruned verification — never NLJ
+    "dedup_containment": dict(
+        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
     # verbatim-span contamination: document-frequency counting only —
     # no pair join, no text shuffle, df aggregate combiner-reduced
     "dedup_exact_substring": dict(
@@ -287,6 +293,13 @@ AUDITS: dict[str, dict] = {
     "dedup_embedding_lsh": dict(
         must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"MapInPandas"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # int8 quantization: map-only projection, no exchange at all
+    "embedding_int8_quantize": dict(
+        must=[r"Project"],
+        must_not=[r"Exchange", r"CartesianProduct", r"BatchEvalPython",
+                  r"ArrowEvalPython"],
+        hinted_broadcasts=0,
     ),
     # ---------------- similarity ----------------
     # r3: fully distributed — the query set reaches executors via a 1-row

@@ -44,6 +44,10 @@ QUERIES = [
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "ann_ivf_pq",
+    # round-6 late family additions: span-df counting and clustered
+    # semantic dedup must both stay ~linear under 10x data
+    "dedup_exact_substring",
+    "dedup_semantic",
 ]
 
 

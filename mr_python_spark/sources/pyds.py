@@ -102,3 +102,129 @@ def pyds_calendar_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         F.sum(F.when(F.col("isodow") >= 6, 1).otherwise(0)).alias("n_weekend"),
     )
+
+
+# --- streaming Python data source -------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+#: fixed replay range: 3 micro-batches x 1000 ticks
+TICKS_TOTAL = 3000
+TICKS_PER_BATCH = 1000
+
+
+class TickStreamReader(SimpleDataSourceStreamReader):
+    """Deterministic replay stream: ticks 0..TICKS_TOTAL-1 in
+    TICKS_PER_BATCH micro-batches.
+
+    The simple-reader protocol is offset-dict based: ``read(start)``
+    returns (rows, next_offset) and must simply return (no rows,
+    same offset) once drained — which is what lets an
+    ``availableNow`` run terminate.  ``readBetweenOffsets`` replays a
+    committed range deterministically (the exactly-once contract on
+    driver restart)."""
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        i = start["i"]
+        if i >= TICKS_TOTAL:
+            return iter([]), start
+        end = min(i + TICKS_PER_BATCH, TICKS_TOTAL)
+        return self._rows(i, end), {"i": end}
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["i"], end["i"])
+
+    @staticmethod
+    def _rows(i, end):
+        # (tick, bucket, value) — value in exact quarter steps so
+        # double sums are exact at any accumulation order.  A LIST
+        # iterator, not a generator: the prefetching wrapper
+        # (datasource_internal.PrefetchedCacheEntry) copy.copy()s the
+        # iterator when planning partitions, and generators are not
+        # copyable.
+        return iter([(j, j % 10, j * 0.25) for j in range(i, end)])
+
+
+class TickStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "pyticks"
+
+    def schema(self) -> str:
+        return "tick bigint, bucket int, value double"
+
+    def simpleStreamReader(self, schema):
+        return TickStreamReader()
+
+
+_stream_registered = False
+
+
+def ticks_stream(spark: SparkSession) -> DataFrame:
+    global _stream_registered
+    if not _stream_registered:
+        spark.dataSource.register(TickStreamDataSource)
+        _stream_registered = True
+    return spark.readStream.format("pyticks").load()
+
+
+_PYDS_STREAM_ORACLE = f"""
+SELECT
+  CAST(i % 10 AS INTEGER) AS bucket,
+  COUNT(*) AS n_ticks,
+  SUM(i * 0.25) AS sum_value,
+  CAST(MAX(i) AS BIGINT) AS last_tick
+FROM generate_series(0, {TICKS_TOTAL - 1}) t(i)
+GROUP BY 1
+"""
+
+
+@register("pyds_stream_ticks", _PYDS_STREAM_ORACLE)
+def pyds_stream_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a custom PYTHON STREAMING data source (Spark 4
+    ``SimpleDataSourceStreamReader``): per-bucket count / sum / max of
+    a deterministic 3-micro-batch tick replay, run availableNow into a
+    memory sink.
+
+    Completes the Python Data Source surface (batch:
+    :func:`pyds_calendar_scan`) on the streaming side: offset
+    planning, per-batch row generation, drained-source termination,
+    and offset-range replay are all exercised.  The replay is a pure
+    function of the offset range, so the streaming result is gated by
+    the same exact SQL oracle as a batch query — the strongest check a
+    streaming source can get.  At scale this source shape is the
+    driver-side generator for replaying numbered shards/ticks;
+    per-partition parallelism comes from the downstream shuffle, and
+    state is one tiny offset dict.
+    """
+    import uuid
+
+    agg = (
+        ticks_stream(spark)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum("value").alias("sum_value"),
+            F.max("tick").alias("last_tick"),
+        )
+    )
+    # python streaming sources don't support Trigger.AvailableNow (the
+    # JVM side logs a single-batch fallback that would stop after the
+    # FIRST micro-batch); processAllAvailable() is the blocking drain
+    # that actually steps all micro-batches until the offset stops
+    # advancing — test-scoped by contract, like the other memory sinks
+    sink = f"pyds_ticks_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink)

@@ -163,3 +163,31 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
     run_once()  # same checkpoint: file a must NOT replay
     second = sorted(r.id for r in spark.read.parquet(out).collect())
     assert second == [1, 2, 3, 4, 5]
+
+
+def test_tick_stream_reader_replay_contract():
+    """The simple stream reader's offset protocol: read() advances in
+    TICKS_PER_BATCH steps, is a no-op once drained, and
+    readBetweenOffsets() replays any committed range identically."""
+    from mr_python_spark.sources.pyds import (
+        TICKS_PER_BATCH,
+        TICKS_TOTAL,
+        TickStreamReader,
+    )
+
+    r = TickStreamReader()
+    off = r.initialOffset()
+    assert off == {"i": 0}
+    seen = []
+    for _ in range(TICKS_TOTAL // TICKS_PER_BATCH):
+        rows, off = r.read(off)
+        seen.extend(rows)
+    assert off == {"i": TICKS_TOTAL}
+    rows, off2 = r.read(off)  # drained: no rows, offset unchanged
+    assert list(rows) == [] and off2 == off
+    assert [t[0] for t in seen] == list(range(TICKS_TOTAL))
+    # replay of the middle batch is identical to the original read
+    replay = list(
+        r.readBetweenOffsets({"i": TICKS_PER_BATCH}, {"i": 2 * TICKS_PER_BATCH})
+    )
+    assert replay == seen[TICKS_PER_BATCH : 2 * TICKS_PER_BATCH]

@@ -159,14 +159,14 @@ def run() -> None:
         timings = {}
         for name in QUERIES:
             best = float("inf")
-            for _ in range(2):  # best-of-2: shield ratios from noise
+            for _ in range(3):  # best-of-3: sub-second denominators are noisy
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
         timings["total"] = round(sum(timings.values()), 3)
         result[sf_name] = timings
-    result["method"] = "both SFs warmed, per-query best-of-2"
+    result["method"] = "both SFs warmed, per-query best-of-3"
     result["ratio_10x_data"] = {
         k: round(result["sf1"][k] / result["sf0.1"][k], 2)
         for k in result["sf0.1"]

@@ -221,13 +221,13 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 KM_CELLS = 16
 KM_ITERS = 5
 KM_SAMPLE_STRIDE = 7
-KM_SAMPLE_CAP = 1024
+KM_SAMPLE_CAP = 2048
 KM_PROBE_CELLS = 4
 KM_QUERY_STRIDE = 50
 KM_TOP_K = 3
 #: corpus-adaptive cell sizing: aim for ~this many vectors per cell
 KM_TARGET_CELL = 128
-KM_MAX_CELLS = 256
+KM_MAX_CELLS = 512
 
 
 def ivf_cells(n: int) -> int:
@@ -240,7 +240,10 @@ def ivf_cells(n: int) -> int:
     pins per-cell occupancy, making candidate work per query
     constant and total work linear — the same corpus-adaptive
     posture as ``dedup_embedding_lsh``'s band width.  Clamped so the
-    ≤1024-row training sample keeps ≥4 points per cell.
+    ≤KM_SAMPLE_CAP-row training sample keeps ≥4 points per cell; at
+    production scale raise BOTH together (sample ≈ 4×cells) — the
+    cap is what turns Σ|cell|² superlinear once n exceeds
+    KM_MAX_CELLS×KM_TARGET_CELL.
     """
     return min(KM_MAX_CELLS, max(KM_CELLS, -(-n // KM_TARGET_CELL)))
 
@@ -328,7 +331,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ann_ivf_label`` borrows its cells from a label column; this
     variant trains them: deterministic k-means (first-k init, 5 Lloyd
     rounds) on a bounded sample — stride-7 subset, ``ORDER BY vec_id
-    LIMIT 1024``, so the driver materializes a CONSTANT ≤ 1024×d
+    LIMIT KM_SAMPLE_CAP``, so the driver materializes a CONSTANT ≤ 2048×d
     matrix regardless of corpus size (unlike a fraction-of-n collect,
     this passes the 100× rule).  The k×d centroid matrix ships to
     executors by closure; cell assignment is one vectorized GEMM per
@@ -456,7 +459,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Three stages, all bounded:
 
-    1. TRAIN (driver, constant): the same ≤1024-row sample as
+    1. TRAIN (driver, constant): the same ≤2048-row sample as
        ``ann_ivf_kmeans``, L2-normalized; coarse k-means for the IVF
        cells plus per-subspace k-means codebooks (8 subspaces × 16
        codes — 4-bit PQ).

@@ -70,3 +70,26 @@ def test_partitioning_independent(spark, entrymod, name):
     # exact equality — floats included; NaN == NaN via fillna sentinel
     a, b = a.fillna("<NULL>"), b.fillna("<NULL>")
     assert a.equals(b), f"{name}: results differ between 3 and 32 shuffle partitions"
+
+
+def test_ivf_cell_scaling_covers_probe_range():
+    """Cell count must scale with the corpus through the sf1 probe
+    range (50k vectors) — a clamp engaging there would silently turn
+    SemDeDup/IVF per-cell work superlinear — and the training-sample
+    cap must keep >= 4 sample points per cell at the clamp."""
+    from mr_python_spark.similarity import (
+        KM_MAX_CELLS,
+        KM_SAMPLE_CAP,
+        KM_TARGET_CELL,
+        ivf_cells,
+    )
+    from tools import udf_oracles as uo
+
+    assert ivf_cells(50_000) == -(-50_000 // KM_TARGET_CELL)  # unclamped
+    assert KM_SAMPLE_CAP >= 4 * KM_MAX_CELLS
+    # the oracle mirrors every constant — one edit in two files
+    assert (uo.KM_MAX_CELLS, uo.KM_SAMPLE_CAP, uo.KM_TARGET_CELL) == (
+        KM_MAX_CELLS,
+        KM_SAMPLE_CAP,
+        KM_TARGET_CELL,
+    )

@@ -303,12 +303,12 @@ WHERE list_sum(list_transform(list_zip(a.e, b.e), p -> CAST(p[1] AS DOUBLE) * CA
 KM_CELLS = 16
 KM_ITERS = 5
 KM_SAMPLE_STRIDE = 7
-KM_SAMPLE_CAP = 1024
+KM_SAMPLE_CAP = 2048
 KM_PROBE_CELLS = 4
 KM_QUERY_STRIDE = 50
 KM_TOP_K = 3
 KM_TARGET_CELL = 128
-KM_MAX_CELLS = 256
+KM_MAX_CELLS = 512
 
 
 def _ivf_cells(n: int) -> int:

@@ -318,3 +318,56 @@ def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(wavg(F.col("q"), F.col("p")).alias("wavg_price"))
     )
+
+
+_ARROW_GROUPED_ORACLE = """
+WITH agg AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(MAX(n_chars) AS BIGINT) AS max_chars
+  FROM documents GROUP BY lang
+)
+SELECT a.lang, a.n_docs, a.total_chars, a.max_chars,
+       (SELECT MIN(d.doc_id) FROM documents d
+        WHERE d.lang = a.lang AND d.n_chars = a.max_chars) AS longest_doc
+FROM agg a
+"""
+
+
+@register("arrow_grouped_map_langstats", _ARROW_GROUPED_ORACLE)
+def arrow_grouped_map_langstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map through ``applyInArrow`` — per-language corpus stats
+    computed by ``pyarrow.compute`` kernels on the group's Table.
+
+    Completes the Python-eval tier matrix: scalar pandas_udf,
+    GROUPED_AGG, applyInPandas, mapInPandas, mapInArrow, arrow-scalar
+    UDF, UDTF — and now the Arrow GROUPED map, the no-pandas variant
+    of applyInPandas (no object-column materialization; kernels run on
+    columnar buffers).  Tie-break for the longest document is MIN
+    doc_id, an exact integer rule.  Same 100 TB posture as any grouped
+    map: one hash shuffle by group key, group-local compute.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        nc = table.column("n_chars")
+        mx = pc.max(nc)
+        winner = pc.min(pc.filter(table.column("doc_id"), pc.equal(nc, mx)))
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n_docs": pa.array([table.num_rows], pa.int64()),
+                "total_chars": pa.array([pc.sum(nc).as_py()], pa.int64()),
+                "max_chars": pa.array([mx.as_py()], pa.int64()),
+                "longest_doc": pa.array([winner.as_py()], pa.int64()),
+            }
+        )
+
+    return docs.groupBy("lang").applyInArrow(
+        stats,
+        "lang string, n_docs bigint, total_chars bigint, "
+        "max_chars bigint, longest_doc bigint",
+    )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from mr_python_spark.registry import register
+from mr_python_spark.session import load_table
 
 
 class _YearPartition(InputPartition):
@@ -228,3 +229,138 @@ def pyds_stream_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(sink)
+
+
+# --- Python data source WRITER (custom sink + commit protocol) --------
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+
+@dataclass
+class _JsonlCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class JsonlWriter(DataSourceWriter):
+    """Executor-side task writer with the standard commit protocol.
+
+    Each task writes its partition to a TEMPORARY ``.inprogress`` file
+    named by partition id and returns a commit message; ``commit()``
+    (driver, after ALL tasks succeed) renames them into place and
+    writes a ``_SUCCESS`` manifest listing files + row counts —
+    readers treating the manifest as the source of truth never observe
+    a half-written job, the same atomicity contract as Hadoop-style
+    committers.  ``abort()`` removes the temporaries.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyjsonl sink requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json as _json
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{pid:05d}.jsonl"
+        tmp = os.path.join(self.path, name + ".inprogress")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return _JsonlCommit(filename=name, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+
+        manifest = {}
+        for m in messages:
+            tmp = os.path.join(self.path, m.filename + ".inprogress")
+            os.replace(tmp, os.path.join(self.path, m.filename))
+            manifest[m.filename] = m.n_rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            _json.dump(manifest, f, sort_keys=True)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages or []:
+            try:
+                os.remove(os.path.join(self.path, m.filename + ".inprogress"))
+            except FileNotFoundError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlWriter(self.options, overwrite)
+
+
+_sink_registered = False
+
+
+def _ensure_sink(spark: SparkSession) -> None:
+    global _sink_registered
+    if not _sink_registered:
+        spark.dataSource.register(JsonlSinkDataSource)
+        _sink_registered = True
+
+
+_PYDS_SINK_ORACLE = """
+SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey,
+       length(n_name) AS name_len
+FROM nation
+"""
+
+
+@register("pyds_sink_roundtrip", _PYDS_SINK_ORACLE)
+def pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write through the custom PYTHON SINK (Spark 4 ``DataSourceWriter``),
+    then read the committed files back — the write side of the Python
+    Data Source API: per-task temp files, commit-message collection,
+    driver-side rename + ``_SUCCESS`` manifest, abort cleanup.
+
+    The read-back parses the manifest first and reads exactly the
+    files it lists (never a stray or half-written file), validating
+    the atomicity contract, then returns the round-tripped rows —
+    gated by the direct SQL oracle over the source table.  Scale
+    notes: this is the committer pattern every distributed sink uses —
+    task parallelism on write, one tiny driver commit; manifest size
+    grows with task count, not data.
+    """
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    _ensure_sink(spark)
+    out = os.path.join(tempfile.gettempdir(), "pyds_sink_nation")
+    shutil.rmtree(out, ignore_errors=True)
+    src = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        F.length("n_name").alias("name_len"),
+    )
+    src.write.format("pyjsonl").option("path", out).mode("append").save()
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        manifest = _json.load(f)
+    files = [os.path.join(out, name) for name in sorted(manifest)]
+    back = spark.read.schema(
+        "n_nationkey bigint, n_name string, n_regionkey bigint, name_len int"
+    ).json(files)
+    return back

@@ -112,6 +112,8 @@ REPRESENTATIVE = [
     "gopher_quality_rules",
     "dedup_containment",
     "embedding_int8_quantize",
+    "pyds_sink_roundtrip",
+    "arrow_grouped_map_langstats",
 ]
 
 
@@ -243,3 +245,29 @@ def test_observation_metrics_ride_the_action(spark):
     assert obs.get["n_rows"] == direct.n
     assert obs.get["cents"] == direct.c
     assert 0 < n_filtered < direct.n
+
+
+def test_pyjsonl_commit_protocol(tmp_path):
+    """Driver-side committer contract: commit renames every task's
+    .inprogress file into place and writes the _SUCCESS manifest;
+    abort removes temporaries and leaves no visible files."""
+    import json
+
+    from mr_python_spark.sources.pyds import JsonlWriter, _JsonlCommit
+
+    w = JsonlWriter({"path": str(tmp_path)}, overwrite=False)
+    msgs = []
+    for pid, n in ((0, 3), (1, 2)):
+        name = f"part-{pid:05d}.jsonl"
+        (tmp_path / (name + ".inprogress")).write_text('{"x": 1}\n' * n)
+        msgs.append(_JsonlCommit(filename=name, n_rows=n))
+    w.commit(msgs)
+    assert not list(tmp_path.glob("*.inprogress"))
+    manifest = json.loads((tmp_path / "_SUCCESS").read_text())
+    assert manifest == {"part-00000.jsonl": 3, "part-00001.jsonl": 2}
+
+    # abort: a failed job's temporaries disappear, committed files stay
+    (tmp_path / "part-00002.jsonl.inprogress").write_text("{}\n")
+    w.abort([_JsonlCommit(filename="part-00002.jsonl", n_rows=1)])
+    assert not list(tmp_path.glob("*.inprogress"))
+    assert (tmp_path / "part-00000.jsonl").exists()

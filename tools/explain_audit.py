@@ -301,6 +301,19 @@ AUDITS: dict[str, dict] = {
                   r"ArrowEvalPython"],
         hinted_broadcasts=0,
     ),
+    # arrow grouped map: one hash exchange by group key, arrow eval node
+    "arrow_grouped_map_langstats": dict(
+        must=[r"FlatMapGroupsInArrow|FlatMapGroupsInPandas"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
+    # custom python sink roundtrip: returned frame is the committed-file
+    # read-back — a plain json scan, no join anywhere
+    "pyds_sink_roundtrip": dict(
+        must=[r"Scan json"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=0,
+    ),
     # ---------------- similarity ----------------
     # r3: fully distributed — the query set reaches executors via a 1-row
     # packed broadcast join (the only BroadcastExchange), NEVER a driver

@@ -88,12 +88,12 @@ PRIORITY: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_clusters",
-    "dedup_canonical",
+    "dedup_exact_substring",  # verbatim-span contamination (round-6)
     "ann_ivf_label",
     "multimodal_frame_sample",
     "multimodal_keyframes",
     "vector_norms",
-    "quality_repetition",
+    "gopher_quality_rules",  # Gopher shape rules (round-6)
     "docs_quality_filter",
     "doc_rarity_score",
 ]

@@ -515,3 +515,29 @@ def test_semantic_dedup_matches_numpy(spark):
     }
     assert got == expected
     assert any(not kept for _, kept in got.values()) or len(got) < 50
+
+
+def test_containment_dominates_jaccard_on_shared_pairs(spark):
+    """|A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| identically, so every pair
+    both queries emit must score at least its jaccard — and pair keys
+    agree because both consume the same cached shingle frame and the
+    same DF-capped candidate generator."""
+    from mr_python_spark.dedup import dedup_containment, dedup_ngram_jaccard
+
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard for r in dedup_ngram_jaccard(spark, SF).collect()
+    }
+    con = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup_containment(spark, SF).collect()
+    }
+    shared = set(jac) & set(con)
+    assert shared, "expected at least one pair above both thresholds"
+    for pair in shared:
+        assert con[pair] >= jac[pair] - 1e-12, pair
+    # any jaccard-emitted pair missed by containment scored below 0.6
+    # (never the other way: containment >= jaccard >= 0.2 threshold)
+    from mr_python_spark.dedup import CONTAIN_TAU
+
+    for pair in set(jac) - set(con):
+        assert jac[pair] < CONTAIN_TAU, pair

@@ -117,6 +117,72 @@ def hashed_shingle_sets(
     return _HSH_CACHE[key]
 
 
+#: (applicationId, documents file identity) → cached DF-capped posting
+#: lists; see :func:`capped_postings`
+_POSTINGS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def capped_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shingle, ds: sorted array<doc_id>) for shingles with document
+    frequency in [2, DF_CAP] — the shared candidate generator of
+    ``dedup_ngram_jaccard`` and ``dedup_containment``.
+
+    ONE shuffle groups the inverted index by shingle; kept postings
+    hold ≤ ``DF_CAP`` docs so downstream pair fan-out is bounded at
+    cap²/2 per posting.  Keyed-cached per (application, documents file
+    identity) like :func:`hashed_shingle_sets` — consumers across the
+    family reuse one postings frame instead of each call leaking its
+    own session-lifetime cache entry, and a regenerated dataset evicts
+    the stale entry.
+    """
+    import os
+
+    sh_sets = hashed_shingle_sets(spark, sf_dir)
+    path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    key = (spark.sparkContext.applicationId, path, os.stat(path).st_mtime_ns)
+    if key not in _POSTINGS_CACHE:
+        for stale in [k for k in _POSTINGS_CACHE if k[:2] == key[:2]]:
+            _POSTINGS_CACHE.pop(stale).unpersist()
+        exploded = sh_sets.select("doc_id", F.explode("sh").alias("shingle"))
+        _POSTINGS_CACHE[key] = (
+            exploded.groupBy("shingle")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .filter((F.size("ds") >= 2) & (F.size("ds") <= DF_CAP))
+            .cache()
+        )
+    return _POSTINGS_CACHE[key]
+
+
+def posting_candidates(
+    postings: DataFrame, sh_sets: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(cand, sh_small): in-posting candidate pairs (doc_a < doc_b,
+    distinct) and the shingle arrays semi-join-pruned to docs that
+    appear in some kept posting.
+
+    Pair explosion is JVM-side over each posting's sorted doc array.
+    The semi-join prunes verification input BEFORE the pair join —
+    never-candidate docs' arrays (the vast majority of a real corpus)
+    don't shuffle into verification at all, and the shrunken side lets
+    AQE plan broadcast joins for the pair lookup.  No ``.distinct()``
+    on the semi-join key: LEFT SEMI dedupes inherently, and the extra
+    exchange costs more than the duplicate rows.
+    """
+    pair = F.explode(
+        F.expr(
+            """
+            flatten(transform(ds, (x, i) ->
+              transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+                struct(x AS doc_a, y AS doc_b))))
+            """
+        )
+    )
+    cand = postings.select(pair.alias("p")).select("p.doc_a", "p.doc_b").distinct()
+    need = postings.select(F.explode("ds").alias("doc_id"))
+    sh_small = sh_sets.join(need, "doc_id", "left_semi")
+    return cand, sh_small
+
+
 _EXACT_ORACLE = """
 SELECT
   md5(lower(trim(text))) AS content_hash,
@@ -314,42 +380,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     10⁴ trials per pair the probability is ~10⁻¹⁵ — accepted.
     """
     sh_sets = hashed_shingle_sets(spark, sf_dir)
-    exploded = sh_sets.select("doc_id", F.explode("sh").alias("shingle"))
-    # ONE shuffle: group the inverted index by shingle, keep rare
-    # postings (df ≤ cap), explode in-posting pairs JVM-side — the
-    # same plan shape as the LSH bucket grouping, replacing the
-    # rare-filter join + self-join (three shuffles of the exploded
-    # index) it used to cost.  Each kept posting holds ≤ DF_CAP docs,
-    # so per-group pair fan-out is bounded at cap²/2.  Cached: the
-    # grouped postings feed BOTH the candidate pairs and the
-    # candidate-doc semi-join key below; without the cache each
-    # consumer would redo the exploded-index shuffle.
-    postings = (
-        exploded.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= DF_CAP))
-        .cache()
-    )
-    pair = F.explode(
-        F.expr(
-            """
-            flatten(transform(ds, (x, i) ->
-              transform(slice(ds, i + 2, size(ds) - i - 1), y ->
-                struct(x AS doc_a, y AS doc_b))))
-            """
-        )
-    )
-    cand = postings.select(pair.alias("p")).select("p.doc_a", "p.doc_b").distinct()
-    # Verification pruning: only docs that appear in some kept posting
-    # can be in a candidate pair, so semi-join the cached shingle
-    # arrays down to that set BEFORE the pair join — never-candidate
-    # docs' arrays (the vast majority of the corpus) don't shuffle
-    # into the verification at all, and the shrunken side lets AQE
-    # plan broadcast joins for the pair lookup.
-    # no .distinct() on the semi-join key: LEFT SEMI dedupes inherently,
-    # and the extra exchange would cost more than the duplicate rows
-    need = postings.select(F.explode("ds").alias("doc_id"))
-    sh_small = sh_sets.join(need, "doc_id", "left_semi")
+    cand, sh_small = posting_candidates(capped_postings(spark, sf_dir), sh_sets)
     sa = sh_small.alias("sa")
     sb = sh_small.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
@@ -1032,6 +1063,54 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_LEN = 40
 SPAN_STRIDE = 10
 
+#: (applicationId, documents file identity) → persisted span frame;
+#: see :func:`_span_frame`
+_SPAN_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h) — xxhash64'd distinct stride-sampled spans.
+
+    The frame feeds BOTH the df aggregate and the per-doc join probe
+    in :func:`dedup_exact_substring`; without persistence the
+    substring+hash transform (the pass's dominant CPU cost) executes
+    twice — measured 6.1x at the 10x-data probe unpersisted vs 2.0x
+    persisted.  16 bytes/span ≈ 4%% of text size at stride 10, so the
+    spill-safe MEMORY_AND_DISK persist is cheap at any SF.  Keyed per
+    (application, documents file identity) with stale-entry eviction,
+    so repeat invocations share ONE cache entry instead of leaking one
+    per call.
+    """
+    import os
+
+    from pyspark.storagelevel import StorageLevel
+
+    path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    key = (spark.sparkContext.applicationId, path, os.stat(path).st_mtime_ns)
+    if key not in _SPAN_CACHE:
+        for stale in [k for k in _SPAN_CACHE if k[:2] == key[:2]]:
+            _SPAN_CACHE.pop(stale).unpersist()
+        docs = load_table(spark, sf_dir, "documents")
+        _SPAN_CACHE[key] = (
+            spread(
+                docs.select(
+                    "doc_id",
+                    F.expr(
+                        f"""
+                        array_distinct(transform(
+                          sequence(1, greatest(length(text) - {SPAN_LEN - 1}, 1),
+                                   {SPAN_STRIDE}),
+                          i -> xxhash64(substring(text, i, {SPAN_LEN}))))
+                        """
+                    ).alias("hs"),
+                )
+            )
+            .select("doc_id", F.explode("hs").alias("h"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return _SPAN_CACHE[key]
+
+
 _SUBSTR_ORACLE = f"""
 WITH offs AS (
   SELECT doc_id, text,
@@ -1078,28 +1157,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 64-bit is ~n²/2⁶⁴ on distinct spans — negligible against the
     stride sampling noise this method already accepts.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    flat = spread(
-        docs.select(
-            "doc_id",
-            F.expr(
-                f"""
-                array_distinct(transform(
-                  sequence(1, greatest(length(text) - {SPAN_LEN - 1}, 1),
-                           {SPAN_STRIDE}),
-                  i -> xxhash64(substring(text, i, {SPAN_LEN}))))
-                """
-            ).alias("hs"),
-        )
-    ).select("doc_id", F.explode("hs").alias("h"))
-    # the span frame feeds BOTH the df aggregate and the per-doc join
-    # probe below; without persistence the substring+hash transform (the
-    # pass's dominant CPU cost) executes twice — measured 6.1x at the
-    # 10x-data probe unpersisted vs 2.0x persisted.  16 bytes/span ≈ 4% of text
-    # size at stride 10, so the spill-safe persist is cheap at any SF.
-    from pyspark.storagelevel import StorageLevel
-
-    flat = flat.persist(StorageLevel.MEMORY_AND_DISK)
+    flat = _span_frame(spark, sf_dir)
     dfreq = flat.groupBy("h").agg(F.count("*").alias("df"))
     per = flat.join(dfreq, "h").groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
@@ -1129,8 +1187,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding space, then near-dup ONLY within each cluster.
 
     The trained coarse quantizer is shared with :func:`ann_ivf_kmeans`
-    (normalized centroids, deterministic Lloyd on a bounded ≤1024-row
-    sample — constant driver memory at any corpus size).  Cluster
+    (normalized centroids, deterministic Lloyd on a bounded
+    ≤KM_SAMPLE_CAP-row sample — constant driver memory at any corpus size).  Cluster
     assignment is one vectorized GEMM per Arrow batch; each cluster is
     then one ``applyInPandas`` task computing its pairwise cosine
     matrix.  A vector is dropped when some LOWER-vec_id vector in the
@@ -1267,25 +1325,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min-size denominator instead of union).
     """
     sh_sets = hashed_shingle_sets(spark, sf_dir)
-    exploded = sh_sets.select("doc_id", F.explode("sh").alias("shingle"))
-    postings = (
-        exploded.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= DF_CAP))
-        .cache()
-    )
-    pair = F.explode(
-        F.expr(
-            """
-            flatten(transform(ds, (x, i) ->
-              transform(slice(ds, i + 2, size(ds) - i - 1), y ->
-                struct(x AS doc_a, y AS doc_b))))
-            """
-        )
-    )
-    cand = postings.select(pair.alias("p")).select("p.doc_a", "p.doc_b").distinct()
-    need = postings.select(F.explode("ds").alias("doc_id"))
-    sh_small = sh_sets.join(need, "doc_id", "left_semi")
+    cand, sh_small = posting_candidates(capped_postings(spark, sf_dir), sh_sets)
     sa = sh_small.alias("sa")
     sb = sh_small.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))

@@ -512,3 +512,66 @@ def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_df").cast("double") / F.col("n_bigrams")).alias("fluency"),
         )
     )
+
+
+# --- character-diversity quality signal -------------------------------
+
+_DIVERSITY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+cnt AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_chars_counted,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+       CAST(SUM(c) * SUM(c) AS DOUBLE) / CAST(SUM(c * c) AS DOUBLE)
+         AS effective_alphabet
+FROM cnt GROUP BY doc_id
+"""
+
+
+@register("char_diversity_quality", _DIVERSITY_ORACLE)
+def char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-diversity quality signal: the inverse
+    Simpson index ``n² / Σc²`` — the "effective alphabet size".
+    Machine-generated repetition and padded boilerplate collapse
+    toward 1 (one dominant symbol); natural text sits in a stable
+    band.  It is the same junk detector as Shannon character entropy
+    with one decisive engineering difference: it needs NO
+    transcendental function.  Entropy's Σ c·log2(c) is not
+    cross-engine bit-stable (Spark's JVM log and DuckDB's libm log2
+    disagree in the last ulp on ~a third of integer inputs — measured,
+    not assumed), while this is exact BIGINT arithmetic (Σc, Σc²)
+    down to ONE final IEEE division — bit-deterministic on any
+    engine, any partitioning, any scale.
+
+    Everything is two map-side-combined aggregates; the text never
+    shuffles — only (doc_id, char, count) rows bounded by alphabet
+    size per document.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = spread(docs.select("doc_id", F.explode(F.split("text", "")).alias("ch")))
+    cnt = (
+        chars.filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    )
+    return per.select(
+        "doc_id",
+        "n_chars_counted",
+        "n_distinct_chars",
+        "sum_c2",
+        (
+            (F.col("n_chars_counted") * F.col("n_chars_counted")).cast("double")
+            / F.col("sum_c2").cast("double")
+        ).alias("effective_alphabet"),
+    )

@@ -241,19 +241,25 @@ from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa
 @dataclass
 class _JsonlCommit(WriterCommitMessage):
     filename: str
+    tmp_name: str
     n_rows: int
 
 
 class JsonlWriter(DataSourceWriter):
     """Executor-side task writer with the standard commit protocol.
 
-    Each task writes its partition to a TEMPORARY ``.inprogress`` file
-    named by partition id and returns a commit message; ``commit()``
-    (driver, after ALL tasks succeed) renames them into place and
-    writes a ``_SUCCESS`` manifest listing files + row counts —
-    readers treating the manifest as the source of truth never observe
-    a half-written job, the same atomicity contract as Hadoop-style
-    committers.  ``abort()`` removes the temporaries.
+    Each task ATTEMPT writes its partition to a temporary file scoped
+    by (partition id, task attempt id) — attempt-scoped names are what
+    make speculative/retried attempts of the same partition unable to
+    interleave writes, the same reason Hadoop committers use
+    attempt-scoped paths.  ``commit()`` (driver, after ALL tasks
+    succeed) renames exactly the WINNING attempts' files into place and
+    writes the ``_SUCCESS`` manifest via write-temp-then-rename, so a
+    manifest reader sees either nothing or the complete file list —
+    never a truncated one.  ``abort()`` removes whatever temporaries
+    exist; failed tasks report ``None`` commit messages (pyspark
+    contract), so cleanup sweeps the directory rather than trusting
+    the message list.
     """
 
     def __init__(self, options, overwrite: bool):
@@ -268,35 +274,47 @@ class JsonlWriter(DataSourceWriter):
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        os.makedirs(self.path, exist_ok=True)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         name = f"part-{pid:05d}.jsonl"
-        tmp = os.path.join(self.path, name + ".inprogress")
+        tmp_name = f"{name}.{ctx.taskAttemptId()}.inprogress"
+        os.makedirs(self.path, exist_ok=True)
         n = 0
-        with open(tmp, "w") as f:
+        with open(os.path.join(self.path, tmp_name), "w") as f:
             for row in iterator:
                 f.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
                 n += 1
-        return _JsonlCommit(filename=name, n_rows=n)
+        return _JsonlCommit(filename=name, tmp_name=tmp_name, n_rows=n)
 
     def commit(self, messages) -> None:
+        import glob
         import json as _json
         import os
 
         manifest = {}
         for m in messages:
-            tmp = os.path.join(self.path, m.filename + ".inprogress")
-            os.replace(tmp, os.path.join(self.path, m.filename))
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, m.filename),
+            )
             manifest[m.filename] = m.n_rows
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+        # losing speculative attempts left no message; sweep their temps
+        for stray in glob.glob(os.path.join(self.path, "*.inprogress")):
+            os.remove(stray)
+        tmp_manifest = os.path.join(self.path, "_SUCCESS.inprogress.manifest")
+        with open(tmp_manifest, "w") as f:
             _json.dump(manifest, f, sort_keys=True)
+        os.replace(tmp_manifest, os.path.join(self.path, "_SUCCESS"))
 
     def abort(self, messages) -> None:
+        import glob
         import os
 
-        for m in messages or []:
+        # failed tasks contribute None messages — don't dereference them;
+        # the attempt-scoped temp names make a directory sweep safe
+        for stray in glob.glob(os.path.join(self.path, "*.inprogress")):
             try:
-                os.remove(os.path.join(self.path, m.filename + ".inprogress"))
+                os.remove(stray)
             except FileNotFoundError:
                 pass
 
@@ -344,12 +362,14 @@ def pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import json as _json
     import os
-    import shutil
     import tempfile
+    import uuid
 
     _ensure_sink(spark)
-    out = os.path.join(tempfile.gettempdir(), "pyds_sink_nation")
-    shutil.rmtree(out, ignore_errors=True)
+    # unique directory per invocation: a shared fixed path would let a
+    # concurrent run's cleanup delete this run's committed files out
+    # from under the lazily-evaluated read-back frame
+    out = os.path.join(tempfile.gettempdir(), f"pyds_sink_nation_{uuid.uuid4().hex[:8]}")
     src = load_table(spark, sf_dir, "nation").select(
         "n_nationkey",
         "n_name",

@@ -114,6 +114,7 @@ REPRESENTATIVE = [
     "embedding_int8_quantize",
     "pyds_sink_roundtrip",
     "arrow_grouped_map_langstats",
+    "char_diversity_quality",
 ]
 
 
@@ -248,26 +249,31 @@ def test_observation_metrics_ride_the_action(spark):
 
 
 def test_pyjsonl_commit_protocol(tmp_path):
-    """Driver-side committer contract: commit renames every task's
-    .inprogress file into place and writes the _SUCCESS manifest;
-    abort removes temporaries and leaves no visible files."""
+    """Driver-side committer contract: commit renames each winning
+    attempt's temp file into place, sweeps losing-attempt strays,
+    and atomically writes the _SUCCESS manifest; abort tolerates
+    None messages (failed tasks) and leaves no temporaries."""
     import json
 
     from mr_python_spark.sources.pyds import JsonlWriter, _JsonlCommit
 
     w = JsonlWriter({"path": str(tmp_path)}, overwrite=False)
     msgs = []
-    for pid, n in ((0, 3), (1, 2)):
+    for pid, attempt, n in ((0, 17, 3), (1, 4, 2)):
         name = f"part-{pid:05d}.jsonl"
-        (tmp_path / (name + ".inprogress")).write_text('{"x": 1}\n' * n)
-        msgs.append(_JsonlCommit(filename=name, n_rows=n))
+        tmp = f"{name}.{attempt}.inprogress"
+        (tmp_path / tmp).write_text('{"x": 1}\n' * n)
+        msgs.append(_JsonlCommit(filename=name, tmp_name=tmp, n_rows=n))
+    # a losing speculative attempt of partition 0 left its own temp
+    (tmp_path / "part-00000.jsonl.99.inprogress").write_text("{}\n")
     w.commit(msgs)
     assert not list(tmp_path.glob("*.inprogress"))
     manifest = json.loads((tmp_path / "_SUCCESS").read_text())
     assert manifest == {"part-00000.jsonl": 3, "part-00001.jsonl": 2}
 
-    # abort: a failed job's temporaries disappear, committed files stay
-    (tmp_path / "part-00002.jsonl.inprogress").write_text("{}\n")
-    w.abort([_JsonlCommit(filename="part-00002.jsonl", n_rows=1)])
+    # abort: None messages from failed tasks must not crash cleanup,
+    # and temporaries disappear while committed files stay
+    (tmp_path / "part-00002.jsonl.5.inprogress").write_text("{}\n")
+    w.abort([None, _JsonlCommit(filename="part-00002.jsonl", tmp_name="part-00002.jsonl.5.inprogress", n_rows=1)])
     assert not list(tmp_path.glob("*.inprogress"))
     assert (tmp_path / "part-00000.jsonl").exists()

@@ -419,6 +419,13 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"Join"],
         hinted_broadcasts=0,
     ),
+    # character diversity: two combiner-reduced aggregates, zero joins,
+    # text never shuffles (only doc_id/char/count)
+    "char_diversity_quality": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"Join", r"Exchange hashpartitioning.*text"],
+        hinted_broadcasts=0,
+    ),
     # Gopher shape rules: one exploded-token aggregate, zero joins
     # (countDistinct adds an expand+second agg, still combiner-reduced)
     "gopher_quality_rules": dict(

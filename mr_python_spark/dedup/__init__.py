@@ -1338,3 +1338,88 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAIN_TAU)
     )
+
+
+@register("dedup_semantic_within_lang")  # udf-oracle in tools/udf_oracles.py
+def dedup_semantic_within_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup constrained by document metadata: near-dups only count
+    WITHIN a language — the guard a multilingual corpus needs, because
+    translations sit close in embedding space and an unconstrained pass
+    silently collapses them into one "duplicate" cluster.
+
+    The embedding's document row joins in (doc_id = vec_id; a plain
+    equi-join, unhinted — documents scales with the corpus) and the
+    group key becomes (cell, lang): same trained quantizer, same
+    pairwise rule as :func:`dedup_semantic`, but cluster work is
+    further subdivided by language, so per-task cost only shrinks.
+    Demonstrates the general pattern: any metadata predicate composes
+    into the dedup clustering as extra group-key columns, not a new
+    algorithm.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from mr_python_spark.similarity import _trained_model, cell_distances
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    langs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    joined = spread(emb.join(langs, "vec_id"))
+    C = _trained_model(spark, sf_dir)["C_norm"]
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(list(pdf["embedding"]), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cell": cell_distances(M, C).argmin(1).astype(np.int32),
+                    "lang": pdf["lang"],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("is_kept", T.BooleanType()),
+        ]
+    )
+
+    def cluster_dedup(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        M = np.array(list(pdf["embedding"]), dtype=np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        dropped = np.tril(M @ M.T >= SEM_TAU, -1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                "cell": pdf["cell"].to_numpy(dtype=np.int32),
+                "lang": pdf["lang"],
+                "is_kept": ~dropped,
+            }
+        )
+
+    return (
+        joined.mapInPandas(assign, assign_schema)
+        .groupBy("cell", "lang")
+        .applyInPandas(cluster_dedup, out_schema)
+    )

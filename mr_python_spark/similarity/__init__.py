@@ -588,3 +588,82 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= KM_TOP_K)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# --- ANN recall evaluation --------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+), q AS (
+  SELECT * FROM n WHERE vec_id % 50 = 0
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(list_zip(q.e, n.e),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                      / (q.nrm * n.nrm) DESC, n.vec_id) AS rank
+    FROM q JOIN n ON q.vec_id <> n.vec_id
+  ) WHERE rank <= 3
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(list_zip(q.e, n.e),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                      / (q.nrm * n.nrm) DESC, n.vec_id) AS rank
+    FROM q JOIN n ON q.label = n.label AND q.vec_id <> n.vec_id
+  ) WHERE rank <= 3
+)
+SELECT t.query_id,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / 3 AS recall_at_3
+FROM truth t
+LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+@register("ann_recall_report", _RECALL_ORACLE)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the label-partitioned IVF against exact brute-force
+    ground truth, per query — the EVALUATION operator an ANN deployment
+    needs before trusting its index (is the partition-restricted search
+    actually finding the true neighbors?).
+
+    Composes the two existing, independently-gated queries: truth =
+    :func:`ann_brute_topk` restricted to rank ≤ 3 on the shared
+    stride-50 query subset (stride 25 ⊃ stride 50, identical
+    score-then-id tie order), approx = :func:`ann_ivf_label`.  Recall
+    is exact integer hit-counting with ONE final division per query, so
+    the report is bit-deterministic even though the underlying scores
+    are floats — both engines rank with the same total order.  At
+    scale: two top-k frames of O(queries·k) rows, one equi-join on
+    (query, neighbor), one aggregate — evaluation cost is independent
+    of corpus size.
+    """
+    truth = (
+        ann_brute_topk(spark, sf_dir)
+        .filter((F.col("rank") <= 3) & (F.col("query_id") % 50 == 0))
+        .select("query_id", "neighbor_id")
+    )
+    approx = ann_ivf_label(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor")
+    )
+    joined = truth.join(
+        approx,
+        (truth.query_id == approx.query_id)
+        & (F.col("neighbor_id") == F.col("a_neighbor")),
+        "left",
+    ).select(truth.query_id, "a_neighbor")
+    return joined.groupBy("query_id").agg(
+        F.count("a_neighbor").alias("n_hits"),
+        (F.count("a_neighbor").cast("double") / F.lit(3)).alias("recall_at_3"),
+    )

@@ -115,6 +115,7 @@ REPRESENTATIVE = [
     "pyds_sink_roundtrip",
     "arrow_grouped_map_langstats",
     "char_diversity_quality",
+    "ann_recall_report",
 ]
 
 

@@ -314,6 +314,19 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=0,
     ),
+    # lang-constrained SemDeDup: unhinted equi-join for metadata, then
+    # the same two-pandas-op shape hashed by (cell, lang)
+    "dedup_semantic_within_lang": dict(
+        must=[r"MapInPandas", r"FlatMapGroupsInPandas|GroupedMapPandas",
+              r"hashpartitioning\(cell"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
+    # recall evaluation: joins two top-k frames, no corpus-sized work
+    "ann_recall_report": dict(
+        must=[r"HashAggregate"],
+        must_not=[r"CartesianProduct"],
+    ),
     # ---------------- similarity ----------------
     # r3: fully distributed — the query set reaches executors via a 1-row
     # packed broadcast join (the only BroadcastExchange), NEVER a driver

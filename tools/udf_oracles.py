@@ -619,6 +619,29 @@ FROM c a
 """
 
 
+
+def _sem_lang_sql() -> str:
+    """Language-constrained SemDeDup oracle: same cell assignment and
+    cosine rule as _sem_dedup_sql, but the EXISTS is additionally
+    restricted to same-lang rows (documents joined on doc_id=vec_id)."""
+    return """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), c AS (
+  SELECT v.vec_id, d.lang, v.e, pq_cell(v.e) AS cell
+  FROM v JOIN documents d ON d.doc_id = v.vec_id
+)
+SELECT a.vec_id, a.cell, a.lang,
+       NOT EXISTS (
+         SELECT 1 FROM c b
+         WHERE b.cell = a.cell AND b.lang = a.lang AND b.vec_id < a.vec_id
+           AND cosn(a.e, b.e) >= 0.4
+       ) AS is_kept
+FROM c a
+"""
+
+
 def udf_oracles() -> dict[str, str]:
     """name -> DuckDB SQL requiring :func:`register_udfs` on the connection."""
     return {
@@ -630,4 +653,5 @@ def udf_oracles() -> dict[str, str]:
         "ann_ivf_kmeans": _ann_ivf_kmeans_sql(),
         "ann_ivf_pq": _ann_ivf_pq_sql(),
         "dedup_semantic": _sem_dedup_sql(),
+        "dedup_semantic_within_lang": _sem_lang_sql(),
     }

@@ -82,6 +82,26 @@ def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
     )
 
 
+def _keyed_df_cache(cache: dict, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """Shared keyed-cache-with-stale-eviction for corpus-derived frames.
+
+    Key = (applicationId, documents.parquet realpath, mtime_ns): one
+    persisted frame per (session, file identity); a regenerated dataset
+    changes the mtime and evicts the stale same-prefix entry.  One
+    implementation so the eviction rule can't drift between the
+    shingle / postings / span caches.
+    """
+    import os
+
+    path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    key = (spark.sparkContext.applicationId, path, os.stat(path).st_mtime_ns)
+    if key not in cache:
+        for stale in [k for k in cache if k[:2] == key[:2]]:
+            cache.pop(stale).unpersist()
+        cache[key] = build()
+    return cache[key]
+
+
 #: (applicationId, documents.parquet realpath, mtime_ns) → cached
 #: hashed-shingle-set DataFrame; see :func:`hashed_shingle_sets`
 _HSH_CACHE: dict[tuple[str, str, int], DataFrame] = {}
@@ -101,20 +121,17 @@ def hashed_shingle_sets(
     mtime key and evicts the stale entry.  Custom ``docs`` frames
     (test corpora) bypass the cache.
     """
-    import os
-
     hashed = lambda d: shingle_sets(d).select(  # noqa: E731
         "doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("sh")
     )
     if docs is not None:
         return hashed(docs)
-    path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
-    key = (spark.sparkContext.applicationId, path, os.stat(path).st_mtime_ns)
-    if key not in _HSH_CACHE:
-        for stale in [k for k in _HSH_CACHE if k[:2] == key[:2]]:
-            _HSH_CACHE.pop(stale).unpersist()
-        _HSH_CACHE[key] = hashed(load_table(spark, sf_dir, "documents")).cache()
-    return _HSH_CACHE[key]
+    return _keyed_df_cache(
+        _HSH_CACHE,
+        spark,
+        sf_dir,
+        lambda: hashed(load_table(spark, sf_dir, "documents")).cache(),
+    )
 
 
 #: (applicationId, documents file identity) → cached DF-capped posting
@@ -135,22 +152,18 @@ def capped_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     own session-lifetime cache entry, and a regenerated dataset evicts
     the stale entry.
     """
-    import os
-
     sh_sets = hashed_shingle_sets(spark, sf_dir)
-    path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
-    key = (spark.sparkContext.applicationId, path, os.stat(path).st_mtime_ns)
-    if key not in _POSTINGS_CACHE:
-        for stale in [k for k in _POSTINGS_CACHE if k[:2] == key[:2]]:
-            _POSTINGS_CACHE.pop(stale).unpersist()
+
+    def build() -> DataFrame:
         exploded = sh_sets.select("doc_id", F.explode("sh").alias("shingle"))
-        _POSTINGS_CACHE[key] = (
+        return (
             exploded.groupBy("shingle")
             .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
             .filter((F.size("ds") >= 2) & (F.size("ds") <= DF_CAP))
             .cache()
         )
-    return _POSTINGS_CACHE[key]
+
+    return _keyed_df_cache(_POSTINGS_CACHE, spark, sf_dir, build)
 
 
 def posting_candidates(
@@ -1075,40 +1088,34 @@ def _span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     in :func:`dedup_exact_substring`; without persistence the
     substring+hash transform (the pass's dominant CPU cost) executes
     twice — measured 6.1x at the 10x-data probe unpersisted vs 2.0x
-    persisted.  16 bytes/span ≈ 4%% of text size at stride 10, so the
-    spill-safe MEMORY_AND_DISK persist is cheap at any SF.  Keyed per
-    (application, documents file identity) with stale-entry eviction,
-    so repeat invocations share ONE cache entry instead of leaking one
-    per call.
+    persisted.  16 bytes/span ≈ 4% of text size at stride 10, so the
+    spill-safe MEMORY_AND_DISK persist is cheap at any SF.  The scan
+    is ``spread()`` BEFORE the span transform (the raw (doc_id, text)
+    rows shuffle, never derived rows), then cached via the shared
+    keyed cache.
     """
-    import os
-
     from pyspark.storagelevel import StorageLevel
 
-    path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
-    key = (spark.sparkContext.applicationId, path, os.stat(path).st_mtime_ns)
-    if key not in _SPAN_CACHE:
-        for stale in [k for k in _SPAN_CACHE if k[:2] == key[:2]]:
-            _SPAN_CACHE.pop(stale).unpersist()
+    def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
-        _SPAN_CACHE[key] = (
-            spread(
-                docs.select(
-                    "doc_id",
-                    F.expr(
-                        f"""
-                        array_distinct(transform(
-                          sequence(1, greatest(length(text) - {SPAN_LEN - 1}, 1),
-                                   {SPAN_STRIDE}),
-                          i -> xxhash64(substring(text, i, {SPAN_LEN}))))
-                        """
-                    ).alias("hs"),
-                )
+        return (
+            spread(docs.select("doc_id", "text"))
+            .select(
+                "doc_id",
+                F.expr(
+                    f"""
+                    array_distinct(transform(
+                      sequence(1, greatest(length(text) - {SPAN_LEN - 1}, 1),
+                               {SPAN_STRIDE}),
+                      i -> xxhash64(substring(text, i, {SPAN_LEN}))))
+                    """
+                ).alias("hs"),
             )
             .select("doc_id", F.explode("hs").alias("h"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    return _SPAN_CACHE[key]
+
+    return _keyed_df_cache(_SPAN_CACHE, spark, sf_dir, build)
 
 
 _SUBSTR_ORACLE = f"""
@@ -1181,29 +1188,20 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_TAU = 0.4
 
 
-@register("dedup_semantic")  # driver-tier rows-only; udf-oracle in tools/udf_oracles.py
-def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
-    embedding space, then near-dup ONLY within each cluster.
+def _semantic_dedup(
+    spark: SparkSession, src: DataFrame, extra_keys: list[str]
+) -> DataFrame:
+    """Shared SemDeDup core: assign each vector to its trained cell,
+    then drop any vector with a LOWER-vec_id neighbor at cosine ≥
+    ``SEM_TAU`` within the same (cell, *extra_keys) group.
 
-    The trained coarse quantizer is shared with :func:`ann_ivf_kmeans`
-    (normalized centroids, deterministic Lloyd on a bounded
-    ≤KM_SAMPLE_CAP-row sample — constant driver memory at any corpus size).  Cluster
-    assignment is one vectorized GEMM per Arrow batch; each cluster is
-    then one ``applyInPandas`` task computing its pairwise cosine
-    matrix.  A vector is dropped when some LOWER-vec_id vector in the
-    same cluster has cosine ≥ ``SEM_TAU`` — pairwise against all
-    earlier ids (not kept-only chains), so the decision is a pure
-    function of the cluster's contents: deterministic and independent
-    of partitioning.
-
-    100 TB posture: the O(n²) pairwise matrix of
-    :func:`dedup_embedding_cosine` becomes Σ|cluster|² — with k grown
-    as n/KM_TARGET_CELL (ivf_cells), expected cluster size is a
-    CONSTANT, making the whole pass linear in corpus size; this
-    cluster-then-pairs restructuring is exactly the SemDeDup paper's
-    scaling argument.  One shuffle (hash by cell), vectors shuffle
-    once, nothing collects to the driver.
+    ``src`` must carry (vec_id, embedding, *extra_keys).  Metadata
+    constraints compose as extra group-key columns — not a new
+    algorithm — so :func:`dedup_semantic` is this with no extras and
+    :func:`dedup_semantic_within_lang` passes ``["lang"]``.  The
+    decision is a pure function of the group's contents (pairwise
+    against all earlier ids, not kept-only chains): deterministic and
+    independent of partitioning.
     """
     from typing import Iterator
 
@@ -1211,15 +1209,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    from mr_python_spark.similarity import _trained_model, cell_distances
+    from mr_python_spark.similarity import cell_distances
 
-    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    C = _trained_model(spark, sf_dir)["C_norm"]
+    C = _SEM_MODEL["C"]
+    extra_fields = [T.StructField(k, T.StringType()) for k in extra_keys]
 
     assign_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
             T.StructField("cell", T.IntegerType()),
+            *extra_fields,
             T.StructField("embedding", T.ArrayType(T.FloatType())),
         ]
     )
@@ -1230,18 +1229,20 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             M = np.array(list(pdf["embedding"]), dtype=np.float64)
             M /= np.linalg.norm(M, axis=1, keepdims=True)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "cell": cell_distances(M, C).argmin(1).astype(np.int32),
-                    "embedding": pdf["embedding"],
-                }
-            )
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                "cell": cell_distances(M, C).argmin(1).astype(np.int32),
+            }
+            for k in extra_keys:
+                out[k] = pdf[k]
+            out["embedding"] = pdf["embedding"]
+            yield pd.DataFrame(out)
 
     out_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
             T.StructField("cell", T.IntegerType()),
+            *extra_fields,
             T.StructField("is_kept", T.BooleanType()),
         ]
     )
@@ -1250,21 +1251,84 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("vec_id")
         M = np.array(list(pdf["embedding"]), dtype=np.float64)
         M /= np.linalg.norm(M, axis=1, keepdims=True)
-        sims = M @ M.T
-        dropped = np.tril(sims >= SEM_TAU, -1).any(axis=1)
-        return pd.DataFrame(
-            {
-                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                "cell": pdf["cell"].to_numpy(dtype=np.int32),
-                "is_kept": ~dropped,
-            }
-        )
+        dropped = np.tril(M @ M.T >= SEM_TAU, -1).any(axis=1)
+        out = {
+            "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+            "cell": pdf["cell"].to_numpy(dtype=np.int32),
+        }
+        for k in extra_keys:
+            out[k] = pdf[k]
+        out["is_kept"] = ~dropped
+        return pd.DataFrame(out)
 
     return (
-        emb.mapInPandas(assign, assign_schema)
-        .groupBy("cell")
+        src.mapInPandas(assign, assign_schema)
+        .groupBy("cell", *extra_keys)
         .applyInPandas(cluster_dedup, out_schema)
     )
+
+
+#: closure cell for the trained quantizer (set per call; the matrix is
+#: small — ≤ KM_MAX_CELLS×d — and ships to executors by closure)
+_SEM_MODEL: dict = {}
+
+
+@register("dedup_semantic")  # driver-tier rows-only; udf-oracle in tools/udf_oracles.py
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then near-dup ONLY within each cluster.
+
+    The trained coarse quantizer is shared with :func:`ann_ivf_kmeans`
+    (normalized centroids, deterministic Lloyd on a bounded
+    ≤KM_SAMPLE_CAP-row sample — constant driver memory at any corpus
+    size).  Cluster assignment is one vectorized GEMM per Arrow batch;
+    each cluster is then one ``applyInPandas`` task computing its
+    pairwise cosine matrix.  A vector is dropped when some LOWER-vec_id
+    vector in the same cluster has cosine ≥ ``SEM_TAU``.
+
+    100 TB posture: the O(n²) pairwise matrix of
+    :func:`dedup_embedding_cosine` becomes Σ|cluster|² — with k grown
+    as n/KM_TARGET_CELL (ivf_cells), expected cluster size is a
+    CONSTANT, making the whole pass linear in corpus size; this
+    cluster-then-pairs restructuring is exactly the SemDeDup paper's
+    scaling argument.  One shuffle (hash by cell), vectors shuffle
+    once, nothing collects to the driver.
+    """
+    from mr_python_spark.similarity import _trained_model
+
+    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    _SEM_MODEL["C"] = _trained_model(spark, sf_dir)["C_norm"]
+    return _semantic_dedup(spark, emb, [])
+
+
+@register("dedup_semantic_within_lang")  # udf-oracle in tools/udf_oracles.py
+def dedup_semantic_within_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup constrained by document metadata: near-dups only count
+    WITHIN a language — the guard a multilingual corpus needs, because
+    translations sit close in embedding space and an unconstrained pass
+    silently collapses them into one "duplicate" cluster.
+
+    The embedding's document row joins in (doc_id = vec_id; a plain
+    equi-join, unhinted — documents scales with the corpus) and the
+    group key becomes (cell, lang) via the shared
+    :func:`_semantic_dedup` core — the same trained quantizer and
+    pairwise rule, metadata composed as an extra group-key column, not
+    a new algorithm.  Rows with NULL lang are excluded on BOTH engine
+    and oracle sides (a NULL group key would group NULLs together in
+    Spark but never match the oracle's equality — pinned explicitly
+    rather than left to fixture luck).
+    """
+    from mr_python_spark.similarity import _trained_model
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    langs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("vec_id"), "lang")
+        .filter(F.col("lang").isNotNull())
+    )
+    joined = spread(emb.join(langs, "vec_id"))
+    _SEM_MODEL["C"] = _trained_model(spark, sf_dir)["C_norm"]
+    return _semantic_dedup(spark, joined, ["lang"])
 
 
 # --- containment (asymmetric near-dup) --------------------------------
@@ -1337,89 +1401,4 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", (inter.cast("double") / denom).alias("containment")
         )
         .filter(F.col("containment") >= CONTAIN_TAU)
-    )
-
-
-@register("dedup_semantic_within_lang")  # udf-oracle in tools/udf_oracles.py
-def dedup_semantic_within_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup constrained by document metadata: near-dups only count
-    WITHIN a language — the guard a multilingual corpus needs, because
-    translations sit close in embedding space and an unconstrained pass
-    silently collapses them into one "duplicate" cluster.
-
-    The embedding's document row joins in (doc_id = vec_id; a plain
-    equi-join, unhinted — documents scales with the corpus) and the
-    group key becomes (cell, lang): same trained quantizer, same
-    pairwise rule as :func:`dedup_semantic`, but cluster work is
-    further subdivided by language, so per-task cost only shrinks.
-    Demonstrates the general pattern: any metadata predicate composes
-    into the dedup clustering as extra group-key columns, not a new
-    algorithm.
-    """
-    from typing import Iterator
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    from mr_python_spark.similarity import _trained_model, cell_distances
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    langs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("vec_id"), "lang"
-    )
-    joined = spread(emb.join(langs, "vec_id"))
-    C = _trained_model(spark, sf_dir)["C_norm"]
-
-    assign_schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("cell", T.IntegerType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
-        ]
-    )
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            M = np.array(list(pdf["embedding"]), dtype=np.float64)
-            M /= np.linalg.norm(M, axis=1, keepdims=True)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "cell": cell_distances(M, C).argmin(1).astype(np.int32),
-                    "lang": pdf["lang"],
-                    "embedding": pdf["embedding"],
-                }
-            )
-
-    out_schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("cell", T.IntegerType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("is_kept", T.BooleanType()),
-        ]
-    )
-
-    def cluster_dedup(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id")
-        M = np.array(list(pdf["embedding"]), dtype=np.float64)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
-        dropped = np.tril(M @ M.T >= SEM_TAU, -1).any(axis=1)
-        return pd.DataFrame(
-            {
-                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                "cell": pdf["cell"].to_numpy(dtype=np.int32),
-                "lang": pdf["lang"],
-                "is_kept": ~dropped,
-            }
-        )
-
-    return (
-        joined.mapInPandas(assign, assign_schema)
-        .groupBy("cell", "lang")
-        .applyInPandas(cluster_dedup, out_schema)
     )

@@ -554,7 +554,11 @@ def char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     size per document.
     """
     docs = load_table(spark, sf_dir, "documents")
-    chars = spread(docs.select("doc_id", F.explode(F.split("text", "")).alias("ch")))
+    # spread the raw (doc_id, text) rows BEFORE exploding — exploding
+    # first would shuffle one row per corpus CHARACTER
+    chars = spread(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    )
     cnt = (
         chars.filter(F.col("ch") != "")
         .groupBy("doc_id", "ch")

@@ -263,10 +263,17 @@ class JsonlWriter(DataSourceWriter):
     """
 
     def __init__(self, options, overwrite: bool):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("pyjsonl sink requires option 'path'")
         self.overwrite = overwrite
+        #: job token: generated once on the driver, shipped to every
+        #: task by serialization — temp names carry it so commit/abort
+        #: sweeps touch ONLY this job's temporaries, never a concurrent
+        #: append job's in-flight files
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         import json as _json
@@ -277,7 +284,7 @@ class JsonlWriter(DataSourceWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         name = f"part-{pid:05d}.jsonl"
-        tmp_name = f"{name}.{ctx.taskAttemptId()}.inprogress"
+        tmp_name = f"{name}.{self.job_id}.{ctx.taskAttemptId()}.inprogress"
         os.makedirs(self.path, exist_ok=True)
         n = 0
         with open(os.path.join(self.path, tmp_name), "w") as f:
@@ -298,8 +305,11 @@ class JsonlWriter(DataSourceWriter):
                 os.path.join(self.path, m.filename),
             )
             manifest[m.filename] = m.n_rows
-        # losing speculative attempts left no message; sweep their temps
-        for stray in glob.glob(os.path.join(self.path, "*.inprogress")):
+        # losing speculative attempts left no message; sweep THIS job's
+        # temps only (the job token scopes the glob)
+        for stray in glob.glob(
+            os.path.join(self.path, f"*.{self.job_id}.*.inprogress")
+        ):
             os.remove(stray)
         tmp_manifest = os.path.join(self.path, "_SUCCESS.inprogress.manifest")
         with open(tmp_manifest, "w") as f:
@@ -311,8 +321,11 @@ class JsonlWriter(DataSourceWriter):
         import os
 
         # failed tasks contribute None messages — don't dereference them;
-        # the attempt-scoped temp names make a directory sweep safe
-        for stray in glob.glob(os.path.join(self.path, "*.inprogress")):
+        # the job-token-scoped temp names make this sweep safe next to a
+        # concurrent append job
+        for stray in glob.glob(
+            os.path.join(self.path, f"*.{self.job_id}.*.inprogress")
+        ):
             try:
                 os.remove(stray)
             except FileNotFoundError:
@@ -368,7 +381,20 @@ def pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_sink(spark)
     # unique directory per invocation: a shared fixed path would let a
     # concurrent run's cleanup delete this run's committed files out
-    # from under the lazily-evaluated read-back frame
+    # from under the lazily-evaluated read-back frame.  Stale dirs from
+    # PRIOR runs (>1 h old — no live frame still reads them) are swept
+    # here so repeated sweeps/benches don't accumulate copies forever.
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    cutoff = _time.time() - 3600
+    for stale in _glob.glob(os.path.join(tempfile.gettempdir(), "pyds_sink_nation_*")):
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
     out = os.path.join(tempfile.gettempdir(), f"pyds_sink_nation_{uuid.uuid4().hex[:8]}")
     src = load_table(spark, sf_dir, "nation").select(
         "n_nationkey",

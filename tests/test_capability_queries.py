@@ -251,9 +251,10 @@ def test_observation_metrics_ride_the_action(spark):
 
 def test_pyjsonl_commit_protocol(tmp_path):
     """Driver-side committer contract: commit renames each winning
-    attempt's temp file into place, sweeps losing-attempt strays,
-    and atomically writes the _SUCCESS manifest; abort tolerates
-    None messages (failed tasks) and leaves no temporaries."""
+    attempt's temp file into place, sweeps only THIS job's
+    losing-attempt strays (a concurrent job's temps survive), and
+    atomically writes the _SUCCESS manifest; abort tolerates None
+    messages (failed tasks) and leaves none of this job's temps."""
     import json
 
     from mr_python_spark.sources.pyds import JsonlWriter, _JsonlCommit
@@ -262,19 +263,22 @@ def test_pyjsonl_commit_protocol(tmp_path):
     msgs = []
     for pid, attempt, n in ((0, 17, 3), (1, 4, 2)):
         name = f"part-{pid:05d}.jsonl"
-        tmp = f"{name}.{attempt}.inprogress"
+        tmp = f"{name}.{w.job_id}.{attempt}.inprogress"
         (tmp_path / tmp).write_text('{"x": 1}\n' * n)
         msgs.append(_JsonlCommit(filename=name, tmp_name=tmp, n_rows=n))
-    # a losing speculative attempt of partition 0 left its own temp
-    (tmp_path / "part-00000.jsonl.99.inprogress").write_text("{}\n")
+    # a losing speculative attempt of THIS job, and a CONCURRENT job's
+    # in-flight temp that the sweep must NOT touch
+    (tmp_path / f"part-00000.jsonl.{w.job_id}.99.inprogress").write_text("{}\n")
+    other = tmp_path / "part-00000.jsonl.deadbeefcafe.7.inprogress"
+    other.write_text("{}\n")
     w.commit(msgs)
-    assert not list(tmp_path.glob("*.inprogress"))
+    assert [p.name for p in tmp_path.glob("*.inprogress")] == [other.name]
     manifest = json.loads((tmp_path / "_SUCCESS").read_text())
     assert manifest == {"part-00000.jsonl": 3, "part-00001.jsonl": 2}
 
-    # abort: None messages from failed tasks must not crash cleanup,
-    # and temporaries disappear while committed files stay
-    (tmp_path / "part-00002.jsonl.5.inprogress").write_text("{}\n")
-    w.abort([None, _JsonlCommit(filename="part-00002.jsonl", tmp_name="part-00002.jsonl.5.inprogress", n_rows=1)])
-    assert not list(tmp_path.glob("*.inprogress"))
+    # abort: None messages from failed tasks must not crash cleanup
+    tmp = f"part-00002.jsonl.{w.job_id}.5.inprogress"
+    (tmp_path / tmp).write_text("{}\n")
+    w.abort([None, _JsonlCommit(filename="part-00002.jsonl", tmp_name=tmp, n_rows=1)])
+    assert [p.name for p in tmp_path.glob("*.inprogress")] == [other.name]
     assert (tmp_path / "part-00000.jsonl").exists()

@@ -631,6 +631,7 @@ WITH v AS (
 ), c AS (
   SELECT v.vec_id, d.lang, v.e, pq_cell(v.e) AS cell
   FROM v JOIN documents d ON d.doc_id = v.vec_id
+  WHERE d.lang IS NOT NULL
 )
 SELECT a.vec_id, a.cell, a.lang,
        NOT EXISTS (

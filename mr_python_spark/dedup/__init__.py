@@ -1402,3 +1402,50 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAIN_TAU)
     )
+
+
+@register("dedup_lsh_eval_report")  # udf-oracle in tools/udf_oracles.py
+def dedup_lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the banded MinHash-LSH pass against EXACT ground
+    truth: every true pair with jaccard ≥ 0.5, flagged with whether the
+    16×4-band LSH candidate generation surfaced it.
+
+    The theory says banding catches a j=0.5 pair with probability
+    1−(1−j⁴)¹⁶ ≈ 0.64 rising steeply toward 1 by j≈0.7 — this report
+    is how an operator VERIFIES that curve on their corpus before
+    trusting LSH for a full-scale run (the evaluation twin of
+    :func:`ann_recall_report`).  Ground truth is the exact shingle
+    self-join (complete for j ≥ 0.5: such pairs must share shingles) —
+    deliberately the quadratic small-corpus path, because evaluation
+    runs on a SAMPLE; the LSH side is the production candidate set.
+    Flags are exact set membership; the jaccard is one division of
+    exact ints — bit-deterministic.
+    """
+    sh_sets = hashed_shingle_sets(spark, sf_dir)
+    sh = sh_sets.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = sh_sets.select("doc_id", F.size("sh").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    truth = (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    found = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("hit")
+    )
+    return truth.join(found, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.coalesce("hit", F.lit(False)).alias("found_by_lsh"),
+    )

@@ -117,6 +117,7 @@ REPRESENTATIVE = [
     "char_diversity_quality",
     "ann_recall_report",
 ]
+# dedup_lsh_eval_report is udf-oracle tier (covered by check_correctness)
 
 
 @pytest.fixture(scope="module")

@@ -322,6 +322,12 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         hinted_broadcasts=0,
     ),
+    # LSH recall audit: truth is a deliberate exact self-join (sample
+    # evaluation path); the LSH side must stay an equi-join
+    "dedup_lsh_eval_report": dict(
+        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
     # recall evaluation: joins two top-k frames, no corpus-sized work
     "ann_recall_report": dict(
         must=[r"HashAggregate"],

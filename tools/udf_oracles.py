@@ -643,6 +643,38 @@ FROM c a
 """
 
 
+
+def _lsh_eval_sql() -> str:
+    """LSH recall report oracle: exact-truth pairs (jaccard >= 0.5 over
+    string shingles) left-joined against the minhash-LSH result set."""
+    return f"""
+WITH found AS (
+{_minhash_sql()}
+),
+{_SHINGLES.lstrip()},
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT doc_a, doc_b,
+         CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+)
+SELECT t.doc_a, t.doc_b, t.jaccard,
+       (f.doc_a IS NOT NULL) AS found_by_lsh
+FROM truth t
+LEFT JOIN found f ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
+"""
+
+
 def udf_oracles() -> dict[str, str]:
     """name -> DuckDB SQL requiring :func:`register_udfs` on the connection."""
     return {
@@ -655,4 +687,5 @@ def udf_oracles() -> dict[str, str]:
         "ann_ivf_pq": _ann_ivf_pq_sql(),
         "dedup_semantic": _sem_dedup_sql(),
         "dedup_semantic_within_lang": _sem_lang_sql(),
+        "dedup_lsh_eval_report": _lsh_eval_sql(),
     }

@@ -1189,7 +1189,7 @@ SEM_TAU = 0.4
 
 
 def _semantic_dedup(
-    spark: SparkSession, src: DataFrame, extra_keys: list[str]
+    spark: SparkSession, src: DataFrame, extra_keys: list[str], C
 ) -> DataFrame:
     """Shared SemDeDup core: assign each vector to its trained cell,
     then drop any vector with a LOWER-vec_id neighbor at cosine ≥
@@ -1198,10 +1198,20 @@ def _semantic_dedup(
     ``src`` must carry (vec_id, embedding, *extra_keys).  Metadata
     constraints compose as extra group-key columns — not a new
     algorithm — so :func:`dedup_semantic` is this with no extras and
-    :func:`dedup_semantic_within_lang` passes ``["lang"]``.  The
-    decision is a pure function of the group's contents (pairwise
-    against all earlier ids, not kept-only chains): deterministic and
-    independent of partitioning.
+    :func:`dedup_semantic_within_lang` passes ``["lang"]``.  ``C`` is
+    the trained, normalized centroid matrix (small — ≤ KM_MAX_CELLS×d
+    — and ships to executors by closure); passed per call so that
+    concurrent semantic queries in one session cannot race on shared
+    state.  The decision is a pure function of the group's contents
+    (pairwise against all earlier ids, not kept-only chains):
+    deterministic and independent of partitioning.
+
+    Boundary note: the engine computes within-cluster cosines via a
+    batch GEMM while the numpy udf-oracle uses per-pair 1-D dots; BLAS
+    accumulation order can differ in the last ulp, so a pair landing
+    EXACTLY on ``SEM_TAU`` could in principle flip ``is_kept`` between
+    the two.  ``tests/test_determinism.py`` pins the fixture away from
+    that boundary (no pair within 1e-9 of SEM_TAU).
     """
     from typing import Iterator
 
@@ -1210,8 +1220,6 @@ def _semantic_dedup(
     from pyspark.sql import types as T
 
     from mr_python_spark.similarity import cell_distances
-
-    C = _SEM_MODEL["C"]
     extra_fields = [T.StructField(k, T.StringType()) for k in extra_keys]
 
     assign_schema = T.StructType(
@@ -1268,11 +1276,6 @@ def _semantic_dedup(
     )
 
 
-#: closure cell for the trained quantizer (set per call; the matrix is
-#: small — ≤ KM_MAX_CELLS×d — and ships to executors by closure)
-_SEM_MODEL: dict = {}
-
-
 @register("dedup_semantic")  # driver-tier rows-only; udf-oracle in tools/udf_oracles.py
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
@@ -1297,8 +1300,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mr_python_spark.similarity import _trained_model
 
     emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    _SEM_MODEL["C"] = _trained_model(spark, sf_dir)["C_norm"]
-    return _semantic_dedup(spark, emb, [])
+    return _semantic_dedup(spark, emb, [], _trained_model(spark, sf_dir)["C_norm"])
 
 
 @register("dedup_semantic_within_lang")  # udf-oracle in tools/udf_oracles.py
@@ -1327,8 +1329,9 @@ def dedup_semantic_within_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lang").isNotNull())
     )
     joined = spread(emb.join(langs, "vec_id"))
-    _SEM_MODEL["C"] = _trained_model(spark, sf_dir)["C_norm"]
-    return _semantic_dedup(spark, joined, ["lang"])
+    return _semantic_dedup(
+        spark, joined, ["lang"], _trained_model(spark, sf_dir)["C_norm"]
+    )
 
 
 # --- containment (asymmetric near-dup) --------------------------------

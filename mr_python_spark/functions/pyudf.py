@@ -325,7 +325,7 @@ WITH agg AS (
   SELECT lang, COUNT(*) AS n_docs,
          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
          CAST(MAX(n_chars) AS BIGINT) AS max_chars
-  FROM documents GROUP BY lang
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
 )
 SELECT a.lang, a.n_docs, a.total_chars, a.max_chars,
        (SELECT MIN(d.doc_id) FROM documents d
@@ -344,13 +344,21 @@ def arrow_grouped_map_langstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF, UDTF — and now the Arrow GROUPED map, the no-pandas variant
     of applyInPandas (no object-column materialization; kernels run on
     columnar buffers).  Tie-break for the longest document is MIN
-    doc_id, an exact integer rule.  Same 100 TB posture as any grouped
-    map: one hash shuffle by group key, group-local compute.
+    doc_id, an exact integer rule.  NULL-lang rows are excluded on BOTH
+    engine and oracle sides (a correlated ``d.lang = a.lang`` subquery
+    never matches a NULL group, so leaving NULLs in would diverge the
+    gate the moment the fixture grew one — same pinning rule as
+    ``dedup_semantic_within_lang``).  Same 100 TB posture as any
+    grouped map: one hash shuffle by group key, group-local compute.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .filter(F.col("lang").isNotNull())
+    )
 
     def stats(table: "pa.Table") -> "pa.Table":
         nc = table.column("n_chars")

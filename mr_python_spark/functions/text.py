@@ -552,12 +552,22 @@ def char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is two map-side-combined aggregates; the text never
     shuffles — only (doc_id, char, count) rows bounded by alphabet
     size per document.
+
+    Character = Unicode CODE POINT on both engines: the oracle's
+    ``string_split(text, '')`` is code-point based, and a plain Spark
+    ``split(text, '')`` would split between UTF-16 code units — a
+    non-BMP character (emoji, rare CJK) would become two surrogate
+    halves and silently diverge the gate.  ``regexp_extract_all`` with
+    ``(?s).`` matches one code point per hit (Java regex treats a
+    surrogate pair as a single char), pinned by a unit test on a
+    supplementary-plane string.
     """
     docs = load_table(spark, sf_dir, "documents")
     # spread the raw (doc_id, text) rows BEFORE exploding — exploding
     # first would shuffle one row per corpus CHARACTER
     chars = spread(docs.select("doc_id", "text")).select(
-        "doc_id", F.explode(F.split("text", "")).alias("ch")
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit("(?s)."), 0)).alias("ch"),
     )
     cnt = (
         chars.filter(F.col("ch") != "")

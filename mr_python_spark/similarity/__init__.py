@@ -599,7 +599,7 @@ WITH v AS (
 ), n AS (
   SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
 ), q AS (
-  SELECT * FROM n WHERE vec_id % 50 = 0
+  SELECT * FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0
 ), truth AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -609,7 +609,7 @@ WITH v AS (
                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
                       / (q.nrm * n.nrm) DESC, n.vec_id) AS rank
     FROM q JOIN n ON q.vec_id <> n.vec_id
-  ) WHERE rank <= 3
+  ) WHERE rank <= {KM_TOP_K}
 ), approx AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -619,11 +619,11 @@ WITH v AS (
                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
                       / (q.nrm * n.nrm) DESC, n.vec_id) AS rank
     FROM q JOIN n ON q.label = n.label AND q.vec_id <> n.vec_id
-  ) WHERE rank <= 3
+  ) WHERE rank <= {KM_TOP_K}
 )
 SELECT t.query_id,
        CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
-       CAST(COUNT(a.neighbor_id) AS DOUBLE) / 3 AS recall_at_3
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / {KM_TOP_K} AS recall_at_3
 FROM truth t
 LEFT JOIN approx a
   ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
@@ -651,7 +651,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     truth = (
         ann_brute_topk(spark, sf_dir)
-        .filter((F.col("rank") <= 3) & (F.col("query_id") % 50 == 0))
+        .filter(
+            (F.col("rank") <= KM_TOP_K)
+            & (F.col("query_id") % KM_QUERY_STRIDE == 0)
+        )
         .select("query_id", "neighbor_id")
     )
     approx = ann_ivf_label(spark, sf_dir).select(
@@ -665,5 +668,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(truth.query_id, "a_neighbor")
     return joined.groupBy("query_id").agg(
         F.count("a_neighbor").alias("n_hits"),
-        (F.count("a_neighbor").cast("double") / F.lit(3)).alias("recall_at_3"),
+        (F.count("a_neighbor").cast("double") / F.lit(KM_TOP_K)).alias(
+            "recall_at_3"
+        ),
     )

@@ -67,15 +67,25 @@ class CalendarDataSource(DataSource):
         return CalendarReader(self.options)
 
 
-_registered = False
+#: data-source registrations already performed, keyed by
+#: (applicationId, source class name) — a process-global BOOLEAN would
+#: survive a stopped SparkSession and skip re-registration on the next
+#: session in the same Python process, making reads of the custom
+#: format fail with data-source-not-found (same session identity the
+#: _keyed_df_cache uses).
+_registered_sources: set = set()
+
+
+def _ensure_source(spark: SparkSession, cls) -> None:
+    key = (spark.sparkContext.applicationId, cls.__name__)
+    if key not in _registered_sources:
+        spark.dataSource.register(cls)
+        _registered_sources.add(key)
 
 
 def calendar_frame(spark: SparkSession, start: str, end: str) -> DataFrame:
     """The custom source as a DataFrame (registers it once per session)."""
-    global _registered
-    if not _registered:
-        spark.dataSource.register(CalendarDataSource)
-        _registered = True
+    _ensure_source(spark, CalendarDataSource)
     return (
         spark.read.format("pycalendar").option("start", start).option("end", end).load()
     )
@@ -161,14 +171,8 @@ class TickStreamDataSource(DataSource):
         return TickStreamReader()
 
 
-_stream_registered = False
-
-
 def ticks_stream(spark: SparkSession) -> DataFrame:
-    global _stream_registered
-    if not _stream_registered:
-        spark.dataSource.register(TickStreamDataSource)
-        _stream_registered = True
+    _ensure_source(spark, TickStreamDataSource)
     return spark.readStream.format("pyticks").load()
 
 
@@ -341,14 +345,8 @@ class JsonlSinkDataSource(DataSource):
         return JsonlWriter(self.options, overwrite)
 
 
-_sink_registered = False
-
-
 def _ensure_sink(spark: SparkSession) -> None:
-    global _sink_registered
-    if not _sink_registered:
-        spark.dataSource.register(JsonlSinkDataSource)
-        _sink_registered = True
+    _ensure_source(spark, JsonlSinkDataSource)
 
 
 _PYDS_SINK_ORACLE = """

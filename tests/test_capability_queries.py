@@ -225,6 +225,61 @@ def test_pyds_calendar_partition_planning(spark):
     assert per_year == {1995: 365, 1996: 366, 1997: 365}
 
 
+def test_char_split_is_code_point_safe(spark):
+    """char_diversity_quality's character split must yield whole code
+    points: a plain split(text, '') splits between UTF-16 code units,
+    so a non-BMP character (emoji, rare CJK) becomes two surrogate
+    halves while the DuckDB oracle's string_split(text, '') is
+    code-point based — the regexp_extract_all('(?s).') expression must
+    match the oracle exactly on a supplementary-plane string."""
+    from pyspark.sql import functions as F
+
+    s = "a😀🀄b"
+    df = spark.createDataFrame([(s,)], "text string")
+    got = [
+        r.ch
+        for r in df.select(
+            F.explode(F.regexp_extract_all("text", F.lit("(?s)."), 0)).alias("ch")
+        ).collect()
+    ]
+    want = [r[0] for r in duckdb.sql(f"SELECT unnest(string_split('{s}', ''))").fetchall()]
+    assert got == want == ["a", "😀", "🀄", "b"]
+
+
+def test_pyds_registration_survives_session_restart():
+    """Custom data-source registration is keyed by applicationId, not a
+    process-global flag: a stopped-and-recreated SparkSession in the
+    same Python process must re-register, not fail with
+    data-source-not-found."""
+    from mr_python_spark.sources import pyds
+
+    class App1:
+        applicationId = "app-1"
+
+    class App2:
+        applicationId = "app-2"
+
+    class FakeSession:
+        def __init__(self, app):
+            self.sparkContext = app
+            self.registered = []
+            outer = self
+
+            class _DS:
+                def register(self, cls):
+                    outer.registered.append(cls.__name__)
+
+            self.dataSource = _DS()
+
+    s1 = FakeSession(App1)
+    pyds._ensure_source(s1, pyds.CalendarDataSource)
+    pyds._ensure_source(s1, pyds.CalendarDataSource)
+    assert s1.registered == ["CalendarDataSource"]  # once per session
+    s2 = FakeSession(App2)  # "restarted" session, new applicationId
+    pyds._ensure_source(s2, pyds.CalendarDataSource)
+    assert s2.registered == ["CalendarDataSource"]  # re-registered
+
+
 def test_observation_metrics_ride_the_action(spark):
     """Spark's Observation API: per-action metrics collected during the
     normal pass (no second job), matching a direct aggregate."""

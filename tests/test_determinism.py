@@ -93,3 +93,43 @@ def test_ivf_cell_scaling_covers_probe_range():
         KM_SAMPLE_CAP,
         KM_TARGET_CELL,
     )
+
+
+def test_recall_report_strides_compose():
+    """ann_recall_report reuses ann_brute_topk (stride QUERY_STRIDE,
+    depth TOP_K) as ground truth for the KM_QUERY_STRIDE query subset
+    at depth KM_TOP_K — that composition is only valid while the KM
+    subset is a subset of the brute subset and the truth frame is at
+    least as deep as the report's k."""
+    from mr_python_spark.similarity import (
+        KM_QUERY_STRIDE,
+        KM_TOP_K,
+        QUERY_STRIDE,
+        TOP_K,
+    )
+
+    assert KM_QUERY_STRIDE % QUERY_STRIDE == 0
+    assert KM_TOP_K <= TOP_K
+
+
+def test_semantic_tau_fixture_margin():
+    """The engine scores within-cluster cosines with a batch GEMM; the
+    numpy udf-oracle uses per-pair dots.  BLAS accumulation order can
+    differ in the last ulp, so the hash gate is only stable while no
+    within-cluster pair sits exactly on SEM_TAU.  Pin that: every pair
+    in every (cell) group must clear the boundary by >= 1e-9."""
+    import numpy as np
+
+    from mr_python_spark.dedup import SEM_TAU
+    from tools import udf_oracles as uo
+
+    emb, cells = uo.semantic_assignments(SF)
+    worst = 1.0
+    for c in np.unique(cells):
+        M = emb[cells == c]
+        if len(M) < 2:
+            continue
+        iu = np.triu_indices(len(M), k=1)
+        gaps = np.abs((M @ M.T)[iu] - SEM_TAU)
+        worst = min(worst, float(gaps.min()))
+    assert worst >= 1e-9, f"pair within {worst} of SEM_TAU boundary"

@@ -423,6 +423,34 @@ def _pq_model() -> tuple:
     return model
 
 
+def semantic_assignments(sf_dir: str):
+    """(normalized embedding matrix, trained-cell assignment) for every
+    vector at ``sf_dir`` — the inputs the SemDeDup boundary-margin
+    analysis needs (tests/test_determinism.py pins that no
+    within-cluster cosine sits on the SEM_TAU gate boundary)."""
+    import duckdb
+
+    prev = os.environ.get("SPARK_GRAFT_CHECK_SF")
+    os.environ["SPARK_GRAFT_CHECK_SF"] = sf_dir
+    try:
+        C, _, _ = _pq_model()
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_CHECK_SF", None)
+        else:
+            os.environ["SPARK_GRAFT_CHECK_SF"] = prev
+    rows = duckdb.sql(
+        f"""
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id
+        """
+    ).fetchall()
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cells = np.array([_cell_distances(v, C).argmin() for v in Mn])
+    return Mn, cells
+
+
 def _cosn(a, b) -> float:
     """Cosine of two raw vectors via per-vector normalize + dot —
     the same float64 sequence as the engine's per-cluster GEMM rows."""

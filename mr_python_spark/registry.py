@@ -29,6 +29,16 @@ ORACLES: dict[str, str] = {}
 #: list puts one-or-more representatives of EVERY SURVEY.md §2 category
 #: (and every LLM-pipeline family) inside the official window; the
 #: remaining registered queries keep their module order after these.
+#:
+#: Round-7 rotation: ~12 long-green entries (5 TPC-H composites, 2 join
+#: shapes, a sort, a JSON scalar, 2 quadratic-exact dedups, a second
+#: multimodal rep — every removed entry leaves a same-category sibling
+#: in-window and stays hash-gated in the full sweep) swapped for the
+#: round-5/6 additions so the DRIVER becomes the auditor of record for
+#: them: typed surfaces (variant/decimal/interval), the Python Data
+#: Source stream+sink, the funnel/cohort/transition family, and the
+#: newer dedup strategies (containment, incremental minhash, semantic)
+#: plus the capstone curation pipeline.
 PRIORITY: list[str] = [
     # §2a parity gate + §2b signature patterns
     "parity_word_count",
@@ -36,17 +46,10 @@ PRIORITY: list[str] = [
     # TPC-H composites (joins + aggs + subqueries at scale shapes)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier",
     "q6_forecast_revenue",
-    "q18_large_volume",
-    "q2_min_cost_supplier",  # correlated min over a 4-way dim join (r3)
-    "q21_suppliers_waiting",  # EXISTS + NOT EXISTS double correlation (r3)
-    "q22_global_sales",  # substring buckets + scalar avg + anti join (r3)
     "pipeline_rekey_bands",
     # join shapes
     "join_left_outer_agg",
-    "join_left_anti",
-    "join_full_outer",
     "join_range_tiers",
     "join_asof_events",
     "join_bucketed_colocated",
@@ -54,27 +57,34 @@ PRIORITY: list[str] = [
     # gap-fill's ignore-nulls running window)
     "window_rank_dense",
     "timeseries_gapfill",
+    # timeseries / behavioral analytics (round-5)
+    "funnel_stages_events",
+    "cohort_retention_events",
+    "event_transition_matrix",
     # set ops
     "setop_intersect",
     # sorts / limits
     "multisort_limit_lineitem",
-    "secondary_sort_lineitems",
     # grouping sets + subqueries
     "grouping_sets_lineitem",
     "correlated_subquery_orders",
-    # scalar function families
+    # scalar function families + typed surfaces (variant/decimal/interval, r6)
     "string_funcs_part",
     "array_funcs_embeddings",
-    "json_funcs_events",
+    "variant_props_events",
+    "q1_pricing_decimal",
+    "interval_ship_latency",
     # statistics
     "stats_variance_quantity",
     # projection/filter + distinct
     "filter_project_lineitem",
     "distinct_users_per_event",
-    # sources + sinks
+    # sources + sinks (incl. Spark 4 Python Data Source stream + sink)
     "csv_scan_nation",
     "partition_pruned_read",
     "parquet_sink_roundtrip",
+    "pyds_stream_ticks",
+    "pyds_sink_roundtrip",
     # streaming (batch window op + live stateful)
     "tumbling_window_events",
     "streaming_stateful_sessions",
@@ -83,19 +93,20 @@ PRIORITY: list[str] = [
     "udtf_word_explode",
     "pandas_udaf_weighted_avg",
     # LLM-pipeline families: dedup, ANN, multimodal, vectors,
-    # cleaning passes (r3)
+    # cleaning passes
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
     "dedup_exact_substring",  # verbatim-span contamination (round-6)
+    "dedup_containment",  # |A∩B|/min containment (round-6)
+    "dedup_incremental_minhash",  # production ingest shape (round-5)
+    "dedup_semantic",  # SemDeDup (round-5)
     "ann_ivf_label",
     "multimodal_frame_sample",
-    "multimodal_keyframes",
     "vector_norms",
     "gopher_quality_rules",  # Gopher shape rules (round-6)
     "docs_quality_filter",
     "doc_rarity_score",
+    "pipeline_curate_report",  # capstone composed pipeline (round-5)
 ]
 
 

@@ -48,6 +48,9 @@ HEADLINE = [
     "dedup_incremental_prefix",
     "dedup_incremental_minhash",
     "dedup_embedding_cosine",
+    # the costliest single operator in the repo (round-6 probe: 3.4-4.4s
+    # at sf1) — benched so a regression is visible round-over-round
+    "dedup_embedding_lsh",
     "ann_brute_topk",
     "ann_ivf_label",
     "pandas_udf_token_count",

@@ -1452,3 +1452,46 @@ def dedup_lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard",
         F.coalesce("hit", F.lit(False)).alias("found_by_lsh"),
     )
+
+
+@register("dedup_rp_lsh_eval_report")  # udf-oracle in tools/udf_oracles.py
+def dedup_rp_lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the random-projection embedding LSH against
+    EXACT ground truth: every true pair with cosine ≥ 0.4, flagged
+    with whether :func:`dedup_embedding_lsh`'s adaptive-band candidate
+    generation surfaced it — the third leg of the recall-audit stool
+    (:func:`dedup_lsh_eval_report` audits MinHash banding,
+    ``ann_recall_report`` audits the IVF).
+
+    The adaptive rule holds candidates LINEAR in n by growing band
+    width as log2(n/32), and per-band recall is p^bits (p = 1 − θ/π)
+    — so recall at a fixed threshold DECAYS as bands lengthen.  That
+    decay was previously only asserted in the docstring; this report
+    measures it on-corpus, so an operator sizing RP_BANDS for a
+    full-scale run reads the measured curve, not the theory.  Ground
+    truth is the exact block-grid GEMM pass (quadratic, evaluation
+    runs on a sample); flags are exact set membership and the reported
+    cosine is the same sequential fold on both engines —
+    bit-deterministic.
+    """
+    from mr_python_spark.functions.vectors import cosine, to_double
+
+    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    v = emb.select("vec_id", to_double(F.col("embedding")).alias("e"))
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    truth = (
+        dedup_embedding_cosine(spark, sf_dir)
+        .join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cosine"))
+    )
+    found = dedup_embedding_lsh(spark, sf_dir).select(
+        "vec_a", "vec_b", F.lit(True).alias("hit")
+    )
+    return truth.join(found, ["vec_a", "vec_b"], "left").select(
+        "vec_a",
+        "vec_b",
+        "cosine",
+        F.coalesce("hit", F.lit(False)).alias("found_by_rp_lsh"),
+    )

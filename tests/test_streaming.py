@@ -165,6 +165,107 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert second == [1, 2, 3, 4, 5]
 
 
+def test_incremental_mv_recovers_from_mid_stream_kill(spark, tmp_path):
+    """The production risk of the foreachBatch merge pattern
+    (streaming_incremental_mv): a query KILLED mid-stream must, on
+    restart from its checkpoint, replay only the uncommitted batch and
+    converge to exactly the uninterrupted result.
+
+    Batch 1's merge raises (simulated executor loss) AFTER batch 0
+    committed its view version.  The restart must (a) not re-run the
+    committed batch 0, (b) replay batch 1 under the SAME batch_id —
+    which is what makes the versioned idempotent write effectively
+    exactly-once — and (c) finish with a merged view bit-identical to
+    a never-interrupted batch aggregate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(["a", "b"]),
+                    "v": pa.array([i * 10 + 1, i * 10 + 2], type=pa.int64()),
+                }
+            ),
+            src / f"c{i}.parquet",
+        )
+    mv = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    executed: list[int] = []
+
+    def make_merge(poison: bool):
+        def merge(bdf, bid: int):
+            executed.append(bid)
+            if poison and bid == 1:
+                raise RuntimeError("simulated mid-stream kill")
+            partial = bdf.groupBy("k").agg(
+                F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+            )
+            prev = os.path.join(mv, f"v{bid - 1}")
+            if bid > 0 and os.path.isdir(prev):
+                merged = (
+                    bdf.sparkSession.read.parquet(prev)
+                    .unionByName(partial)
+                    .groupBy("k")
+                    .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                )
+            else:
+                merged = partial
+            merged.write.mode("overwrite").parquet(os.path.join(mv, f"v{bid}"))
+
+        return merge
+
+    def run(poison: bool) -> None:
+        stream = (
+            spark.readStream.schema("k string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(make_merge(poison))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120) or not poison
+        except Exception:
+            assert poison, "unpoisoned run must not fail"
+        finally:
+            if q.isActive:
+                q.stop()
+
+    run(poison=True)
+    assert executed == [0, 1], "kill must land in batch 1, after batch 0 committed"
+    assert os.path.isdir(os.path.join(mv, "v0")) and not os.path.isdir(
+        os.path.join(mv, "v1")
+    ), "crashed batch must not have committed its version"
+
+    run(poison=False)
+    resumed = executed[2:]
+    assert resumed[0] == 1, "restart must replay the uncommitted batch id"
+    assert 0 not in resumed, "committed batch 0 must not re-run"
+    assert resumed[-1] == 2, "restart must drain the remaining batches"
+
+    versions = sorted(int(d[1:]) for d in os.listdir(mv) if d.startswith("v"))
+    final = {
+        r.k: (r.s, r.n)
+        for r in spark.read.parquet(os.path.join(mv, f"v{versions[-1]}")).collect()
+    }
+    expect = {
+        r.k: (r.s, r.n)
+        for r in spark.read.parquet(str(src))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == expect, "recovered view must equal the uninterrupted aggregate"
+
+
 def test_tick_stream_reader_replay_contract():
     """The simple stream reader's offset protocol: read() advances in
     TICKS_PER_BATCH steps, is a no-op once drained, and

@@ -703,6 +703,37 @@ LEFT JOIN found f ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
 """
 
 
+def _rp_lsh_eval_sql() -> str:
+    """RP-LSH recall report oracle: exact-truth pairs (cosine >= 0.4)
+    left-joined against the adaptive-band embedding-LSH result set."""
+    return f"""
+WITH found AS (
+{_embedding_lsh_sql()}
+),
+tv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+tn AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM tv
+),
+truth AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(list_zip(a.e, b.e),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (a.nrm * b.nrm) AS cosine
+  FROM tn a JOIN tn b ON a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(list_zip(a.e, b.e),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (a.nrm * b.nrm) >= 0.4
+)
+SELECT t.vec_a, t.vec_b, t.cosine,
+       (f.vec_a IS NOT NULL) AS found_by_rp_lsh
+FROM truth t
+LEFT JOIN found f ON f.vec_a = t.vec_a AND f.vec_b = t.vec_b
+"""
+
+
 def udf_oracles() -> dict[str, str]:
     """name -> DuckDB SQL requiring :func:`register_udfs` on the connection."""
     return {
@@ -716,4 +747,5 @@ def udf_oracles() -> dict[str, str]:
         "dedup_semantic": _sem_dedup_sql(),
         "dedup_semantic_within_lang": _sem_lang_sql(),
         "dedup_lsh_eval_report": _lsh_eval_sql(),
+        "dedup_rp_lsh_eval_report": _rp_lsh_eval_sql(),
     }

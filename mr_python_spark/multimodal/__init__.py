@@ -37,20 +37,63 @@ def _pillow():
         return None
 
 
+def _decode_builtin(payload: bytes):
+    """Pure-stdlib header decode for the uncompressed formats whose
+    layout is trivial public knowledge — BMP (BITMAPINFOHEADER) and
+    binary PGM/PPM — so the REAL-decode branch is exercisable even in
+    containers without an imaging library.  Returns
+    (width, height, channels) or None when the format isn't one of
+    these (compressed formats genuinely need a decoder library)."""
+    import struct
+
+    if payload[:2] == b"BM" and len(payload) >= 30:
+        # BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER: int32 width
+        # at 18, int32 height at 22 (negative = top-down), uint16
+        # bits-per-pixel at 28
+        w, h = struct.unpack_from("<ii", payload, 18)
+        (bpp,) = struct.unpack_from("<H", payload, 28)
+        return (w, abs(h), max(1, bpp // 8))
+    if payload[:2] in (b"P5", b"P6"):
+        # binary netpbm: magic, whitespace/comment-separated width
+        # height maxval, then raster
+        toks: list[int] = []
+        i = 2
+        while len(toks) < 2 and i < min(len(payload), 256):
+            c = payload[i : i + 1]
+            if c == b"#":  # comment runs to end of line
+                i = payload.index(b"\n", i)
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while j < len(payload) and not payload[j : j + 1].isspace():
+                    j += 1
+                toks.append(int(payload[i:j]))
+                i = j
+        if len(toks) == 2:
+            return (toks[0], toks[1], 3 if payload[:2] == b"P6" else 1)
+    return None
+
+
 def decode_image(payload: bytes):
     """Decode an image payload → (width, height, channels).
 
-    Real decode via Pillow when the library is importable; otherwise
-    raises ``NotImplementedError`` (no imaging library in this
-    container — ``fake_probe`` is the deterministic tested stand-in).
-    Everything around this call (schemas, Arrow batching,
-    partitioning) is identical on both paths.
+    Real decode via Pillow when the library is importable; without it
+    the pure-stdlib :func:`_decode_builtin` still really decodes the
+    uncompressed formats (BMP, binary PGM/PPM), and only compressed
+    formats raise ``NotImplementedError`` (``fake_probe`` is the
+    deterministic tested stand-in for those).  Everything around this
+    call (schemas, Arrow batching, partitioning) is identical on
+    every path.
     """
     Image = _pillow()
     if Image is None:
+        built = _decode_builtin(payload)
+        if built is not None:
+            return built
         raise NotImplementedError(
-            "image decode requires an imaging library not present in this "
-            "container; use fake_probe() for deterministic tests"
+            "decoding this format requires an imaging library not present "
+            "in this container; use fake_probe() for deterministic tests"
         )
     import io
 
@@ -183,6 +226,78 @@ def multimodal_probe_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return with_payload.mapInArrow(probe, _PROBE_SCHEMA)
+
+
+_DECODE_ORACLE = """
+SELECT
+  doc_id,
+  CAST(1 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+  CAST(1 + (octet_length(encode(text)) * 3) % 64 AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels
+FROM documents
+"""
+
+
+@register("multimodal_decode_real", _DECODE_ORACLE)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the full distributed plumbing — no
+    fake probe anywhere in the row path.
+
+    Each document's bytes are wrapped into a genuine 24-bit BMP whose
+    dimensions derive from the payload length (the fixture step — this
+    container ships no image corpus), then :func:`decode_image` parses
+    the actual BMP header back out inside the Arrow-batched UDF.  With
+    Pillow present the same bytes go through Pillow; without it the
+    pure-stdlib BMP parser decodes them — either way the decode is a
+    real format parse, so a corrupted header would FAIL the gate, which
+    is exactly what the fake-probe queries cannot promise.  Scale shape
+    is identical to ``multimodal_probe``: payload bytes ride Arrow
+    batches, per-batch vectorized Python, no shuffle.
+    """
+    import struct
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    dec_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+        ]
+    )
+
+    def encode_bmp(w: int, h: int) -> bytes:
+        row = (w * 3 + 3) & ~3
+        body = row * h
+        return (
+            b"BM"
+            + struct.pack("<IHHI", 14 + 40 + body, 0, 0, 14 + 40)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, body, 2835, 2835, 0, 0
+            )
+            + b"\x00" * body
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            dims = [
+                decode_image(encode_bmp(1 + len(p) % 64, 1 + (len(p) * 3) % 64))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                }
+            )
+
+    return with_payload.mapInPandas(decode, dec_schema)
 
 
 _FRAME_SCHEMA = T.StructType(

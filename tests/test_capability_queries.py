@@ -171,7 +171,8 @@ def test_rows_only_queries_run(spark, entrymod):
 
 def test_decode_image_gated_on_pillow():
     """decode_image is real when Pillow is importable, a clear
-    NotImplementedError when not — both paths pinned."""
+    NotImplementedError for compressed formats when not — both paths
+    pinned."""
     import pytest
 
     from mr_python_spark.multimodal import _pillow, decode_image
@@ -187,6 +188,35 @@ def test_decode_image_gated_on_pillow():
         buf = io.BytesIO()
         Image.new("RGB", (5, 7)).save(buf, format="PNG")
         assert decode_image(buf.getvalue()) == (5, 7, 3)
+
+
+def test_decode_image_builtin_formats():
+    """The uncompressed formats decode for REAL with no imaging
+    library: a hand-built 24-bit BMP, a binary PPM (with a header
+    comment), and a binary PGM — byte layouts straight from the
+    public format specs."""
+    import struct
+
+    from mr_python_spark.multimodal import decode_image
+
+    w, h, bpp = 5, 7, 24
+    row = (w * 3 + 3) & ~3  # BMP rows pad to 4 bytes
+    pixel_bytes = row * h
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + pixel_bytes, 0, 0, 14 + 40)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, pixel_bytes, 2835, 2835, 0, 0)
+        + b"\x00" * pixel_bytes
+    )
+    assert decode_image(bmp) == (5, 7, 3)
+    # top-down BMP encodes a negative height; decoded height is positive
+    bmp_td = bmp[:22] + struct.pack("<i", -h) + bmp[26:]
+    assert decode_image(bmp_td) == (5, 7, 3)
+
+    ppm = b"P6\n# a comment\n11 4\n255\n" + b"\x00" * (11 * 4 * 3)
+    assert decode_image(ppm) == (11, 4, 3)
+    pgm = b"P5 3 2 255 " + b"\x00" * 6
+    assert decode_image(pgm) == (3, 2, 1)
 
 
 def test_typed_surfaces_schemas(spark):

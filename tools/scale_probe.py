@@ -108,6 +108,21 @@ def generate() -> None:
         """
     )
 
+    # Events: replicated with offset event/user ids and unchanged
+    # timestamps — each replica adds load to the SAME windows, the
+    # production shape of more traffic (not a longer history).
+    con.sql(
+        f"""
+        COPY (
+          SELECT event_id + i * 10_000_000 AS event_id,
+                 ts,
+                 user_id + i * 1_000_000 AS user_id,
+                 event_type, value, props
+          FROM '{SRC}/events.parquet' CROSS JOIN range({REPLICAS}) t(i)
+        ) TO '{DST}/events.parquet' (FORMAT parquet)
+        """
+    )
+
     # Embeddings: circularly rotate each vector by the replica id.
     # Rotation preserves all dot products WITHIN a replica (each
     # replica is isometric to the original corpus) while cross-replica

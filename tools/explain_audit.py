@@ -333,6 +333,21 @@ AUDITS: dict[str, dict] = {
         must=[r"HashAggregate"],
         must_not=[r"CartesianProduct"],
     ),
+    # RP-LSH recall audit: truth is the block-grid GEMM grouped-map
+    # (deliberate exact path, evaluation runs on a sample); the LSH
+    # side stays banded MapInPandas + equi-joins
+    "dedup_rp_lsh_eval_report": dict(
+        must=[r"FlatMapGroupsInPandas|GroupedMapPandas", r"MapInPandas",
+              r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # real-format decode: map-only Arrow-batched pipeline — payload
+    # bytes never shuffle, no exchange anywhere
+    "multimodal_decode_real": dict(
+        must=[r"MapInPandas"],
+        must_not=[r"Exchange", r"CartesianProduct"],
+        hinted_broadcasts=0,
+    ),
     # ---------------- similarity ----------------
     # r3: fully distributed — the query set reaches executors via a 1-row
     # packed broadcast join (the only BroadcastExchange), NEVER a driver

@@ -406,6 +406,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (applicationId, documents file identity) → cached signature frame;
+#: see :func:`minhash_signatures`
+_SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
 def minhash_signatures(
     spark: SparkSession, sf_dir: str, *, docs: DataFrame | None = None
 ) -> DataFrame:
@@ -415,23 +420,39 @@ def minhash_signatures(
     64 parallel MIN aggregates with map-side combine.  The xxhash64'd
     shingles come from the shared :func:`hashed_shingle_sets` cache,
     so a run that already shingled the corpus (e.g. for the ngram
-    path) pays nothing here.
+    path) pays nothing here — and the signature frame itself is
+    keyed-cached like the shingle/postings frames: the 64-min
+    aggregate is the dominant shuffle of the minhash family, and both
+    ``dedup_minhash_lsh`` and ``dedup_incremental_minhash`` consume
+    the identical frame.  Custom ``docs`` frames (test corpora)
+    bypass the cache.
     """
-    sh = (
-        hashed_shingle_sets(spark, sf_dir, docs=docs)
-        .select("doc_id", F.explode("sh").alias("h64"))
-        .select("doc_id", F.pmod(F.col("h64"), F.lit(MERSENNE_PRIME)).alias("h"))
-    )
-    mins = [
-        F.min(
-            F.pmod(F.lit(_HASH_A[i]) * F.col("h") + F.lit(_HASH_B[i]), F.lit(MERSENNE_PRIME))
-        ).alias(f"mh{i}")
-        for i in range(MINHASH_HASHES)
-    ]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id",
-        F.array(*[F.col(f"mh{i}") for i in range(MINHASH_HASHES)]).alias("sig"),
+
+    def build(d: DataFrame | None) -> DataFrame:
+        sh = (
+            hashed_shingle_sets(spark, sf_dir, docs=d)
+            .select("doc_id", F.explode("sh").alias("h64"))
+            .select("doc_id", F.pmod(F.col("h64"), F.lit(MERSENNE_PRIME)).alias("h"))
+        )
+        mins = [
+            F.min(
+                F.pmod(
+                    F.lit(_HASH_A[i]) * F.col("h") + F.lit(_HASH_B[i]),
+                    F.lit(MERSENNE_PRIME),
+                )
+            ).alias(f"mh{i}")
+            for i in range(MINHASH_HASHES)
+        ]
+        sig = sh.groupBy("doc_id").agg(*mins)
+        return sig.select(
+            "doc_id",
+            F.array(*[F.col(f"mh{i}") for i in range(MINHASH_HASHES)]).alias("sig"),
+        )
+
+    if docs is not None:
+        return build(docs)
+    return _keyed_df_cache(
+        _SIG_CACHE, spark, sf_dir, lambda: build(None).cache()
     )
 
 

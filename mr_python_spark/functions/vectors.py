@@ -67,8 +67,10 @@ _CENTROID_ORACLE = """
 SELECT
   label,
   COUNT(*) AS n_vectors,
-  CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS centroid_c1,
-  CAST(SUM(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS centroid_c2
+  CAST(SUM(CAST(round(CAST(embedding[1] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
+    / COUNT(*) / 1e12 AS centroid_c1,
+  CAST(SUM(CAST(round(CAST(embedding[2] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
+    / COUNT(*) / 1e12 AS centroid_c2
 FROM embeddings
 GROUP BY label
 """
@@ -79,17 +81,26 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components (grouped vector aggregation).
 
     Full-vector centroids at scale: ``Summarizer.mean`` or an Arrow
-    pandas UDF; the leading components here keep the oracle exact
-    (f32→f64 casts are lossless, sums of ≤2k values are stable).
+    pandas UDF; the leading components here keep the oracle exact.
+    Components are quantized to integer 1e-12 units and summed as
+    BIGINT — order-independent under any partitioning, and the
+    int64→double conversion rounds identically on both engines.
+    (The previous DECIMAL(38,12) sum was itself exact, but once the
+    scaled sum passed 2^53 — which the 10× fixture's 1M rows did —
+    Spark's one correctly-rounded BigDecimal→double conversion and
+    DuckDB's two-step int128→double÷10¹² conversion disagreed in the
+    last ulp; CHECK_SF1 caught it.)  The double multiply, half-away-
+    from-zero round, integer sum, and the final two divisions are the
+    same IEEE sequence in both engines — bit-identical at any scale.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    # decimal-cast sums: order-independent under any partitioning
-    c1 = F.element_at("embedding", 1).cast("double").cast("decimal(38,12)")
-    c2 = F.element_at("embedding", 2).cast("double").cast("decimal(38,12)")
+    u1 = F.round(F.element_at("embedding", 1).cast("double") * F.lit(1e12)).cast("bigint")
+    u2 = F.round(F.element_at("embedding", 2).cast("double") * F.lit(1e12)).cast("bigint")
+    n = F.count(F.lit(1))
     return emb.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        (F.sum(c1).cast("double") / F.count(F.lit(1))).alias("centroid_c1"),
-        (F.sum(c2).cast("double") / F.count(F.lit(1))).alias("centroid_c2"),
+        n.alias("n_vectors"),
+        (F.sum(u1).cast("double") / n / F.lit(1e12)).alias("centroid_c1"),
+        (F.sum(u2).cast("double") / n / F.lit(1e12)).alias("centroid_c2"),
     )
 
 

@@ -41,6 +41,14 @@ QUERIES = [
     "quality_repetition",
     "doc_rarity_score",
     "docs_quality_filter",
+    # round-7 hardening: integer-unit centroid means (the sf1 sweep
+    # caught the decimal→double conversion diverging past 2^53), the
+    # rewritten normalized-dot LSH verification, and the RP recall
+    # report's sequential-fold cosine column
+    "label_centroids",
+    "dedup_embedding_lsh",
+    "dedup_rp_lsh_eval_report",
+    "char_diversity_quality",
 ]
 
 

@@ -488,8 +488,10 @@ def dedup_minhash_lsh(
     bucket-histogram join.
     """
     rows_per_band = MINHASH_HASHES // MINHASH_BANDS
-    if docs is None:
-        docs = load_table(spark, sf_dir, "documents")
+    # docs stays None for the registered corpus path so BOTH the
+    # signature frame and the shingle frame hit their keyed caches —
+    # materializing the table here would force the cache-bypass branch
+    # and re-run the 64-min aggregate on every call
     sig = minhash_signatures(spark, sf_dir, docs=docs)
     bands = sig.select(
         "doc_id",
@@ -949,28 +951,31 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = buckets.select(pair.alias("p")).select("p.vec_a", "p.vec_b").distinct()
-    # exact-cosine verification on unit-normalized vectors: the norm
-    # folds run once per VECTOR (n rows) instead of twice per
-    # CANDIDATE, leaving one dot-fold per pair — higher-order-function
-    # evaluation is interpreted per element, so this cut verification
-    # from ~2.0s to ~0.6s at sf0.1 with identical output (and it is
-    # the udf-oracle's own normalize-then-dot sequence)
+    # exact-cosine verification with the norm folds hoisted to run once
+    # per VECTOR (n rows) instead of twice per CANDIDATE — higher-order
+    # folds are interpreted per element, so this cut verification from
+    # ~2.0s to ~0.6s at sf0.1.  The per-pair expression stays
+    # dot(raw)/(nrm_a*nrm_b): ONE dot-fold on the raw doubles then a
+    # single divide — the EXACT IEEE sequence of the DuckDB oracle's
+    # list_sum(...)/(a.nrm*b.nrm) (tools/udf_oracles.py), so a pair
+    # near the 0.4 threshold cannot flip between engine and oracle.
+    # (Normalizing elements first would add three extra roundings per
+    # term and break that sequence identity.)
     from mr_python_spark.functions.vectors import dot, l2_norm
 
-    vn = (
-        emb.select("vec_id", to_double(F.col("embedding")).alias("e"))
-        .withColumn("nrm", l2_norm(F.col("e")))
-        .select(
-            "vec_id",
-            F.transform(F.col("e"), lambda x: x / F.col("nrm")).alias("en"),
-        )
+    vn = emb.select("vec_id", to_double(F.col("embedding")).alias("e")).withColumn(
+        "nrm", l2_norm(F.col("e"))
     )
-    va = vn.select(F.col("vec_id").alias("vec_a"), F.col("en").alias("ea"))
-    vb = vn.select(F.col("vec_id").alias("vec_b"), F.col("en").alias("eb"))
+    va = vn.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    vb = vn.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .filter(dot(F.col("ea"), F.col("eb")) >= 0.4)
+        .filter(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")) >= 0.4)
         .select("vec_a", "vec_b")
     )
 

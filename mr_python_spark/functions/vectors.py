@@ -67,9 +67,9 @@ _CENTROID_ORACLE = """
 SELECT
   label,
   COUNT(*) AS n_vectors,
-  CAST(SUM(CAST(round(CAST(embedding[1] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
+  CAST(CAST(SUM(CAST(round(CAST(embedding[1] AS DOUBLE) * 1e12) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
     / COUNT(*) / 1e12 AS centroid_c1,
-  CAST(SUM(CAST(round(CAST(embedding[2] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
+  CAST(CAST(SUM(CAST(round(CAST(embedding[2] AS DOUBLE) * 1e12) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
     / COUNT(*) / 1e12 AS centroid_c2
 FROM embeddings
 GROUP BY label
@@ -82,25 +82,38 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Full-vector centroids at scale: ``Summarizer.mean`` or an Arrow
     pandas UDF; the leading components here keep the oracle exact.
-    Components are quantized to integer 1e-12 units and summed as
-    BIGINT — order-independent under any partitioning, and the
-    int64→double conversion rounds identically on both engines.
-    (The previous DECIMAL(38,12) sum was itself exact, but once the
-    scaled sum passed 2^53 — which the 10× fixture's 1M rows did —
-    Spark's one correctly-rounded BigDecimal→double conversion and
-    DuckDB's two-step int128→double÷10¹² conversion disagreed in the
-    last ulp; CHECK_SF1 caught it.)  The double multiply, half-away-
-    from-zero round, integer sum, and the final two divisions are the
-    same IEEE sequence in both engines — bit-identical at any scale.
+    Components are quantized to integer 1e-12 units and summed
+    exactly in DECIMAL(38,0) — order-independent under any
+    partitioning, overflow-free to 10³⁸ units (~10²⁶ rows/label; a
+    BIGINT sum would silently wrap past ~1.6·10⁷ rows/label in
+    Spark's non-ANSI mode while DuckDB promotes to int128 — a latent
+    engine/oracle divergence).  The one rounding step, decimal →
+    double, goes through a DECIMAL STRING: both engines print the
+    exact integer digits and both parse doubles correctly rounded, so
+    the conversion is bit-identical at any magnitude — unlike direct
+    decimal→double casts (Spark's BigDecimal.doubleValue is one
+    correctly-rounded step; DuckDB's int128 path rounds twice, and
+    the two disagreed in the last ulp once the 10× fixture pushed the
+    scaled sum past 2⁵³; CHECK_SF1 caught it).  The double multiply,
+    half-away-from-zero round, exact sum, string round-trip, and the
+    final two divisions are the same IEEE sequence in both engines.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    u1 = F.round(F.element_at("embedding", 1).cast("double") * F.lit(1e12)).cast("bigint")
-    u2 = F.round(F.element_at("embedding", 2).cast("double") * F.lit(1e12)).cast("bigint")
+    u1 = F.round(F.element_at("embedding", 1).cast("double") * F.lit(1e12)).cast(
+        "decimal(38,0)"
+    )
+    u2 = F.round(F.element_at("embedding", 2).cast("double") * F.lit(1e12)).cast(
+        "decimal(38,0)"
+    )
     n = F.count(F.lit(1))
     return emb.groupBy("label").agg(
         n.alias("n_vectors"),
-        (F.sum(u1).cast("double") / n / F.lit(1e12)).alias("centroid_c1"),
-        (F.sum(u2).cast("double") / n / F.lit(1e12)).alias("centroid_c2"),
+        (F.sum(u1).cast("string").cast("double") / n / F.lit(1e12)).alias(
+            "centroid_c1"
+        ),
+        (F.sum(u2).cast("string").cast("double") / n / F.lit(1e12)).alias(
+            "centroid_c2"
+        ),
     )
 
 

@@ -55,23 +55,29 @@ def _decode_builtin(payload: bytes):
         return (w, abs(h), max(1, bpp // 8))
     if payload[:2] in (b"P5", b"P6"):
         # binary netpbm: magic, whitespace/comment-separated width
-        # height maxval, then raster
-        toks: list[int] = []
-        i = 2
-        while len(toks) < 2 and i < min(len(payload), 256):
-            c = payload[i : i + 1]
-            if c == b"#":  # comment runs to end of line
-                i = payload.index(b"\n", i)
-            elif c.isspace():
-                i += 1
-            else:
-                j = i
-                while j < len(payload) and not payload[j : j + 1].isspace():
-                    j += 1
-                toks.append(int(payload[i:j]))
-                i = j
-        if len(toks) == 2:
-            return (toks[0], toks[1], 3 if payload[:2] == b"P6" else 1)
+        # height maxval, then raster.  A payload that merely STARTS
+        # with the magic (arbitrary text through the decode path) must
+        # fall through to the caller's NotImplementedError, not leak a
+        # ValueError out of the Arrow batch — hence the broad except.
+        try:
+            toks: list[int] = []
+            i = 2
+            while len(toks) < 2 and i < min(len(payload), 256):
+                c = payload[i : i + 1]
+                if c == b"#":  # comment runs to end of line
+                    i = payload.index(b"\n", i)
+                elif c.isspace():
+                    i += 1
+                else:
+                    j = i
+                    while j < len(payload) and not payload[j : j + 1].isspace():
+                        j += 1
+                    toks.append(int(payload[i:j]))
+                    i = j
+            if len(toks) == 2:
+                return (toks[0], toks[1], 3 if payload[:2] == b"P6" else 1)
+        except ValueError:
+            return None
     return None
 
 

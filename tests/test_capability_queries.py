@@ -218,6 +218,18 @@ def test_decode_image_builtin_formats():
     pgm = b"P5 3 2 255 " + b"\x00" * 6
     assert decode_image(pgm) == (3, 2, 1)
 
+    # payloads that merely START with a netpbm magic (arbitrary text
+    # through the decode path) must raise the documented
+    # NotImplementedError, never leak a parse ValueError
+    import pytest
+
+    from mr_python_spark.multimodal import _pillow
+
+    if _pillow() is None:
+        for junk in (b"P6 #no-newline-comment", b"P5 hello world", b"P6"):
+            with pytest.raises(NotImplementedError):
+                decode_image(junk)
+
 
 def test_typed_surfaces_schemas(spark):
     """The decimal query must genuinely compute in DecimalType (the

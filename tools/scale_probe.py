@@ -143,11 +143,11 @@ def generate() -> None:
 
 
 def run() -> None:
-    # embeddings.parquet is the newest synthesized table; its absence
-    # means a stale pre-dedup-probe .data/sf1 needs regenerating
+    # events.parquet is the newest synthesized table (round 7); its
+    # absence means a stale earlier-round .data/sf1 needs regenerating
     if not all(
         os.path.exists(os.path.join(DST, f"{t}.parquet"))
-        for t in ("lineitem", "documents", "embeddings")
+        for t in ("lineitem", "documents", "embeddings", "events")
     ):
         generate()
 

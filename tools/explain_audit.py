@@ -294,6 +294,13 @@ AUDITS: dict[str, dict] = {
         must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"MapInPandas"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # centroid means: integer-unit decimal sums must stay a JVM
+    # partial+final aggregate — no Python evaluation anywhere
+    "label_centroids": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+        hinted_broadcasts=0,
+    ),
     # int8 quantization: map-only projection, no exchange at all
     "embedding_int8_quantize": dict(
         must=[r"Project"],

@@ -52,6 +52,8 @@ def _decode_builtin(payload: bytes):
         # bits-per-pixel at 28
         w, h = struct.unpack_from("<ii", payload, 18)
         (bpp,) = struct.unpack_from("<H", payload, 28)
+        if w <= 0 or h == 0:  # corrupted header, not a decodable image
+            return None
         return (w, abs(h), max(1, bpp // 8))
     if payload[:2] in (b"P5", b"P6"):
         # binary netpbm: magic, whitespace/comment-separated width
@@ -74,7 +76,7 @@ def _decode_builtin(payload: bytes):
                         j += 1
                     toks.append(int(payload[i:j]))
                     i = j
-            if len(toks) == 2:
+            if len(toks) == 2 and toks[0] > 0 and toks[1] > 0:
                 return (toks[0], toks[1], 3 if payload[:2] == b"P6" else 1)
         except ValueError:
             return None

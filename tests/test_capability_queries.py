@@ -173,8 +173,6 @@ def test_decode_image_gated_on_pillow():
     """decode_image is real when Pillow is importable, a clear
     NotImplementedError for compressed formats when not — both paths
     pinned."""
-    import pytest
-
     from mr_python_spark.multimodal import _pillow, decode_image
 
     if _pillow() is None:
@@ -218,15 +216,25 @@ def test_decode_image_builtin_formats():
     pgm = b"P5 3 2 255 " + b"\x00" * 6
     assert decode_image(pgm) == (3, 2, 1)
 
-    # payloads that merely START with a netpbm magic (arbitrary text
-    # through the decode path) must raise the documented
-    # NotImplementedError, never leak a parse ValueError
-    import pytest
+    # payloads that merely START with a magic (arbitrary text through
+    # the decode path) or carry corrupted dimensions must be rejected
+    # as undecodable — never a parse ValueError, never nonsense dims.
+    # Asserted on _decode_builtin directly so the check holds in
+    # Pillow-equipped environments too.
+    from mr_python_spark.multimodal import _decode_builtin, _pillow
 
-    from mr_python_spark.multimodal import _pillow
-
+    junk_payloads = (
+        b"P6 #no-newline-comment",
+        b"P5 hello world",
+        b"P6",
+        b"P5 -3 2 255 " + b"\x00" * 6,
+        b"P6 0 4 255 ",
+        b"BM" + b"\x00" * 40,  # zero width/height BMP header
+    )
+    for junk in junk_payloads:
+        assert _decode_builtin(junk) is None, junk
     if _pillow() is None:
-        for junk in (b"P6 #no-newline-comment", b"P5 hello world", b"P6"):
+        for junk in junk_payloads:
             with pytest.raises(NotImplementedError):
                 decode_image(junk)
 

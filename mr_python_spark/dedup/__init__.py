@@ -28,6 +28,8 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -826,15 +828,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("ci", "cj").applyInPandas(cell_pairs, schema)
 
 
-#: random-projection LSH parameters: 16 sign bits = 4 bands × 4 bits
-RP_BANDS = 4
 #: projection columns reserved per band; a corpus uses the first
 #: ``rp_bits_per_band(n)`` of each slot, so growing n REFINES buckets
 #: (a (b+1)-bit bucket is a subdivision of its b-bit parent)
 RP_SLOT_BITS = 16
-RP_MAX_BITS = RP_BANDS * RP_SLOT_BITS
 #: adaptive-band target bucket occupancy: bits_per_band ≈
-#: log2(n / target) keeps expected candidates per band at
+#: log2(n / target) keeps expected pair-evals per band at
 #: n·target/2 — LINEAR in n, vs n²/2^bits for any fixed bit width
 RP_TARGET_BUCKET = 32
 #: skew insurance for anisotropic corpora (real embeddings cluster, so
@@ -843,39 +842,80 @@ RP_TARGET_BUCKET = 32
 #: Σ min(bucket, cap)² — the df-cap posture of dedup_ngram_jaccard.
 #: Never triggers at shipped SFs (isotropic test vectors).
 RP_BUCKET_CAP = 2048
+#: OR-amplification design point: per-band collision probability at the
+#: design cosine 0.45 (the center of the fixtures' true-pair mass) is
+#: p0^bits with p0 = 1 − acos(0.45)/π; the band count is sized so a
+#: design-point pair is MISSED by all bands with probability ≤ 10%
+#: (recall ≥ 0.9 at cosine 0.45, lower near the 0.4 floor, higher above)
+RP_DESIGN_P0 = 1 - math.acos(0.45) / math.pi
+RP_DESIGN_MISS = 0.1
+#: band-count ceiling: the OR-amplified count L = ⌈ln(1/miss)/p0^bits⌉
+#: grows as (n/32)^0.625 (the LSH n^ρ law, ρ = log2(1/p0)), so a hard
+#: cap bounds the banding pass; past the cap (n ≳ 10⁴·32) recall at the
+#: design point decays again — at that scale raise the cosine
+#: threshold, lower the recall target, or accept the measured curve
+#: from :func:`dedup_rp_lsh_eval_report`.
+RP_MAX_BANDS = 64
+#: per-band projection seed base: band i draws its 16-column Gaussian
+#: slot from RandomState(1000 + i), so growing the band COUNT (corpus
+#: growth) appends bands without disturbing existing bucket assignments
+RP_BAND_SEED = 1000
 
 
 def rp_bits_per_band(n: int) -> int:
     """Band width for an n-vector corpus: clamp(4, 16, ⌈log2(n/32)⌉)."""
-    import math
-
     if n <= RP_TARGET_BUCKET:
         return 4
     return min(RP_SLOT_BITS, max(4, math.ceil(math.log2(n / RP_TARGET_BUCKET))))
+
+
+def rp_num_bands(bits: int) -> int:
+    """OR-amplified band count for a band width: ⌈ln(1/miss)/p0^bits⌉,
+    capped at RP_MAX_BANDS.  Sized so the design-point (cosine 0.45)
+    miss probability (1 − p0^bits)^L stays ≤ RP_DESIGN_MISS."""
+    return min(
+        RP_MAX_BANDS, math.ceil(math.log(1.0 / RP_DESIGN_MISS) / (RP_DESIGN_P0**bits))
+    )
 
 
 @register("dedup_embedding_lsh")  # driver-tier rows-only; udf-oracle in tools/udf_oracles.py
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROXIMATE embedding near-dup pairs — the sub-quadratic scale path.
 
-    Random-projection (sign) LSH with **corpus-adaptive band width**:
-    seeded Gaussian projections (identical on every executor) give
-    each vector sign bits, banded 4 × ``rp_bits_per_band(n)``;
-    candidate pairs must share one band bucket, then exact cosine
-    ≥ 0.4 (JVM-side fold) filters false positives.  Fixed-width bands
-    are secretly quadratic — expected candidates are n²/2^bits, which
-    a 10× corpus probe measured as a 21× wall blowup — so band width
-    grows with the corpus (bits ≈ log2(n/32)), pinning expected
-    bucket occupancy at ~32 and candidates per band at n·16 — linear.
-    Growing n only REFINES buckets (each band's bits extend a
-    reserved 16-column projection slot), and an `RP_BUCKET_CAP` guard
-    drops degenerate buckets on anisotropic corpora (the df-cap
-    posture).  Recall per band is p^bits (p = 1 − θ/π), so recall at
-    a fixed threshold decays as bands lengthen — the standard LSH
-    trade; production systems add bands to compensate, and the
-    output-⊆-exact contract holds at any width.  Verified against a
-    numpy reimplementation in tests/test_hash_pipelines.py and a
-    DuckDB Python-UDF oracle (tools/udf_oracles.py).
+    Random-projection (sign) LSH, **corpus-adaptive in both band width
+    and band count**: width grows as log2(n/32) to pin expected bucket
+    occupancy at ~32 (pair-evals per band stay LINEAR in n), and the
+    count is OR-amplified to L = ⌈ln(1/0.1)/p0^bits⌉ so a pair at the
+    design cosine 0.45 is missed by all bands with probability ≤ 10%
+    no matter how long the bands grow (p0 = 1 − acos(0.45)/π ≈ 0.649).
+    The previous fixed-four-band design kept candidates linear but let
+    recall decay as p^bits per band — measured 0.45–0.56 on the
+    fixtures; the amplified design measures ≥ 0.85
+    (:func:`dedup_rp_lsh_eval_report`).  Total work is
+    L(n)·32·n ∝ n^(1+ρ), ρ = log2(1/p0) ≈ 0.625 — the classic LSH
+    sub-quadratic law (vs n² exact); the RP_MAX_BANDS cap bounds the
+    banding pass at extreme n (see constant note).
+
+    Execution is ONE data shuffle: a mapInPandas banding pass computes
+    all L band values per vector from per-band seeded Gaussian slots
+    (identical on every executor, no broadcast) and emits
+    (band, bval, vec_id, embedding); grouping on (band, bval) lands
+    each bucket in a single applyInPandas task that runs the EXACT
+    cosine verification as a numpy GEMM over the ≤ RP_BUCKET_CAP
+    members — normalize-then-GEMM, the identical float path to the
+    exact tier :func:`dedup_embedding_cosine`, so the approximate
+    output is a bit-consistent subset of the exact pass.  Verified
+    pairs (tiny — only true near-dups survive) are deduped across
+    bands with one distinct.  No candidate pair is ever materialized
+    as a row or joined: the old explode→distinct→join→fold pipeline
+    shuffled every candidate with two 64-double payloads and paid an
+    interpreted fold per pair; this one shuffles L·n banded vectors
+    and emits only verified pairs.  The fixtures' closest pair sits
+    ≥ 1e-5 from the 0.4 threshold (pinned by
+    tests/test_determinism.py::test_rp_cosine_threshold_margin), so
+    the GEMM path and the DuckDB oracle's sequential fold
+    (tools/udf_oracles.py) cannot disagree on membership.  Verified
+    against a numpy reimplementation in tests/test_hash_pipelines.py.
     """
     from typing import Iterator
 
@@ -883,100 +923,79 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    from mr_python_spark.functions.vectors import to_double
-
     base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # one cheap count to pick the band width — adaptive planning like
-    # AQE's stats, not a data collect
+    # one cheap count to pick band width + count — adaptive planning
+    # like AQE's stats, not a data collect
     bits_per_band = rp_bits_per_band(base.count())
+    n_bands = rp_num_bands(bits_per_band)
     emb = spread(base)
 
-    sig_schema = T.StructType(
+    band_schema = T.StructType(
         [
-            T.StructField("vec_id", T.LongType()),
             T.StructField("band", T.IntegerType()),
             T.StructField("bval", T.IntegerType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("e", T.ArrayType(T.DoubleType())),
         ]
     )
 
     def band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         proj = None
+        weights = 1 << np.arange(bits_per_band, dtype=np.int64)
         for pdf in batches:
             if pdf.empty:
                 continue
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            if proj is None:  # seeded → identical matrix on every executor
-                proj = np.random.RandomState(42).standard_normal(
-                    (mat.shape[1], RP_MAX_BITS)
+            if proj is None:  # seeded → identical on every executor
+                proj = np.concatenate(
+                    [
+                        np.random.RandomState(RP_BAND_SEED + i).standard_normal(
+                            (mat.shape[1], RP_SLOT_BITS)
+                        )[:, :bits_per_band]
+                        for i in range(n_bands)
+                    ],
+                    axis=1,
+                )  # (d, L·bits): band i's slot prefix, concatenated
+            bits = (mat @ proj >= 0.0).astype(np.int64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            evec = list(mat)  # float64 rows, reused as the carried payload
+            for band in range(n_bands):
+                chunk = bits[:, band * bits_per_band : (band + 1) * bits_per_band]
+                yield pd.DataFrame(
+                    {
+                        "band": np.int32(band),
+                        "bval": (chunk @ weights).astype(np.int32),
+                        "vec_id": ids,
+                        "e": evec,
+                    }
                 )
-            bits = (mat @ proj >= 0.0).astype(np.int32)  # (n, RP_MAX_BITS)
-            weights = 1 << np.arange(bits_per_band, dtype=np.int32)
-            out = []
-            for band in range(RP_BANDS):
-                # first bits_per_band columns of this band's 16-col slot
-                lo = band * RP_SLOT_BITS
-                chunk = bits[:, lo : lo + bits_per_band]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                            "band": np.int32(band),
-                            "bval": chunk @ weights,
-                        }
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
 
-    bands = emb.mapInPandas(band_rows, sig_schema)
-    # ONE shuffle groups each (band, bval) bucket's sorted vec_id list;
-    # in-bucket pairs explode JVM-side — the same single-pass shape as
-    # dedup_minhash_lsh.  (The previous bands-table self-join re-ran
-    # the Python banding pass up to 4x: bucket histogram + both join
-    # sides — measured 5.1s vs 1.4s at sf0.1 for identical output.)
-    # The size ceiling is the skew guard: degenerate buckets contribute
-    # O(bucket²) candidates for near-zero information; drop them
-    # (never fires at shipped SFs).
-    buckets = (
-        bands.groupBy("band", "bval")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= RP_BUCKET_CAP))
-    )
-    pair = F.explode(
-        F.expr(
-            """
-            flatten(transform(ds, (x, i) ->
-              transform(slice(ds, i + 2, size(ds) - i - 1), y ->
-                struct(x AS vec_a, y AS vec_b))))
-            """
-        )
-    )
-    cand = buckets.select(pair.alias("p")).select("p.vec_a", "p.vec_b").distinct()
-    # exact-cosine verification with the norm folds hoisted to run once
-    # per VECTOR (n rows) instead of twice per CANDIDATE — higher-order
-    # folds are interpreted per element, so this cut verification from
-    # ~2.0s to ~0.6s at sf0.1.  The per-pair expression stays
-    # dot(raw)/(nrm_a*nrm_b): ONE dot-fold on the raw doubles then a
-    # single divide — the EXACT IEEE sequence of the DuckDB oracle's
-    # list_sum(...)/(a.nrm*b.nrm) (tools/udf_oracles.py), so a pair
-    # near the 0.4 threshold cannot flip between engine and oracle.
-    # (Normalizing elements first would add three extra roundings per
-    # term and break that sequence identity.)
-    from mr_python_spark.functions.vectors import dot, l2_norm
+    bands = emb.mapInPandas(band_rows, band_schema)
 
-    vn = emb.select("vec_id", to_double(F.col("embedding")).alias("e")).withColumn(
-        "nrm", l2_norm(F.col("e"))
+    pair_schema = T.StructType(
+        [T.StructField("vec_a", T.LongType()), T.StructField("vec_b", T.LongType())]
     )
-    va = vn.select(
-        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
-    )
-    vb = vn.select(
-        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
-    )
+
+    def bucket_verify(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        # skew guard: degenerate buckets contribute O(bucket²) evals
+        # for near-zero information; drop them (never fires at
+        # shipped SFs — isotropic test vectors)
+        if m < 2 or m > RP_BUCKET_CAP:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}, dtype="int64")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["e"]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)  # exact-tier float path
+        sims = mat @ mat.T
+        ai, bi = np.nonzero(sims >= 0.4)
+        a, b = ids[ai], ids[bi]
+        keep = a < b
+        return pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep]})
+
     return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .filter(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")) >= 0.4)
-        .select("vec_a", "vec_b")
+        bands.groupBy("band", "bval")
+        .applyInPandas(bucket_verify, pair_schema)
+        .distinct()
     )
 
 
@@ -1506,16 +1525,20 @@ def dedup_rp_lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`dedup_lsh_eval_report` audits MinHash banding,
     ``ann_recall_report`` audits the IVF).
 
-    The adaptive rule holds candidates LINEAR in n by growing band
-    width as log2(n/32), and per-band recall is p^bits (p = 1 − θ/π)
-    — so recall at a fixed threshold DECAYS as bands lengthen.  That
-    decay was previously only asserted in the docstring; this report
-    measures it on-corpus, so an operator sizing RP_BANDS for a
-    full-scale run reads the measured curve, not the theory.  Ground
-    truth is the exact block-grid GEMM pass (quadratic, evaluation
-    runs on a sample); flags are exact set membership and the reported
-    cosine is the same sequential fold on both engines —
-    bit-deterministic.
+    The adaptive rule grows band width as log2(n/32) (linear pair-evals
+    per band) and OR-amplifies the band count to hold design-point
+    recall as bands lengthen (:func:`rp_num_bands`); this report
+    measures the resulting recall on-corpus — ≥ 0.85 on the shipped
+    fixtures — so an operator sizing the banding for a full-scale run
+    reads the measured curve, not the theory.  Past the RP_MAX_BANDS
+    cap the theoretical decay returns, which is exactly what this
+    report exists to surface.  Ground truth is the exact block-grid
+    GEMM pass (quadratic, evaluation runs on a sample); flags are
+    exact set membership.  The reported cosine is the sequential fold
+    on both engines, and threshold-membership cannot diverge between
+    the engine's GEMM and the oracle's fold: the fixtures' closest
+    pair sits ≥ 1e-5 from 0.4 (pinned by
+    tests/test_determinism.py::test_rp_cosine_threshold_margin).
     """
     from mr_python_spark.functions.vectors import cosine, to_double
 

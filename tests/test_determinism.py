@@ -120,7 +120,15 @@ def test_recall_report_strides_compose():
     assert KM_TOP_K <= TOP_K
 
 
-def test_semantic_tau_fixture_margin():
+#: every fixture a hash gate runs against (tests at sf0.001, the
+#: driver/CHECK default at sf0.01, the full-sweep re-run at sf0.1) —
+#: a boundary pair at ANY of them would flip a gate, so the margin
+#: pins cover all three, not just the test SF
+GATED_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+@pytest.mark.parametrize("sf", GATED_SFS)
+def test_semantic_tau_fixture_margin(sf):
     """The engine scores within-cluster cosines with a batch GEMM; the
     numpy udf-oracle uses per-pair dots.  BLAS accumulation order can
     differ in the last ulp, so the hash gate is only stable while no
@@ -131,7 +139,7 @@ def test_semantic_tau_fixture_margin():
     from mr_python_spark.dedup import SEM_TAU
     from tools import udf_oracles as uo
 
-    emb, cells = uo.semantic_assignments(SF)
+    emb, cells = uo.semantic_assignments(sf)
     worst = 1.0
     for c in np.unique(cells):
         M = emb[cells == c]
@@ -141,3 +149,32 @@ def test_semantic_tau_fixture_margin():
         gaps = np.abs((M @ M.T)[iu] - SEM_TAU)
         worst = min(worst, float(gaps.min()))
     assert worst >= 1e-9, f"pair within {worst} of SEM_TAU boundary"
+
+
+@pytest.mark.parametrize("sf", GATED_SFS)
+def test_rp_cosine_threshold_margin(sf):
+    """dedup_embedding_lsh / dedup_embedding_cosine verify with a
+    normalize-then-GEMM float path while the DuckDB oracle uses a
+    sequential dot fold over raw doubles; dedup_rp_lsh_eval_report's
+    truth side additionally mixes both.  The two paths differ by
+    ~1e-15 relative, so threshold membership (cosine >= 0.4) is only
+    gate-stable while no pair sits on the boundary.  Pin that: across
+    EVERY pair in every gated fixture, both float paths must clear 0.4
+    by >= 1e-6 (measured margins: 5.6e-4 / 1.3e-4 / 9.9e-6)."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    iu = np.triu_indices(len(mat), k=1)
+    # GEMM path (engine tiers)
+    matn = mat / nrm[:, None]
+    g_gap = np.abs((matn @ matn.T)[iu] - 0.4).min()
+    # dot/(na*nb) path (oracle fold's algebraic form; ulp-close to it)
+    f_gap = np.abs(((mat @ mat.T) / np.outer(nrm, nrm))[iu] - 0.4).min()
+    assert min(g_gap, f_gap) >= 1e-6, (
+        f"pair within {min(g_gap, f_gap)} of the 0.4 cosine threshold"
+    )

@@ -23,6 +23,7 @@ sweep artifact (CHECK_FULL_r*.json).
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 
@@ -40,25 +41,44 @@ MERSENNE_PRIME = (1 << 31) - 1
 HASH_A = [2 * i + 1 for i in range(1, MINHASH_HASHES + 1)]
 HASH_B = [1_000_003 * i + 12345 for i in range(MINHASH_HASHES)]
 LSH_BUCKET_CAP = 64
-RP_BANDS = 4
 RP_SLOT_BITS = 16
-RP_MAX_BITS = RP_BANDS * RP_SLOT_BITS
 RP_TARGET_BUCKET = 32
 RP_BUCKET_CAP = 2048
+#: OR-amplification spec (mirrors mr_python_spark/dedup constants):
+#: band count L = ceil(ln(1/0.1) / p0^bits), p0 = 1 - acos(0.45)/pi,
+#: capped at 64; band i draws its 16-column Gaussian slot from
+#: RandomState(1000 + i) (deterministic across platforms by contract)
+RP_DESIGN_P0 = 1 - math.acos(0.45) / math.pi
+RP_DESIGN_MISS = 0.1
+RP_MAX_BANDS = 64
+RP_BAND_SEED = 1000
 
-#: the engine's seeded projection slots (RandomState(42) is
-#: deterministic across platforms by contract); band b uses the first
-#: bpb columns of its 16-column slot
-_RP_PROJ = np.random.RandomState(42).standard_normal((64, RP_MAX_BITS))
+_RP_SLOTS: dict[int, "np.ndarray"] = {}
+
+
+def _rp_slot(band: int) -> "np.ndarray":
+    P = _RP_SLOTS.get(band)
+    if P is None:
+        P = np.random.RandomState(RP_BAND_SEED + band).standard_normal(
+            (64, RP_SLOT_BITS)
+        )
+        _RP_SLOTS[band] = P
+    return P
 
 
 def _rp_band_val(e, band: int, bpb: int) -> int:
     """Sign-projection band value, recomputed per row (independent of
     the engine's batched GEMM path)."""
     v = np.asarray(e, dtype=np.float64)
-    lo = band * RP_SLOT_BITS
-    bits = (v @ _RP_PROJ[: len(v), lo : lo + bpb]) >= 0.0
+    bits = (v @ _rp_slot(band)[: len(v), :bpb]) >= 0.0
     return int(bits.astype(np.int64) @ (1 << np.arange(bpb)))
+
+
+def _rp_num_bands(bpb: int) -> int:
+    """OR-amplified band count for a band width (engine formula)."""
+    return min(
+        RP_MAX_BANDS, math.ceil(math.log(1.0 / RP_DESIGN_MISS) / (RP_DESIGN_P0**bpb))
+    )
 
 
 def register_udfs(con) -> None:
@@ -82,6 +102,7 @@ def register_udfs(con) -> None:
             [duckdb.list_type(duckdb.typing.DOUBLE), INTEGER, INTEGER],
             BIGINT,
         )
+        con.create_function("rp_num_bands", _rp_num_bands, [INTEGER], INTEGER)
         con.create_function(
             "km_cell", _km_cell, [duckdb.list_type(duckdb.typing.DOUBLE)], INTEGER
         )
@@ -269,7 +290,9 @@ v AS (
 bands AS (
   SELECT vec_id, CAST(band AS INTEGER) AS band,
          rp_band_val(e, CAST(band AS INTEGER), CAST((SELECT bpb FROM p) AS INTEGER)) AS bval
-  FROM v CROSS JOIN range({RP_BANDS}) t(band)
+  FROM v CROSS JOIN (
+    SELECT unnest(range((SELECT rp_num_bands(CAST(bpb AS INTEGER)) FROM p))) AS band
+  ) t
 ),
 ok_buckets AS (
   SELECT band, bval FROM bands

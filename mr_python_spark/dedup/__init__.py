@@ -198,6 +198,40 @@ def posting_candidates(
     return cand, sh_small
 
 
+#: (applicationId, documents file identity) → cached candidate-pair /
+#: pruned-shingle frames; see :func:`cached_posting_candidates`
+_CAND_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+_SH_SMALL_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def cached_posting_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Keyed-cached :func:`posting_candidates` over the corpus frames.
+
+    The pair explosion + distinct is a real shuffle (~1s at sf0.1) and
+    both :func:`dedup_ngram_jaccard` and :func:`dedup_containment`
+    consume the identical candidate set — cache it like the shingle /
+    postings / signature frames so the second family member pays
+    nothing.  Same (application, file identity) key and stale-eviction
+    rule as every other corpus cache."""
+    sh_sets = hashed_shingle_sets(spark, sf_dir)
+    postings = capped_postings(spark, sf_dir)
+    cand = _keyed_df_cache(
+        _CAND_CACHE,
+        spark,
+        sf_dir,
+        lambda: posting_candidates(postings, sh_sets)[0].cache(),
+    )
+    sh_small = _keyed_df_cache(
+        _SH_SMALL_CACHE,
+        spark,
+        sf_dir,
+        lambda: posting_candidates(postings, sh_sets)[1].cache(),
+    )
+    return cand, sh_small
+
+
 _EXACT_ORACLE = """
 SELECT
   md5(lower(trim(text))) AS content_hash,
@@ -394,15 +428,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     principle inflate one intersection count; at (shingles/doc)² ≈
     10⁴ trials per pair the probability is ~10⁻¹⁵ — accepted.
     """
-    sh_sets = hashed_shingle_sets(spark, sf_dir)
-    cand, sh_small = posting_candidates(capped_postings(spark, sf_dir), sh_sets)
+    cand, sh_small = cached_posting_candidates(spark, sf_dir)
     sa = sh_small.alias("sa")
     sb = sh_small.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
     union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    # sh_small is EXPLICITLY broadcast: AQE otherwise builds the
+    # broadcast from the (much larger) candidate-pair side, streaming
+    # the shingle arrays through two exchanges.  Broadcasting the
+    # pruned doc→shingles map instead keeps the 400k+ pair rows
+    # pipeline-local — no candidate row ever shuffles.
     return (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
@@ -1453,15 +1491,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact intersection.  Only the final score expression differs
     (min-size denominator instead of union).
     """
-    sh_sets = hashed_shingle_sets(spark, sf_dir)
-    cand, sh_small = posting_candidates(capped_postings(spark, sf_dir), sh_sets)
+    cand, sh_small = cached_posting_candidates(spark, sf_dir)
     sa = sh_small.alias("sa")
     sb = sh_small.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
     denom = F.least(F.size(F.col("sa.sh")), F.size(F.col("sb.sh")))
+    # explicit broadcast for the same reason as dedup_ngram_jaccard:
+    # keep the candidate-pair side pipeline-local
     return (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a", "doc_b", (inter.cast("double") / denom).alias("containment")
         )

@@ -37,22 +37,143 @@ def _pillow():
         return None
 
 
+#: the 8-byte PNG signature (public spec, RFC 2083 §3.1)
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter_line(ftype: int, enc, prev, channels: int):
+    """Undo one scanline's filter → decoded uint8 array.
+
+    Filters 0 (None), 1 (Sub), 2 (Up) decode vectorized (Sub is a
+    per-channel modular cumsum); 3 (Average) and 4 (Paeth) read the
+    just-decoded left neighbor, so they are inherently sequential and
+    run a per-byte loop.  Returns None for an invalid filter byte.
+    """
+    import numpy as np
+
+    if ftype == 0:
+        return enc.copy()
+    if ftype == 2:
+        return enc + prev  # uint8 wraps mod 256
+    if ftype == 1:
+        return np.cumsum(
+            enc.reshape(-1, channels), axis=0, dtype=np.uint8
+        ).reshape(-1)
+    if ftype not in (3, 4):
+        return None
+    stride = len(enc)
+    line = np.zeros(stride, dtype=np.uint8)
+    for i in range(stride):
+        a = int(line[i - channels]) if i >= channels else 0
+        b = int(prev[i])
+        if ftype == 3:
+            pred = (a + b) >> 1
+        else:
+            c = int(prev[i - channels]) if i >= channels else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        line[i] = (int(enc[i]) + pred) & 0xFF
+    return line
+
+
+def _decode_png_pixels(payload: bytes):
+    """REAL pure-stdlib PNG decode: chunk walk, IHDR validation, zlib
+    inflate of the IDAT stream, per-scanline unfilter (all five filter
+    types).  Returns (width, height, channels, raster_bytes) or None
+    for anything malformed — truncated chunks, missing IEND, a corrupt
+    deflate stream, a raster whose length disagrees with the header,
+    or an invalid filter byte all reject.  Scope: 8-bit depth,
+    non-interlaced, color types 0/2/3/4/6 (grayscale / RGB / palette /
+    gray+alpha / RGBA) — the overwhelmingly common shape; exotic
+    variants fall through to the library-gated path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG or len(payload) < 45:
+        return None
+    try:
+        (ihdr_len,) = struct.unpack_from(">I", payload, 8)
+        if ihdr_len != 13 or payload[12:16] != b"IHDR":
+            return None
+        w, h, depth, ctype, comp, filt, interlace = struct.unpack_from(
+            ">IIBBBBB", payload, 16
+        )
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+        if channels is None or depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            return None
+        if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20):
+            return None
+        idat = bytearray()
+        pos = 8
+        seen_end = False
+        while pos + 12 <= len(payload):
+            (clen,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            data_end = pos + 8 + clen
+            if data_end + 4 > len(payload):
+                return None  # truncated chunk
+            if tag == b"IDAT":
+                idat += payload[pos + 8 : data_end]
+            elif tag == b"IEND":
+                seen_end = True
+                break
+            pos = data_end + 4  # skip CRC
+        if not seen_end or not idat:
+            return None
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+        stride = w * channels
+        if len(raw) != (stride + 1) * h:
+            return None  # raster length disagrees with IHDR
+        raw = raw.reshape(h, stride + 1)
+        prev = np.zeros(stride, dtype=np.uint8)
+        out = []
+        for y in range(h):
+            line = _png_unfilter_line(int(raw[y, 0]), raw[y, 1:], prev, channels)
+            if line is None:
+                return None  # invalid filter byte
+            out.append(line)
+            prev = line
+        return (w, h, channels, np.concatenate(out).tobytes())
+    except (zlib.error, struct.error, ValueError):
+        return None
+
+
 def _decode_builtin(payload: bytes):
-    """Pure-stdlib header decode for the uncompressed formats whose
-    layout is trivial public knowledge — BMP (BITMAPINFOHEADER) and
-    binary PGM/PPM — so the REAL-decode branch is exercisable even in
-    containers without an imaging library.  Returns
-    (width, height, channels) or None when the format isn't one of
-    these (compressed formats genuinely need a decoder library)."""
+    """Pure-stdlib REAL decode for the formats whose layout is public
+    knowledge and needs no third-party library — BMP
+    (BITMAPINFOHEADER), binary PGM/PPM, and zlib-deflated PNG — so the
+    real-decode branch is exercisable even in containers without an
+    imaging library.  Returns (width, height, channels) or None when
+    the format isn't one of these (other compressed formats genuinely
+    need a decoder library)."""
     import struct
 
-    if payload[:2] == b"BM" and len(payload) >= 30:
-        # BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER: int32 width
-        # at 18, int32 height at 22 (negative = top-down), uint16
-        # bits-per-pixel at 28
+    if payload[:8] == _PNG_SIG:
+        png = _decode_png_pixels(payload)
+        return None if png is None else png[:3]
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        # BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER: uint32
+        # pixel-data offset at 10, uint32 biSize at 14, int32 width at
+        # 18, int32 height at 22 (negative = top-down), uint16 planes
+        # at 26, uint16 bits-per-pixel at 28.  Validate the whole
+        # header shape, not just the magic: arbitrary text starting
+        # 'BM' must NOT yield nonsense dimensions (it would error
+        # under Pillow — an environment-dependent divergence).
+        (px_off,) = struct.unpack_from("<I", payload, 10)
+        (bi_size,) = struct.unpack_from("<I", payload, 14)
         w, h = struct.unpack_from("<ii", payload, 18)
-        (bpp,) = struct.unpack_from("<H", payload, 28)
-        if w <= 0 or h == 0:  # corrupted header, not a decodable image
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        if (
+            bi_size != 40  # BITMAPINFOHEADER only (the common core)
+            or planes != 1
+            or bpp not in (1, 4, 8, 16, 24, 32)
+            or w <= 0
+            or h == 0
+            or not (14 + bi_size <= px_off <= len(payload))
+        ):
             return None
         return (w, abs(h), max(1, bpp // 8))
     if payload[:2] in (b"P5", b"P6"):
@@ -87,12 +208,13 @@ def decode_image(payload: bytes):
     """Decode an image payload → (width, height, channels).
 
     Real decode via Pillow when the library is importable; without it
-    the pure-stdlib :func:`_decode_builtin` still really decodes the
-    uncompressed formats (BMP, binary PGM/PPM), and only compressed
-    formats raise ``NotImplementedError`` (``fake_probe`` is the
-    deterministic tested stand-in for those).  Everything around this
-    call (schemas, Arrow batching, partitioning) is identical on
-    every path.
+    the pure-stdlib :func:`_decode_builtin` still really decodes BMP,
+    binary PGM/PPM, and (round 8) zlib-deflated 8-bit PNG — inflate,
+    scanline unfilter, raster-length validation — and only the
+    remaining compressed formats (JPEG etc.) raise
+    ``NotImplementedError`` (``fake_probe`` is the deterministic
+    tested stand-in for those).  Everything around this call (schemas,
+    Arrow batching, partitioning) is identical on every path.
     """
     Image = _pillow()
     if Image is None:
@@ -236,12 +358,71 @@ def multimodal_probe_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInArrow(probe, _PROBE_SCHEMA)
 
 
+def _encode_png(w: int, h: int, channels: int, seed: int) -> bytes:
+    """Deterministic real PNG encoder (fixture side of the real-decode
+    gate): a seeded raster, forward-filtered with Average on line 0,
+    Paeth on line 1, then None/Sub/Up cycling — every image exercises
+    all five unfilter branches of :func:`_decode_png_pixels`.  Filter
+    application is vectorized per line (the encoder reads only
+    ORIGINAL raster bytes, so unlike decoding, every filter type
+    vectorizes)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    stride = w * channels
+    idx = np.arange(stride, dtype=np.int64)
+    zc8 = np.zeros(channels, dtype=np.uint8)
+    rows = []
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        line = ((seed + 31 * y + 7 * idx) % 251).astype(np.uint8)
+        f = 3 if y == 0 else (4 if y == 1 else y % 3)
+        a = np.concatenate([zc8, line[:-channels]]) if channels < stride else zc8[:stride]
+        if f == 0:
+            enc = line.copy()
+        elif f == 1:
+            enc = line - a
+        elif f == 2:
+            enc = line - prev
+        elif f == 3:
+            enc = line - ((a.astype(np.int32) + prev.astype(np.int32)) >> 1).astype(
+                np.uint8
+            )
+        else:  # Paeth
+            ai = a.astype(np.int32)
+            bi = prev.astype(np.int32)
+            ci = np.concatenate([np.zeros(channels, np.int32), bi[:-channels]]) if channels < stride else np.zeros(stride, np.int32)
+            p = ai + bi - ci
+            pa, pb, pc = np.abs(p - ai), np.abs(p - bi), np.abs(p - ci)
+            pred = np.where((pa <= pb) & (pa <= pc), ai, np.where(pb <= pc, bi, ci))
+            enc = line - pred.astype(np.uint8)
+        rows.append(np.concatenate([np.array([f], np.uint8), enc]))
+        prev = line
+    raw = np.concatenate(rows).tobytes()
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
 _DECODE_ORACLE = """
 SELECT
   doc_id,
   CAST(1 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
   CAST(1 + (octet_length(encode(text)) * 3) % 64 AS INTEGER) AS height,
-  CAST(3 AS INTEGER) AS channels
+  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+       WHEN 1 THEN 1 WHEN 2 THEN 4 ELSE 3 END AS INTEGER) AS channels
 FROM documents
 """
 
@@ -251,16 +432,20 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the full distributed plumbing — no
     fake probe anywhere in the row path.
 
-    Each document's bytes are wrapped into a genuine 24-bit BMP whose
-    dimensions derive from the payload length (the fixture step — this
-    container ships no image corpus), then :func:`decode_image` parses
-    the actual BMP header back out inside the Arrow-batched UDF.  With
-    Pillow present the same bytes go through Pillow; without it the
-    pure-stdlib BMP parser decodes them — either way the decode is a
-    real format parse, so a corrupted header would FAIL the gate, which
-    is exactly what the fake-probe queries cannot promise.  Scale shape
-    is identical to ``multimodal_probe``: payload bytes ride Arrow
-    batches, per-batch vectorized Python, no shuffle.
+    Each document's bytes become a genuine image whose dimensions
+    derive from the payload length (the fixture step — this container
+    ships no image corpus): a 24-bit BMP for doc_id ≡ 0 (mod 3), a
+    REAL zlib-deflated grayscale PNG for ≡ 1, an RGBA PNG for ≡ 2 —
+    every PNG's scanlines exercise all five filter types, so
+    :func:`decode_image` performs an actual inflate + unfilter + IHDR
+    parse inside the Arrow-batched UDF, not a magic-number sniff.
+    With Pillow present the same bytes go through Pillow; without it
+    the pure-stdlib parsers decode them — either way the decode is a
+    real format parse, so a corrupted header, deflate stream, or
+    raster length would FAIL the gate, which is exactly what the
+    fake-probe queries cannot promise.  Scale shape is identical to
+    ``multimodal_probe``: payload bytes ride Arrow batches, per-batch
+    vectorized Python, no shuffle.
     """
     import struct
 
@@ -288,13 +473,20 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             + b"\x00" * body
         )
 
+    def encode(doc_id: int, payload: bytes) -> bytes:
+        w, h = 1 + len(payload) % 64, 1 + (len(payload) * 3) % 64
+        fmt = doc_id % 3
+        if fmt == 0:
+            return encode_bmp(w, h)
+        return _encode_png(w, h, 1 if fmt == 1 else 4, seed=doc_id % 97)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             dims = [
-                decode_image(encode_bmp(1 + len(p) % 64, 1 + (len(p) * 3) % 64))
-                for p in pdf["payload"]
+                decode_image(encode(int(d), p))
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
             ]
             yield pd.DataFrame(
                 {

@@ -231,12 +231,100 @@ def test_decode_image_builtin_formats():
         b"P6 0 4 255 ",
         b"BM" + b"\x00" * 40,  # zero width/height BMP header
     )
+    junk_payloads = junk_payloads + (
+        # arbitrary text starting 'BM' long enough to parse "dims" —
+        # header validation (biSize/planes/bpp/pixel-offset) must
+        # reject it, matching Pillow-equipped environments
+        b"BMarkdown is a lightweight markup language for formatting text",
+        b"BM" + b"\xff" * 60,
+    )
     for junk in junk_payloads:
         assert _decode_builtin(junk) is None, junk
     if _pillow() is None:
         for junk in junk_payloads:
             with pytest.raises(NotImplementedError):
                 decode_image(junk)
+
+
+def test_decode_png_roundtrip_all_filters():
+    """The pure-stdlib PNG path is a REAL decode: a seeded raster
+    forward-filtered with all five scanline filter types must inflate
+    and unfilter back to the exact original pixel bytes, for every
+    supported channel count."""
+    import numpy as np
+
+    from mr_python_spark.multimodal import (
+        _decode_png_pixels,
+        _encode_png,
+        decode_image,
+    )
+
+    for channels in (1, 2, 3, 4):
+        w, h = 13, 9  # ≥ 7 lines → filters 3, 4, then 0/1/2 cycling
+        payload = _encode_png(w, h, channels, seed=41)
+        got = _decode_png_pixels(payload)
+        assert got is not None
+        gw, gh, gc, raster = got
+        assert (gw, gh, gc) == (w, h, channels)
+        idx = np.arange(w * channels, dtype=np.int64)
+        expected = np.concatenate(
+            [((41 + 31 * y + 7 * idx) % 251).astype(np.uint8) for y in range(h)]
+        ).tobytes()
+        assert raster == expected, f"channels={channels}: unfilter mismatch"
+    # 1×1 edge (stride == channels: no left neighbor anywhere)
+    assert _decode_png_pixels(_encode_png(1, 1, 3, seed=5))[:3] == (1, 1, 3)
+    # and through the public entry point (Pillow path also accepts it)
+    assert decode_image(_encode_png(6, 4, 3, seed=11)) == (6, 4, 3)
+
+
+def test_decode_png_rejects_corrupt_streams():
+    """Corrupted PNGs reject cleanly (None from the builtin parser, an
+    exception from decode_image) — truncated chunks, a damaged deflate
+    stream, a raster length that disagrees with IHDR, an invalid
+    filter byte, interlaced/16-bit images out of scope, and junk that
+    merely starts with the signature."""
+    import struct
+    import zlib
+
+    from mr_python_spark.multimodal import _PNG_SIG, _decode_png_pixels, _encode_png
+
+    good = _encode_png(8, 6, 3, seed=7)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    def rebuild(w=8, h=6, depth=8, ctype=2, interlace=0, raw=None) -> bytes:
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        if raw is None:
+            raw = bytes((8 * 3 + 1) * 6)  # filter-0 zero raster
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    bad = [
+        _PNG_SIG + b"this is not a png at all, just the magic bytes!!",
+        good[:-20],  # truncated: IEND gone
+        good[: len(good) // 2],  # truncated mid-IDAT
+        rebuild(depth=16),  # 16-bit out of scope
+        rebuild(interlace=1),  # Adam7 out of scope
+        rebuild(ctype=7),  # invalid color type
+        rebuild(raw=bytes((8 * 3 + 1) * 5)),  # raster short one line
+        rebuild(raw=b"\x09" + bytes(8 * 3) + bytes((8 * 3 + 1) * 5)),  # bad filter
+    ]
+    # damaged deflate stream: flip a byte inside IDAT data
+    idat_at = good.index(b"IDAT") + 4
+    bad.append(good[:idat_at + 3] + bytes([good[idat_at + 3] ^ 0xFF]) + good[idat_at + 4:])
+    for payload in bad:
+        assert _decode_png_pixels(payload) is None
+    assert _decode_png_pixels(rebuild()) is not None  # rebuild() itself is valid
 
 
 def test_typed_surfaces_schemas(spark):

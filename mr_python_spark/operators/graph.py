@@ -33,41 +33,46 @@ PR_DAMP_PCT = 85
 PR_ITERATIONS = 3
 
 # pairs CTE: identical construction to dedup_ngram_jaccard's oracle
-# (df-capped candidates, exact jaccard >= 0.2)
+# (df-capped candidates, exact jaccard >= 0.2).  Every CTE is
+# MATERIALIZED: DuckDB otherwise inlines the whole chain into each
+# consumer, recomputing the quadratic candidate join once per PageRank
+# round — which exhausted its spill budget on the 10x sf1 fixture and
+# was 5x slower even at sf0.01.  One keyword, same single-statement
+# oracle contract.
 _PAIRS_CTES = """
-toks AS (
+toks AS MATERIALIZED (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
   FROM documents
-), pos AS (
+), pos AS MATERIALIZED (
   SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks
-), sh AS (
+), sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
   FROM pos WHERE i <= len(t) - 2
-), rare AS (
+), rare AS MATERIALIZED (
   SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10
-), cand AS (
+), cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sh a
   JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   JOIN rare r ON r.shingle = a.shingle
-), sets AS (
+), sets AS MATERIALIZED (
   SELECT doc_id, list(shingle) AS ss FROM sh GROUP BY doc_id
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT doc_a, doc_b
   FROM cand
   JOIN sets sa ON sa.doc_id = doc_a
   JOIN sets sb ON sb.doc_id = doc_b
   WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
       / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= 0.2
-), bidir AS (
+), bidir AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM pairs
-), verts AS (
+), verts AS MATERIALIZED (
   SELECT DISTINCT src AS v FROM bidir
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src AS v, COUNT(*) AS d FROM bidir GROUP BY src
-), consts AS (
+), consts AS MATERIALIZED (
   SELECT COUNT(*) AS n FROM verts
 )
 """
@@ -81,7 +86,7 @@ def _oracle() -> str:
     iters = []
     for k in range(1, PR_ITERATIONS + 1):
         iters.append(f"""
-r{k} AS (
+r{k} AS MATERIALIZED (
   SELECT v.v AS doc_id,
          CAST((({d} * s.contrib) // 100) + c.base AS BIGINT) AS pr
   FROM verts v
@@ -99,7 +104,7 @@ r{k} AS (
         "WITH "
         + _PAIRS_CTES.strip()
         + f""",
-r0 AS (
+r0 AS MATERIALIZED (
   SELECT v AS doc_id, CAST({s} // n AS BIGINT) AS pr FROM verts CROSS JOIN consts
 ),"""
         + ",".join(iters)

@@ -290,9 +290,19 @@ AUDITS: dict[str, dict] = {
         must=[r"FlatMapGroupsInPandas|GroupedMapPandas"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Broadcast"],
     ),
+    # round 8: banding mapInPandas → ONE (band, bval) shuffle →
+    # per-bucket GEMM verify in applyInPandas → distinct on verified
+    # pairs.  No join at all — candidate pairs never materialize as
+    # rows, so a join appearing here would mean a regression to the
+    # old explode-join-fold pipeline.
     "dedup_embedding_lsh": dict(
-        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"MapInPandas"],
-        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        must=[r"MapInPandas", r"FlatMapGroupsInPandas"],
+        must_not=[
+            r"CartesianProduct",
+            r"BroadcastNestedLoopJoin",
+            r"SortMergeJoin",
+            r"ShuffledHashJoin",
+        ],
     ),
     # centroid means: integer-unit decimal sums must stay a JVM
     # partial+final aggregate — no Python evaluation anywhere

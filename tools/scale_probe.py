@@ -51,15 +51,22 @@ QUERIES = [
 ]
 
 
-def generate() -> None:
+def generate(dst: str = DST, replicas: int = REPLICAS, tables=None) -> None:
+    """Synthesize a replicated fixture at ``dst``.  ``tables`` limits
+    generation to a subset (e.g. just the dedup corpora for the sf3
+    probe); None means everything."""
     import duckdb
 
-    os.makedirs(DST, exist_ok=True)
+    def wanted(name: str) -> bool:
+        return tables is None or name in tables
+
+    os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     offset = con.sql(
         f"SELECT MAX(o_orderkey) + 1 FROM '{SRC}/orders.parquet'"
     ).fetchone()[0]
-    con.sql(
+    if wanted("orders"):
+        con.sql(
         f"""
         COPY (
           SELECT o_orderkey + i * {offset} AS o_orderkey,

@@ -50,6 +50,17 @@ _HASH_B = [1_000_003 * i + 12345 for i in range(MINHASH_HASHES)]
 #: pairs); observed bucket sizes at tested SFs top out at 16, so the
 #: default only engages on pathological boilerplate
 LSH_BUCKET_CAP = 64
+#: Broadcast the semi-join-pruned verification frame only when it is
+#: MEASURED to fit: sh_small scales with the corpus (at 100 TB most
+#: documents share ≥1 rare shingle, so it approaches corpus size) and
+#: an unconditional hint would hit Spark's 8 GB broadcast hard limit /
+#: executor OOM.  At ~200 shingles/doc a row is ~1.6 KB, so 200k docs
+#: ≈ 320 MB broadcast — comfortable on any executor, far above every
+#: shipped fixture (sf1 prunes to ~3k docs).  Above the gate the hint
+#: is dropped and AQE picks a shuffled join on doc_id.  Tests force
+#: the gate OFF (monkeypatching this to -1) and assert identical
+#: output — the hint is a pure physical-plan choice.
+VERIFY_BROADCAST_MAX_DOCS = 200_000
 
 
 def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
@@ -230,6 +241,39 @@ def cached_posting_candidates(
         lambda: posting_candidates(postings, sh_sets)[1].cache(),
     )
     return cand, sh_small
+
+
+#: (applicationId, documents file identity) → row count of the cached
+#: pruned-verification frame; feeds the broadcast size gate
+_SH_SMALL_N_CACHE: dict[tuple[str, str, int], int] = {}
+
+
+def gated_verify_frame(
+    spark: SparkSession, sf_dir: str, sh_small: DataFrame
+) -> DataFrame:
+    """Size-gate the broadcast hint on the pruned verification frame.
+
+    ``sh_small`` is corpus-scaling (semi-join-pruned doc→shingles map:
+    every doc that shares ≥1 rare shingle with another doc), so a
+    forced ``F.broadcast`` is only safe when the frame is measured
+    small.  The count is taken once per (session, corpus identity) —
+    ``sh_small`` is keyed-cached, so counting it merely materializes
+    the cache the verify join needs anyway — and the hint fires only
+    under ``VERIFY_BROADCAST_MAX_DOCS``.  Past the gate the frame is
+    returned un-hinted and AQE chooses the join strategy (shuffled
+    hash join on doc_id at real scale).
+    """
+    import os
+
+    path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
+    key = (spark.sparkContext.applicationId, path, os.stat(path).st_mtime_ns)
+    if key not in _SH_SMALL_N_CACHE:
+        for stale in [k for k in _SH_SMALL_N_CACHE if k[:2] == key[:2]]:
+            _SH_SMALL_N_CACHE.pop(stale)
+        _SH_SMALL_N_CACHE[key] = sh_small.count()
+    if _SH_SMALL_N_CACHE[key] <= VERIFY_BROADCAST_MAX_DOCS:
+        return F.broadcast(sh_small)
+    return sh_small
 
 
 _EXACT_ORACLE = """
@@ -429,18 +473,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     10⁴ trials per pair the probability is ~10⁻¹⁵ — accepted.
     """
     cand, sh_small = cached_posting_candidates(spark, sf_dir)
-    sa = sh_small.alias("sa")
-    sb = sh_small.alias("sb")
+    # Size-GATED broadcast: when the pruned doc→shingles map is
+    # measured small, broadcasting it keeps the (much larger)
+    # candidate-pair side pipeline-local — AQE would otherwise build
+    # the broadcast from the pair side and stream the shingle arrays
+    # through two exchanges.  Past the gate sh_small scales with the
+    # corpus and the hint is dropped (AQE shuffled join on doc_id).
+    small = gated_verify_frame(spark, sf_dir, sh_small)
+    sa = small.alias("sa")
+    sb = small.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
     union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
-    # sh_small is EXPLICITLY broadcast: AQE otherwise builds the
-    # broadcast from the (much larger) candidate-pair side, streaming
-    # the shingle arrays through two exchanges.  Broadcasting the
-    # pruned doc→shingles map instead keeps the 400k+ pair rows
-    # pipeline-local — no candidate row ever shuffles.
     return (
-        cand.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
@@ -1492,15 +1538,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min-size denominator instead of union).
     """
     cand, sh_small = cached_posting_candidates(spark, sf_dir)
-    sa = sh_small.alias("sa")
-    sb = sh_small.alias("sb")
+    # size-gated broadcast for the same reason as dedup_ngram_jaccard:
+    # keep the candidate-pair side pipeline-local while the pruned
+    # frame is measured small; un-hinted (AQE) past the gate
+    small = gated_verify_frame(spark, sf_dir, sh_small)
+    sa = small.alias("sa")
+    sb = small.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
     denom = F.least(F.size(F.col("sa.sh")), F.size(F.col("sb.sh")))
-    # explicit broadcast for the same reason as dedup_ngram_jaccard:
-    # keep the candidate-pair side pipeline-local
     return (
-        cand.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a", "doc_b", (inter.cast("double") / denom).alias("containment")
         )

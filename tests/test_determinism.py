@@ -80,6 +80,37 @@ def test_partitioning_independent(spark, entrymod, name):
     assert a.equals(b), f"{name}: results differ between 3 and 32 shuffle partitions"
 
 
+@pytest.mark.parametrize("name", ["dedup_ngram_jaccard", "dedup_containment"])
+def test_verify_broadcast_gate_off_identical(spark, entrymod, monkeypatch, name):
+    """The size-gated broadcast on the pruned verification frame is a
+    pure physical-plan choice: with the gate forced OFF (the >100 TB
+    path, where sh_small outgrows the broadcast limit and AQE picks a
+    shuffled join) the pair set must be bit-identical, and with stats
+    broadcasting also disabled the plan must carry ZERO forced
+    broadcasts — mirroring the partitioning-independence contract for
+    the join-strategy axis."""
+    from tools.explain_audit import count_broadcast_exchanges
+
+    import mr_python_spark.dedup as dd
+
+    fn = entrymod.queries()[name]
+
+    def pairs():
+        return sorted(tuple(r) for r in fn(spark, SF).collect())
+
+    hinted = pairs()
+    monkeypatch.setattr(dd, "VERIFY_BROADCAST_MAX_DOCS", -1)
+    assert pairs() == hinted, f"{name}: gate-OFF changed the result"
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert count_broadcast_exchanges(fn(spark, SF)) == 0, (
+            f"{name}: gate OFF but the plan still carries a broadcast hint"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
 def test_ivf_cell_scaling_covers_probe_range():
     """Cell count must scale with the corpus through the sf1 probe
     range (50k vectors) — a clamp engaging there would silently turn

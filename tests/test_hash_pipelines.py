@@ -200,6 +200,14 @@ def test_embedding_lsh_pipeline(spark):
     got = {(r.vec_a, r.vec_b) for r in dedup_embedding_lsh(spark, SF).collect()}
     assert got == expected
 
+    # the engine's "bit-consistent subset of the exact pass" contract:
+    # every LSH-verified pair must appear in the block-grid exact tier
+    exact = {
+        (r.vec_a, r.vec_b) for r in dedup_embedding_cosine(spark, SF).collect()
+    }
+    assert got <= exact
+
+
 def test_doc_fingerprint_matches_direct_expression(spark):
     """The fingerprint query equals xxhash64 of the normalized token
     stream computed by an independent expression."""

@@ -104,7 +104,10 @@ def _decode_png_pixels(payload: bytes):
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
         if channels is None or depth != 8 or comp != 0 or filt != 0 or interlace != 0:
             return None
-        if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20):
+        # cap TOTAL pixels, not each dimension: 2^20 × 2^20 would admit
+        # a ~4 TB raster; 2^24 pixels (16 MP, ≤ 64 MB RGBA raster)
+        # bounds both the inflate output and the unfilter loop
+        if not (0 < w and 0 < h and w * h <= 1 << 24):
             return None
         idat = bytearray()
         pos = 8
@@ -123,9 +126,17 @@ def _decode_png_pixels(payload: bytes):
             pos = data_end + 4  # skip CRC
         if not seen_end or not idat:
             return None
-        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
         stride = w * channels
-        if len(raw) != (stride + 1) * h:
+        expect = (stride + 1) * h
+        # bounded inflate: a crafted IDAT can expand far beyond the
+        # declared raster (decompression bomb) — never inflate more
+        # than the raster the header promises, and reject any overflow
+        dec = zlib.decompressobj()
+        inflated = dec.decompress(bytes(idat), expect)
+        if dec.decompress(b"", 1) or not dec.eof:
+            return None  # stream holds MORE than the declared raster
+        raw = np.frombuffer(inflated, dtype=np.uint8)
+        if len(raw) != expect:
             return None  # raster length disagrees with IHDR
         raw = raw.reshape(h, stride + 1)
         prev = np.zeros(stride, dtype=np.uint8)

@@ -322,6 +322,14 @@ def test_decode_png_rejects_corrupt_streams():
     # damaged deflate stream: flip a byte inside IDAT data
     idat_at = good.index(b"IDAT") + 4
     bad.append(good[:idat_at + 3] + bytes([good[idat_at + 3] ^ 0xFF]) + good[idat_at + 4:])
+    bad += [
+        # decompression bomb: tiny declared raster, IDAT inflating to
+        # 100 MB — the bounded inflate must reject WITHOUT expanding it
+        rebuild(raw=bytes(100_000_000)),
+        # total-pixel bomb: each dimension individually plausible but
+        # w*h > 2^24 (the old per-dimension cap admitted ~4 TB rasters)
+        rebuild(w=1 << 13, h=1 << 13, raw=bytes(64)),
+    ]
     for payload in bad:
         assert _decode_png_pixels(payload) is None
     assert _decode_png_pixels(rebuild()) is not None  # rebuild() itself is valid

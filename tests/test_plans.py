@@ -48,10 +48,11 @@ def test_plan_properties(spark, entrymod, name):
         prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            nostats = formatted_plan(entrymod.queries()[name](spark, SF))
+            nostats_df = entrymod.queries()[name](spark, SF)
+            got = count_broadcast_exchanges(nostats_df)
+            nostats = formatted_plan(nostats_df)
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
-        got = count_broadcast_exchanges(nostats)
         assert got == expected_hints, (
             f"{name}: {got} hinted broadcasts, expected {expected_hints}\n{nostats}"
         )

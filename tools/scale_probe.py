@@ -67,86 +67,92 @@ def generate(dst: str = DST, replicas: int = REPLICAS, tables=None) -> None:
     ).fetchone()[0]
     if wanted("orders"):
         con.sql(
-        f"""
-        COPY (
-          SELECT o_orderkey + i * {offset} AS o_orderkey,
-                 o_custkey, o_orderstatus, o_totalprice, o_orderdate,
-                 o_orderpriority
-          FROM '{SRC}/orders.parquet' CROSS JOIN range({REPLICAS}) t(i)
-        ) TO '{DST}/orders.parquet' (FORMAT parquet)
-        """
-    )
-    con.sql(
-        f"""
-        COPY (
-          SELECT l_orderkey + i * {offset} AS l_orderkey,
-                 l_partkey, l_suppkey, l_linenumber, l_quantity,
-                 l_extendedprice, l_discount, l_tax, l_returnflag,
-                 l_linestatus, l_shipdate
-          FROM '{SRC}/lineitem.parquet' CROSS JOIN range({REPLICAS}) t(i)
-        ) TO '{DST}/lineitem.parquet' (FORMAT parquet)
-        """
-    )
-    for dim in ("region", "nation", "customer", "supplier", "part"):
-        con.sql(
-            f"COPY (SELECT * FROM '{SRC}/{dim}.parquet') "
-            f"TO '{DST}/{dim}.parquet' (FORMAT parquet)"
+            f"""
+            COPY (
+              SELECT o_orderkey + i * {offset} AS o_orderkey,
+                     o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+                     o_orderpriority
+              FROM '{SRC}/orders.parquet' CROSS JOIN range({replicas}) t(i)
+            ) TO '{dst}/orders.parquet' (FORMAT parquet)
+            """
         )
+    if wanted("lineitem"):
+        con.sql(
+            f"""
+            COPY (
+              SELECT l_orderkey + i * {offset} AS l_orderkey,
+                     l_partkey, l_suppkey, l_linenumber, l_quantity,
+                     l_extendedprice, l_discount, l_tax, l_returnflag,
+                     l_linestatus, l_shipdate
+              FROM '{SRC}/lineitem.parquet' CROSS JOIN range({replicas}) t(i)
+            ) TO '{dst}/lineitem.parquet' (FORMAT parquet)
+            """
+        )
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        if wanted(dim):
+            con.sql(
+                f"COPY (SELECT * FROM '{SRC}/{dim}.parquet') "
+                f"TO '{dst}/{dim}.parquet' (FORMAT parquet)"
+            )
 
-    # Documents: 10 statistically independent corpora, not 10 exact
+    # Documents: `replicas` statistically independent corpora, not exact
     # copies.  Exact copies would collapse the dedup candidate
-    # structure (every shingle's df multiplies by REPLICAS, so the
-    # df-cap drops the whole vocabulary and the probe measures
+    # structure (every shingle's df multiplies by the replica count, so
+    # the df-cap drops the whole vocabulary and the probe measures
     # nothing).  Tagging every token with the replica id keeps each
     # replica's shingle-df histogram identical to the original while
     # making vocabularies disjoint across replicas — a sub-quadratic
     # candidate generator then scales ~linearly, while a hidden
-    # all-pairs path would still blow up ~REPLICAS^2.
-    con.sql(
-        f"""
-        COPY (
-          SELECT doc_id + i * 1_000_000 AS doc_id,
-                 CASE WHEN i = 0 THEN text
-                      ELSE regexp_replace(text, '(\\S+)', '\\1' || i, 'g')
-                 END AS text,
-                 lang, source, n_chars
-          FROM '{SRC}/documents.parquet' CROSS JOIN range({REPLICAS}) t(i)
-        ) TO '{DST}/documents.parquet' (FORMAT parquet)
-        """
-    )
+    # all-pairs path would still blow up ~replicas^2.
+    if wanted("documents"):
+        con.sql(
+            f"""
+            COPY (
+              SELECT doc_id + i * 1_000_000 AS doc_id,
+                     CASE WHEN i = 0 THEN text
+                          ELSE regexp_replace(text, '(\\S+)', '\\1' || i, 'g')
+                     END AS text,
+                     lang, source, n_chars
+              FROM '{SRC}/documents.parquet' CROSS JOIN range({replicas}) t(i)
+            ) TO '{dst}/documents.parquet' (FORMAT parquet)
+            """
+        )
 
     # Events: replicated with offset event/user ids and unchanged
     # timestamps — each replica adds load to the SAME windows, the
     # production shape of more traffic (not a longer history).
-    con.sql(
-        f"""
-        COPY (
-          SELECT event_id + i * 10_000_000 AS event_id,
-                 ts,
-                 user_id + i * 1_000_000 AS user_id,
-                 event_type, value, props
-          FROM '{SRC}/events.parquet' CROSS JOIN range({REPLICAS}) t(i)
-        ) TO '{DST}/events.parquet' (FORMAT parquet)
-        """
-    )
+    if wanted("events"):
+        con.sql(
+            f"""
+            COPY (
+              SELECT event_id + i * 10_000_000 AS event_id,
+                     ts,
+                     user_id + i * 1_000_000 AS user_id,
+                     event_type, value, props
+              FROM '{SRC}/events.parquet' CROSS JOIN range({replicas}) t(i)
+            ) TO '{dst}/events.parquet' (FORMAT parquet)
+            """
+        )
 
     # Embeddings: circularly rotate each vector by the replica id.
     # Rotation preserves all dot products WITHIN a replica (each
     # replica is isometric to the original corpus) while cross-replica
     # similarities decorrelate, so near-dup structure per replica is
-    # unchanged and total volume is 10x.
-    con.sql(
-        f"""
-        COPY (
-          SELECT vec_id + i * 1_000_000 AS vec_id,
-                 CASE WHEN i = 0 THEN embedding
-                      ELSE list_concat(embedding[i + 1:64], embedding[1:i])
-                 END AS embedding,
-                 label
-          FROM '{SRC}/embeddings.parquet' CROSS JOIN range({REPLICAS}) t(i)
-        ) TO '{DST}/embeddings.parquet' (FORMAT parquet)
-        """
-    )
+    # unchanged and total volume scales with the replica count.  The
+    # 64-dim vectors bound usable replicas at 64 rotations.
+    if wanted("embeddings"):
+        con.sql(
+            f"""
+            COPY (
+              SELECT vec_id + i * 1_000_000 AS vec_id,
+                     CASE WHEN i = 0 THEN embedding
+                          ELSE list_concat(embedding[i + 1:64], embedding[1:i])
+                     END AS embedding,
+                     label
+              FROM '{SRC}/embeddings.parquet' CROSS JOIN range({replicas}) t(i)
+            ) TO '{dst}/embeddings.parquet' (FORMAT parquet)
+            """
+        )
 
 
 def run() -> None:

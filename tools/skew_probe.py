@@ -84,15 +84,20 @@ def gate() -> dict:
     fixture, via the check_correctness harness."""
     import subprocess
 
+    gate_path = os.path.join(DST, "gate.json")
+    if os.path.exists(gate_path):
+        os.remove(gate_path)  # never read a stale gate from a prior run
     env = dict(os.environ, SPARK_GRAFT_CHECK_SF=DST)
     out = subprocess.run(
-        [sys.executable, "tools/check_correctness.py", "--json",
-         os.path.join(DST, "gate.json"), "agg_salted_skew", "join_salted_skew"],
+        [sys.executable, "tools/check_correctness.py", "--json", gate_path,
+         "agg_salted_skew", "join_salted_skew"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1800,
     )
-    with open(os.path.join(DST, "gate.json")) as f:
-        rows = json.load(f)["queries"]
+    # returncode first: a harness crash must surface its output, not a
+    # FileNotFoundError from the missing gate.json
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    with open(gate_path) as f:
+        rows = json.load(f)["queries"]
     return {k: v.get("hash_match") for k, v in rows.items()}
 
 

@@ -761,6 +761,97 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: banding catch probability 1-(1-j^4)^16 at j=0.9 is 1 - 3.9e-8: a
+#: miss of a ≥0.9 pair is practically impossible AND deterministic per
+#: fixture (the hash family is fixed), so the envelope below can claim
+#: it as an invariant
+INC_STRONG_J = 0.9
+
+_INC_MINHASH_ENVELOPE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM (
+    SELECT doc_id, t, unnest(t) FROM toks
+  )
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM pos WHERE i <= len(t) - 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+), sets AS (
+  SELECT doc_id, list(shingle) AS ss FROM sh GROUP BY doc_id
+)
+SELECT
+  doc_new,
+  doc_old,
+  CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+    / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jaccard,
+  TRUE AS caught_if_strong
+FROM cand
+JOIN sets sa ON sa.doc_id = doc_new
+JOIN sets sb ON sb.doc_id = doc_old
+WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+    / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= 0.5
+"""
+
+
+@register("dedup_incremental_minhash_envelope", _INC_MINHASH_ENVELOPE_ORACLE)
+def dedup_incremental_minhash_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracle envelope for :func:`dedup_incremental_minhash` (whose
+    xxhash64 signatures DuckDB cannot replay): the EXACT batch-vs-corpus
+    truth set (jaccard ≥ 0.5, lossless inverted-index join — such pairs
+    must share a shingle) hash-gated value-for-value against DuckDB,
+    each pair flagged with the banding guarantee ``caught_if_strong`` —
+    the minhash pass surfaced it OR its jaccard is below
+    ``INC_STRONG_J`` (a ≥0.9 pair escapes 16×4 banding with probability
+    (1-0.9⁴)¹⁶ ≈ 4e-8, and the fixed hash family makes the outcome
+    deterministic per fixture).  A recall regression on strong pairs
+    flips the flag and fails the hash gate; the exact pair set and
+    jaccard values gate the shared shingle pipeline end-to-end.
+
+    Evaluation-tier cost note: the truth join is the UNCAPPED exact
+    tier (Σ df², like ``dedup_ngram_jaccard_exact``) — run it on a
+    sample at scale, like the recall reports.
+    """
+    sh_sets = hashed_shingle_sets(spark, sf_dir)
+    is_batch = F.col("doc_id") % 10 == 0
+    ex = sh_sets.select("doc_id", F.explode("sh").alias("s"))
+    cand = (
+        ex.filter(is_batch).alias("na")
+        .join(ex.filter(~is_batch).alias("ob"), F.col("na.s") == F.col("ob.s"))
+        .select(
+            F.col("na.doc_id").alias("doc_new"),
+            F.col("ob.doc_id").alias("doc_old"),
+        )
+        .distinct()
+    )
+    sa = sh_sets.alias("sa")
+    sb = sh_sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    truth = (
+        cand.join(sa, F.col("doc_new") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_old") == F.col("sb.doc_id"))
+        .select("doc_new", "doc_old", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    found = dedup_incremental_minhash(spark, sf_dir).select(
+        "doc_new", "doc_old", F.lit(True).alias("found")
+    )
+    return truth.join(found, ["doc_new", "doc_old"], "left").select(
+        "doc_new",
+        "doc_old",
+        "jaccard",
+        (F.col("found").isNotNull() | (F.col("jaccard") < F.lit(INC_STRONG_J))).alias(
+            "caught_if_strong"
+        ),
+    )
+
+
 @register("dedup_simhash")  # driver-tier rows-only; udf-oracle in tools/udf_oracles.py
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs (banded hamming ≤ 3).
@@ -1447,6 +1538,68 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     return _semantic_dedup(spark, emb, [], _trained_model(spark, sf_dir)["C_norm"])
+
+
+_SEM_ENVELOPE_ORACLE = """
+SELECT
+  COUNT(*) AS n_vecs,
+  TRUE AS assigned_once,
+  TRUE AS decision_ok
+FROM embeddings
+"""
+
+
+@register("dedup_semantic_envelope", _SEM_ENVELOPE_ORACLE)
+def dedup_semantic_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracle envelope for :func:`dedup_semantic` (whose k-means
+    cell assignment DuckDB cannot replay): re-verifies the SemDeDup
+    decision rule for EVERY vector with an independent JVM-side cosine
+    (sequential ``zip_with`` fold — a different code path from the
+    pass's numpy GEMM) and reduces to an aggregate DuckDB can check
+    value-for-value:
+
+    * ``n_vecs`` — the pass emitted exactly one row per corpus vector
+      (a dropped/duplicated vector changes the count and fails the
+      hash gate);
+    * ``assigned_once`` — no vec_id appears twice;
+    * ``decision_ok`` — for every vector, ``is_kept`` equals "no
+      lower-vec_id vector in the same cell has cosine ≥ SEM_TAU" —
+      the paper's rule, recomputed from scratch.
+
+    The within-cell pair join costs Σ|cluster|², the same bound as the
+    pass itself.  Boundary safety: the fixture's closest pair sits
+    ≥ 1e-9 from ``SEM_TAU`` (pinned in tests/test_determinism.py), so
+    the GEMM and the fold cannot disagree on a decision.
+    """
+    from mr_python_spark.functions.vectors import cosine, to_double
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    res = dedup_semantic(spark, sf_dir).join(emb, "vec_id")
+    a = res.alias("a")
+    b = res.alias("b")
+    nb = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(cosine(F.col("a.v"), F.col("b.v")) >= F.lit(SEM_TAU))
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("has_nb", F.lit(True))
+    )
+    flags = res.join(nb, "vec_id", "left").select(
+        "vec_id",
+        "is_kept",
+        F.coalesce(F.col("has_nb"), F.lit(False)).alias("has_nb"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.count_distinct("vec_id") == F.count(F.lit(1))).alias("assigned_once"),
+        F.every(F.col("is_kept") != F.col("has_nb")).alias("decision_ok"),
+    )
 
 
 @register("dedup_semantic_within_lang")  # udf-oracle in tools/udf_oracles.py

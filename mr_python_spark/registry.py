@@ -99,8 +99,12 @@ PRIORITY: list[str] = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_containment",  # |A∩B|/min containment (round-6)
-    "dedup_incremental_minhash",  # production ingest shape (round-5)
-    "dedup_semantic",  # SemDeDup (round-5)
+    # round-9: the two udf-oracle pipelines now enter the window via
+    # their SQL-oracle ENVELOPE companions (each runs the parent pass
+    # end-to-end AND adds a DuckDB-checkable invariant), so the
+    # official artifact shows 0 no_oracle rows
+    "dedup_incremental_minhash_envelope",  # production ingest shape (round-5)
+    "dedup_semantic_envelope",  # SemDeDup (round-5)
     "ann_ivf_label",
     "ann_recall_report",  # measured-recall index audit (round-6)
     "multimodal_decode_real",  # real BMP/PGM/PPM decode (round-7)

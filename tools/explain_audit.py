@@ -270,6 +270,21 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         hinted_broadcasts=0,
     ),
+    # envelope: exact truth join (evaluation tier) + left join against
+    # the minhash pass — all equi-joins, no corpus-sized broadcast hint
+    "dedup_incremental_minhash_envelope": dict(
+        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
+    # envelope: within-cell pair join (equi on cell) + one final agg;
+    # the range predicate rides the equi-join, never a nested loop
+    "dedup_semantic_envelope": dict(
+        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+              r"HashAggregate|SortAggregate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
     # containment shares the jaccard plan: posting-list grouping, pair
     # explosion JVM-side, semi-join-pruned verification — never NLJ
     "dedup_containment": dict(

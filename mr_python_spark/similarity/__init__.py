@@ -672,3 +672,45 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_3"
         ),
     )
+
+
+@register("ann_pq_recall_report")  # udf-oracle in tools/udf_oracles.py
+def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of IVF-PQ (ADC + exact rerank) against exact brute-force
+    ground truth, per query — the evaluation twin of
+    :func:`ann_recall_report` for the PRODUCTION index shape.
+
+    ADC scores candidates from 4-bit codes, so quantization error can
+    reorder the shortlist BEFORE the exact rerank sees it — exactly the
+    silent accuracy loss this report measures (probe loss: the true
+    neighbor's cell wasn't probed; shortlist loss: ADC ranked it below
+    the ``PQ_RERANK`` cut).  Truth is :func:`ann_brute_topk` restricted
+    to the shared stride-50 query subset; approx is
+    :func:`ann_ivf_pq`'s final ranking.  Hit counting is exact
+    integers, one final division per query — bit-deterministic.  At
+    scale: two O(queries·k) frames, one equi-join, one aggregate —
+    evaluation cost independent of corpus size.
+    """
+    truth = (
+        ann_brute_topk(spark, sf_dir)
+        .filter(
+            (F.col("rank") <= KM_TOP_K)
+            & (F.col("query_id") % KM_QUERY_STRIDE == 0)
+        )
+        .select("query_id", "neighbor_id")
+    )
+    approx = ann_ivf_pq(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor")
+    )
+    joined = truth.join(
+        approx,
+        (truth.query_id == approx.query_id)
+        & (F.col("neighbor_id") == F.col("a_neighbor")),
+        "left",
+    ).select(truth.query_id, "a_neighbor")
+    return joined.groupBy("query_id").agg(
+        F.count("a_neighbor").alias("n_hits"),
+        (F.count("a_neighbor").cast("double") / F.lit(KM_TOP_K)).alias(
+            "recall_at_3"
+        ),
+    )

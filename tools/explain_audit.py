@@ -566,6 +566,14 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=1,  # the stride-50 probed query set
     ),
+    # PQ recall report: composes brute truth (1 hinted broadcast of the
+    # packed query block) with the PQ pipeline (1 hinted query-set
+    # broadcast); hit-count join + final agg add no hints
+    "ann_pq_recall_report": dict(
+        must=[r"MapInPandas", r"HashAggregate"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=2,
+    ),
     # dynamic-gap sessions: same stateful session operator as the
     # fixed-gap query; the per-row gap is an expression, not state
     "session_window_dynamic_gap": dict(

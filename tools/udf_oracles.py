@@ -561,6 +561,70 @@ WHERE rank <= {KM_TOP_K}
 """
 
 
+def _ann_pq_recall_sql() -> str:
+    """Recall@3 of the PQ pipeline vs exact truth — composes the
+    passing ann_ivf_pq udf-oracle (approx) with the ann_recall_report
+    oracle's exact-truth CTE, hit-counted per query."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+), q0 AS (
+  SELECT * FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q0.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q0.vec_id
+             ORDER BY list_sum(list_transform(list_zip(q0.e, n.e),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                      / (q0.nrm * n.nrm) DESC, n.vec_id) AS rank
+    FROM q0 JOIN n ON q0.vec_id <> n.vec_id
+  ) WHERE rank <= {KM_TOP_K}
+), enc AS (
+  SELECT vec_id, pq_cell(e) AS cell, pq_code(e) AS code, e, nrm FROM n
+), qp AS (
+  SELECT vec_id AS query_id, unnest(pq_probe(e)) AS cell, e AS qe, nrm AS qnrm
+  FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0
+), adc AS (
+  SELECT
+    qp.query_id,
+    enc.vec_id AS neighbor_id,
+    pq_adc(qp.qe, enc.code) AS adc_score,
+    qp.qe, qp.qnrm, enc.e AS ne, enc.nrm AS nnrm
+  FROM qp JOIN enc ON qp.cell = enc.cell AND qp.query_id <> enc.vec_id
+), shortlist AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id
+    ) AS srank FROM adc
+  ) WHERE srank <= {PQ_RERANK}
+), reranked AS (
+  SELECT
+    query_id,
+    neighbor_id,
+    list_sum(list_transform(list_zip(qe, ne), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (qnrm * nnrm) AS score
+  FROM shortlist
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM reranked
+  ) WHERE rank <= {KM_TOP_K}
+)
+SELECT t.query_id,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / {KM_TOP_K} AS recall_at_3
+FROM truth t
+LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
 def _ann_ivf_kmeans_sql() -> str:
     # cosine formulation copied from the passing ann_brute_topk oracle
     # (list_zip product sum / norms) so score bits match the engine's
@@ -767,6 +831,7 @@ def udf_oracles() -> dict[str, str]:
         "dedup_embedding_lsh": _embedding_lsh_sql(),
         "ann_ivf_kmeans": _ann_ivf_kmeans_sql(),
         "ann_ivf_pq": _ann_ivf_pq_sql(),
+        "ann_pq_recall_report": _ann_pq_recall_sql(),
         "dedup_semantic": _sem_dedup_sql(),
         "dedup_semantic_within_lang": _sem_lang_sql(),
         "dedup_lsh_eval_report": _lsh_eval_sql(),

@@ -933,11 +933,29 @@ WHERE list_sum(list_transform(list_zip(a.e, b.e), p -> CAST(p[1] AS DOUBLE) * CA
 """
 
 
-#: block-grid partition count for exact all-pairs cosine: vectors are
-#: split into N_COSINE_BLOCKS blocks, each unordered block pair is one
-#: task.  Per-task memory is 2·(n/P) vectors — at 10⁸ vectors choose
-#: P ≈ n·d·8 / task_budget_bytes instead of this test-scale constant.
+#: block-grid partition floor for exact all-pairs cosine: vectors are
+#: split into P blocks, each unordered block pair is one task.  The
+#: count ADAPTS to the corpus (see :func:`cosine_grid_blocks`): per-task
+#: memory is dominated by the (n/P)² similarity matrix, so P grows as
+#: n/COSINE_BLOCK_ROWS to pin it — the floor only matters at test SFs
+#: where it keeps plans (and the plan audit) stable.
 N_COSINE_BLOCKS = 8
+#: target rows per block: a 4096² f64 similarity matrix is 128 MB —
+#: comfortable beside the two (n/P)·d block matrices in one Python
+#: worker even at full task concurrency
+COSINE_BLOCK_ROWS = 4096
+
+
+def cosine_grid_blocks(n: int) -> int:
+    """Adaptive grid width: P = max(floor, ⌈n/4096⌉).
+
+    Fixing P is secretly a scale bug: at 60k vectors an 8-block grid
+    puts a 7.5k² ≈ 450 MB similarity matrix (plus numpy temporaries)
+    in EVERY concurrent worker — measured as Python-worker OOM crashes
+    in the sf3 probe.  Growing P with n keeps per-cell memory constant
+    (communication n·P rows is the accepted cost of the exact tier;
+    the O(n²d) FLOPs don't change)."""
+    return max(N_COSINE_BLOCKS, math.ceil(n / COSINE_BLOCK_ROWS))
 
 
 @register("dedup_embedding_cosine", _EMB_PAIRS_ORACLE)
@@ -961,8 +979,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    P = N_COSINE_BLOCKS
-    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # one cheap count picks the grid width (adaptive planning, like the
+    # LSH band sizing): P grows with n so the per-cell GEMM stays at a
+    # constant ~128 MB regardless of corpus size
+    P = cosine_grid_blocks(base.count())
+    emb = spread(base)
     cells = emb.select(
         "vec_id",
         "embedding",

@@ -1,0 +1,172 @@
+"""Third scaling point (sf3) + measured RP-LSH recall-decay curve.
+
+Extends the committed sf0.1 → sf1 scaling decade (docs/
+scale_probe_sf1.json) with the two measurements the one-decade probe
+could not make:
+
+1. **sf3 timings** — a 30×-replica documents/embeddings fixture under
+   ``.data/sf3`` gives the dedup/ANN families a THIRD point, so
+   sublinear-vs-superlinear is read off a curve, not a single ratio.
+   Only the two corpora are synthesized (``scale_probe.generate``'s
+   subset API); the TPC-H families already have their decade.
+
+2. **RP-LSH recall vs n** — ``rp_num_bands`` caps at ``RP_MAX_BANDS``
+   (64) once band width reaches 8 bits (n > 4096 at the 32-vector
+   bucket target), and past the cap the per-band miss compounds:
+   design-point (cosine 0.45) recall is predicted to decay
+   ≈ 0.9 → 0.87 → 0.57 → 0.42 at n = 2k → 8k → 32k → 64k.  This
+   probe MEASURES that curve with :func:`dedup_rp_lsh_eval_report`
+   against exact block-grid ground truth on rotation-replica fixtures
+   (replicas preserve within-replica cosine structure exactly), so
+   docs/SCALE.md's decay note carries data instead of theory.
+
+Usage::
+
+    python tools/scale3_probe.py            # generate (once) + measure
+
+Writes ``docs/scale_probe_sf3.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.scale_probe import DST as SF1_DST  # noqa: E402
+from tools.scale_probe import SRC, generate  # noqa: E402
+
+SF3_DST = os.path.join(REPO, ".data", "sf3")
+SF3_REPLICAS = 30
+
+#: corpus-only query set: every family whose input is documents or
+#: embeddings (the TPC-H families have their decade in scale_probe)
+QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
+    "dedup_exact_substring",
+    "dedup_semantic",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "ann_ivf_pq",
+]
+
+#: recall-curve fixtures: replica count → n = 2000 × replicas vectors
+RP_POINTS = [4, 16, 32]
+
+
+def _ensure(dst: str, replicas: int, tables) -> None:
+    if not all(
+        os.path.exists(os.path.join(dst, f"{t}.parquet")) for t in tables
+    ):
+        generate(dst=dst, replicas=replicas, tables=set(tables))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from mr_python_spark.dedup import rp_bits_per_band, rp_num_bands
+    from mr_python_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    _ensure(SF1_DST, 10, ("documents", "embeddings"))
+    _ensure(SF3_DST, SF3_REPLICAS, ("documents", "embeddings"))
+    for reps in RP_POINTS:
+        _ensure(
+            os.path.join(REPO, ".data", f"rp_x{reps}"), reps, ("embeddings",)
+        )
+
+    spark = get_spark("scale3_probe")
+    qs = entrymod.queries()
+    result: dict = {"replicas_sf3": SF3_REPLICAS}
+
+    # ---- part 1: sf3 timings (same method as scale_probe: warm both
+    # scale factors, then per-query best-of-3) ----
+    for sf_dir in (SRC, SF1_DST, SF3_DST):
+        for name in QUERIES:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", SF1_DST), ("sf3", SF3_DST)):
+        timings = {}
+        for name in QUERIES:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        timings["total"] = round(sum(timings.values()), 3)
+        result[sf_name] = timings
+    result["ratio_30x_data"] = {
+        k: round(result["sf3"][k] / result["sf0.1"][k], 2)
+        for k in result["sf0.1"]
+        if result["sf0.1"][k] > 0
+    }
+    result["ratio_sf3_vs_sf1"] = {
+        k: round(result["sf3"][k] / result["sf1"][k], 2)
+        for k in result["sf1"]
+        if result["sf1"][k] > 0
+    }
+
+    # ---- part 2: RP-LSH recall decay across the RP_MAX_BANDS cap ----
+    curve = []
+    points = [("sf0.1", SRC)] + [
+        (f"rp_x{reps}", os.path.join(REPO, ".data", f"rp_x{reps}"))
+        for reps in RP_POINTS
+    ]
+    for label, sf_dir in points:
+        n = (
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            .count()
+        )
+        t0 = time.perf_counter()
+        agg = (
+            qs["dedup_rp_lsh_eval_report"](spark, sf_dir)
+            .agg(
+                F.count(F.lit(1)).alias("true_pairs"),
+                F.sum(F.col("found_by_rp_lsh").cast("long")).alias("found"),
+                F.sum(
+                    ((F.col("cosine") >= 0.45) & F.col("found_by_rp_lsh")).cast(
+                        "long"
+                    )
+                ).alias("found_design"),
+                F.sum((F.col("cosine") >= 0.45).cast("long")).alias(
+                    "true_design"
+                ),
+            )
+            .collect()[0]
+        )
+        wall = time.perf_counter() - t0
+        bits = rp_bits_per_band(n)
+        curve.append(
+            {
+                "fixture": label,
+                "n_vectors": n,
+                "bits_per_band": bits,
+                "n_bands": rp_num_bands(bits),
+                "true_pairs": agg["true_pairs"],
+                "found": agg["found"],
+                "recall": round(agg["found"] / max(agg["true_pairs"], 1), 3),
+                "true_pairs_cos045": agg["true_design"],
+                "recall_cos045": round(
+                    agg["found_design"] / max(agg["true_design"], 1), 3
+                ),
+                "eval_wall_sec": round(wall, 1),
+            }
+        )
+    result["rp_recall_curve"] = curve
+
+    print(json.dumps(result, indent=2))
+    out = os.path.join(REPO, "docs", "scale_probe_sf3.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -2,10 +2,13 @@
 
 Image/audio/video payloads are ``binary`` columns with a metadata
 struct; decode/resize/frame-sample run as Arrow-batched pandas UDFs
-over ``mapInPandas``.  The decode itself is STUBBED (no image/audio
-libs in this container — see :func:`decode_image`): the Spark-side
-plumbing (schema, partitioning, UDF signature, batch shape) is real
-and tested, with a deterministic fake extractor standing in.
+over ``mapInPandas``.  Image decode is REAL for BMP, binary netpbm,
+8-bit PNG (inflate + unfilter) and — round 9 — baseline-sequential
+JPEG (:mod:`mr_python_spark.multimodal.jpeg`: huffman + dequantize +
+IDCT), all pure stdlib+numpy; Pillow is used instead when importable.
+Only formats beyond those (progressive JPEG, WebP, …) remain
+library-gated behind :func:`decode_image`'s ``NotImplementedError``,
+with :func:`fake_probe` as the deterministic tested stand-in.
 
 Scale notes: payload bytes ride the Arrow batches untouched; metadata
 extraction is per-batch vectorized; a 100 TB corpus partitions by
@@ -165,6 +168,11 @@ def _decode_builtin(payload: bytes):
     if payload[:8] == _PNG_SIG:
         png = _decode_png_pixels(payload)
         return None if png is None else png[:3]
+    if payload[:2] == b"\xff\xd8":
+        from mr_python_spark.multimodal.jpeg import decode_jpeg_pixels
+
+        jpg = decode_jpeg_pixels(payload)
+        return None if jpg is None else jpg[:3]
     if payload[:2] == b"BM" and len(payload) >= 54:
         # BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER: uint32
         # pixel-data offset at 10, uint32 biSize at 14, int32 width at
@@ -432,7 +440,7 @@ SELECT
   doc_id,
   CAST(1 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
   CAST(1 + (octet_length(encode(text)) * 3) % 64 AS INTEGER) AS height,
-  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+  CAST(CASE CAST(doc_id % 4 AS INTEGER)
        WHEN 1 THEN 1 WHEN 2 THEN 4 ELSE 3 END AS INTEGER) AS channels
 FROM documents
 """
@@ -445,11 +453,14 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each document's bytes become a genuine image whose dimensions
     derive from the payload length (the fixture step — this container
-    ships no image corpus): a 24-bit BMP for doc_id ≡ 0 (mod 3), a
-    REAL zlib-deflated grayscale PNG for ≡ 1, an RGBA PNG for ≡ 2 —
-    every PNG's scanlines exercise all five filter types, so
-    :func:`decode_image` performs an actual inflate + unfilter + IHDR
-    parse inside the Arrow-batched UDF, not a magic-number sniff.
+    ships no image corpus): a 24-bit BMP for doc_id ≡ 0 (mod 4), a
+    REAL zlib-deflated grayscale PNG for ≡ 1, an RGBA PNG for ≡ 2,
+    and (round 9) a REAL baseline-sequential JPEG for ≡ 3 — every
+    PNG's scanlines exercise all five filter types and the JPEG path
+    runs a full huffman decode + dequantize + IDCT
+    (:mod:`mr_python_spark.multimodal.jpeg`), so :func:`decode_image`
+    performs an actual format parse inside the Arrow-batched UDF, not
+    a magic-number sniff.
     With Pillow present the same bytes go through Pillow; without it
     the pure-stdlib parsers decode them — either way the decode is a
     real format parse, so a corrupted header, deflate stream, or
@@ -486,9 +497,13 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def encode(doc_id: int, payload: bytes) -> bytes:
         w, h = 1 + len(payload) % 64, 1 + (len(payload) * 3) % 64
-        fmt = doc_id % 3
+        fmt = doc_id % 4
         if fmt == 0:
             return encode_bmp(w, h)
+        if fmt == 3:  # round 9: REAL baseline JPEG (huffman + IDCT)
+            from mr_python_spark.multimodal.jpeg import encode_jpeg
+
+            return encode_jpeg(w, h, seed=doc_id % 97)
         return _encode_png(w, h, 1 if fmt == 1 else 4, seed=doc_id % 97)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -484,3 +484,67 @@ def test_pyjsonl_commit_protocol(tmp_path):
     w.abort([None, _JsonlCommit(filename="part-00002.jsonl", tmp_name=tmp, n_rows=1)])
     assert [p.name for p in tmp_path.glob("*.inprogress")] == [other.name]
     assert (tmp_path / "part-00000.jsonl").exists()
+
+
+def test_jpeg_roundtrip_baseline():
+    """The pure-stdlib JPEG path is a REAL codec: a seeded raster
+    encoded at 4:4:4 with Annex K tables decodes to the right
+    dimensions and pixel values within normal lossy-coding error
+    (wrap-heavy gradients measure MAE < 16), for block-aligned and
+    unaligned sizes including 1x1."""
+    import numpy as np
+
+    from mr_python_spark.multimodal import decode_image
+    from mr_python_spark.multimodal.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    for (w, h, seed) in [(8, 8, 3), (16, 8, 1), (17, 13, 2), (33, 9, 6), (1, 1, 5)]:
+        payload = encode_jpeg(w, h, seed=seed)
+        got = decode_jpeg_pixels(payload)
+        assert got is not None and got[:3] == (w, h, 3)
+        dec = np.frombuffer(got[3], dtype=np.uint8).reshape(h, w, 3).astype(float)
+        yy, xx = np.mgrid[0:h, 0:w]
+        src = np.stack(
+            [
+                (xx * 3 + yy * 5 + seed * 11) % 256,
+                (xx * 7 + yy * 2 + seed * 23) % 256,
+                (xx + yy * 13 + seed * 31) % 256,
+            ],
+            -1,
+        ).astype(float)
+        assert np.abs(dec - src).mean() < 16, (w, h, seed)
+        # the dispatch in decode_image takes the same path
+        assert decode_image(payload) == (w, h, 3)
+
+    # explicit-raster surface: solid color reproduces near-exactly
+    rgb = bytes([100, 150, 200]) * (8 * 8)
+    got = decode_jpeg_pixels(encode_jpeg(8, 8, rgb=rgb))
+    dec = np.frombuffer(got[3], dtype=np.uint8).reshape(8, 8, 3).astype(float)
+    assert np.abs(dec - np.array([100.0, 150.0, 200.0])).max() <= 3
+
+
+def test_jpeg_rejects_corrupt_and_out_of_scope():
+    """Malformed or out-of-scope JPEGs reject cleanly with None:
+    truncation (header and mid-scan), progressive SOF2, oversized
+    declared rasters, and junk that merely starts with the SOI magic."""
+    from mr_python_spark.multimodal.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    good = encode_jpeg(16, 16, seed=9)
+    assert decode_jpeg_pixels(good) is not None
+
+    sof_at = good.index(b"\xff\xc0")
+    progressive = good[:sof_at + 1] + b"\xc2" + good[sof_at + 2:]
+    huge = bytearray(good)
+    # SOF0 height/width at sof_at+5 (after marker+len+precision)
+    import struct
+
+    struct.pack_into(">HH", huge, sof_at + 5, 0x2000, 0x2000)  # 2^26 pixels
+    bad = [
+        b"\xff\xd8 definitely not a jpeg but starts with the magic",
+        good[:40],                # truncated in the tables
+        good[:-30],               # truncated mid-scan (EOI + data gone)
+        progressive,              # SOF2 out of scope
+        bytes(huge),              # total-pixel cap
+        good[:2] + good[4:],      # first segment marker misaligned
+    ]
+    for payload in bad:
+        assert decode_jpeg_pixels(payload) is None

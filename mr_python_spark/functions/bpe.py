@@ -1,0 +1,238 @@
+"""Byte-pair-encoding tokenizer: bounded-sample training, distributed encode.
+
+The real-tokenizer step of a training-data pipeline (the existing
+``encode_tokens_to_ids`` is a whole-word frequency vocab; this is the
+subword path): BPE merges are TRAINED on a deterministic bounded
+sample (the k-means/PQ posture — ``ORDER BY doc_id LIMIT cap`` over a
+stride subset, so the driver materializes a CONSTANT-size word-freq
+table at any corpus size), then the merge ranks ship to executors by
+closure and every document encodes in an Arrow-batched ``mapInPandas``
+pass with a per-batch word cache (Zipf makes the cache hit rate high —
+each distinct word BPE-encodes once per batch).
+
+Determinism: training picks the most frequent pair each round with
+ties broken by the lexicographically smallest pair, and greedy
+encoding merges the lowest-rank adjacent pair with ties broken by the
+leftmost position — both total orders, so the merge table and every
+token count are exact integers, bit-identical across engines and
+partitionings.  The DuckDB gate reimplements the whole pipeline
+independently in tools/udf_oracles.py; tests/test_hash_pipelines.py
+cross-checks the two trainers merge-for-merge.
+
+Reference scope note: tinymr has no tokenizer surface — this is the
+training-data-pipeline extension tier (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mr_python_spark.registry import register
+from mr_python_spark.session import load_table, spread
+
+#: training-sample posture: stride subset then hard cap — constant
+#: driver memory at any corpus size (the 100× rule)
+BPE_SAMPLE_STRIDE = 3
+BPE_SAMPLE_CAP = 1024
+#: merge-table size; training stops early when no pair repeats
+BPE_NUM_MERGES = 200
+#: end-of-word sentinel appended to each word's last symbol
+BPE_END = "</w>"
+
+_WORD_RE = re.compile(r"\s+")
+
+
+def _words(text: str) -> list[str]:
+    return [w for w in _WORD_RE.split(text.lower()) if w]
+
+
+def train_bpe(word_freq: dict[str, int], n_merges: int = BPE_NUM_MERGES):
+    """Deterministic BPE training over a word-frequency table.
+
+    Returns the ordered merge list ``[(left, right), ...]``.  Each
+    round merges the globally most frequent adjacent symbol pair
+    (frequency weighted by word count); ties break to the
+    lexicographically smallest pair.  Stops early once no pair occurs
+    twice (merging singletons would just memorize the sample).
+    """
+    seqs: dict[tuple[str, ...], int] = {}
+    for w, f in word_freq.items():
+        syms = tuple(list(w[:-1]) + [w[-1] + BPE_END])
+        seqs[syms] = seqs.get(syms, 0) + f
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, f in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, f in seqs.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            nxt[t] = nxt.get(t, 0) + f
+        seqs = nxt
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE encode of one word: repeatedly merge the adjacent
+    pair with the LOWEST training rank (leftmost on rank ties) until
+    no adjacent pair is in the table."""
+    syms = list(word[:-1]) + [word[-1] + BPE_END]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+_BPE_MODELS: dict[tuple, list[tuple[str, str]]] = {}
+
+
+def trained_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """Merge table for a corpus, cached per (file identity) like the
+    k-means/PQ models: stride-``BPE_SAMPLE_STRIDE`` docs, ``ORDER BY
+    doc_id LIMIT BPE_SAMPLE_CAP``, word-frequency aggregated
+    DISTRIBUTED (only the ≤vocab-size freq table reaches the driver,
+    never the text)."""
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    key = (os.path.realpath(p), st.st_size, st.st_mtime_ns)
+    model = _BPE_MODELS.get(key)
+    if model is None:
+        docs = load_table(spark, sf_dir, "documents")
+        sample = (
+            docs.filter(F.col("doc_id") % BPE_SAMPLE_STRIDE == 0)
+            .orderBy("doc_id")
+            .limit(BPE_SAMPLE_CAP)
+        )
+        freq_rows = (
+            sample.select(
+                F.explode(
+                    F.filter(
+                        F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+                    )
+                ).alias("word")
+            )
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .collect()
+        )
+        model = train_bpe({r.word: r.f for r in freq_rows})
+        _BPE_MODELS[key] = model
+    return model
+
+
+@register("bpe_vocab_merges")  # deterministic merge table; udf-oracle tier
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained merge table itself: (rank, left, right, merged).
+
+    Inspectable + joinable (the artifact a pipeline ships alongside the
+    encoded corpus).  Deterministic total order — rank is the training
+    round.  Verified merge-for-merge against the independent oracle
+    trainer (tools/udf_oracles.py) and the naive pytest reimplementation.
+    """
+    merges = trained_merges(spark, sf_dir)
+    rows = [
+        (i, a, b, a + b) for i, (a, b) in enumerate(merges)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("left", T.StringType()),
+            T.StructField("right", T.StringType()),
+            T.StructField("merged", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+_BPE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("n_bpe_tokens", T.IntegerType()),
+        T.StructField("n_unique_bpe_tokens", T.IntegerType()),
+    ]
+)
+
+
+@register("bpe_token_stats")  # udf-oracle in tools/udf_oracles.py
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword statistics under the trained BPE: word
+    count, BPE token count, distinct BPE tokens.
+
+    The token-budget accounting step of a pipeline (how many subword
+    tokens does this corpus contribute?).  Encoding is an Arrow-batched
+    ``mapInPandas`` pass; the merge ranks (≤ ``BPE_NUM_MERGES`` pairs)
+    ship by closure, and a per-batch word→tokens cache makes the cost
+    per distinct word, not per occurrence.  All outputs are exact
+    integers — bit-deterministic, gated against an independent DuckDB
+    UDF reimplementation of the full train+encode pipeline.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    ranks = {p: i for i, p in enumerate(trained_merges(spark, sf_dir))}
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+
+        def enc(w: str) -> list[str]:
+            toks = cache.get(w)
+            if toks is None:
+                toks = encode_word(w, ranks)
+                cache[w] = toks
+            return toks
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n_words, n_tok, n_uniq = [], [], []
+            for text in pdf["text"]:
+                ws = _words(text)
+                toks: list[str] = []
+                for w in ws:
+                    toks.extend(enc(w))
+                n_words.append(len(ws))
+                n_tok.append(len(toks))
+                n_uniq.append(len(set(toks)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": n_words,
+                    "n_bpe_tokens": n_tok,
+                    "n_unique_bpe_tokens": n_uniq,
+                }
+            )
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return docs.mapInPandas(stats, _BPE_STATS_SCHEMA)

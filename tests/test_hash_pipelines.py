@@ -555,3 +555,75 @@ def test_containment_dominates_jaccard_on_shared_pairs(spark):
 
     for pair in set(jac) - set(con):
         assert jac[pair] < CONTAIN_TAU, pair
+
+
+def test_bpe_trainer_and_encoder_cross_check(spark):
+    """The engine's BPE trainer must merge-for-merge equal a naive
+    from-scratch reimplementation on the same sample, and the
+    distributed per-doc token counts must equal encoding every doc
+    with those merges locally."""
+    from collections import Counter
+
+    from mr_python_spark.functions.bpe import (
+        BPE_SAMPLE_CAP,
+        BPE_SAMPLE_STRIDE,
+        bpe_token_stats,
+        encode_word,
+        train_bpe,
+        trained_merges,
+        _words,
+    )
+    from mr_python_spark.session import load_table
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    sample_ids = sorted(d for d in docs if d % BPE_SAMPLE_STRIDE == 0)[:BPE_SAMPLE_CAP]
+    wf = Counter(w for d in sample_ids for w in _words(docs[d]))
+
+    # naive trainer: same tie-break spec, written from scratch over
+    # plain tuples (no shared code with the engine trainer)
+    def naive_train(freq, n_merges=200):
+        seqs = Counter()
+        for w, f in freq.items():
+            seqs[tuple(list(w[:-1]) + [w[-1] + "</w>"])] += f
+        out = []
+        for _ in range(n_merges):
+            pc = Counter()
+            for syms, f in seqs.items():
+                for pair in zip(syms, syms[1:]):
+                    pc[pair] += f
+            if not pc or max(pc.values()) < 2:
+                break
+            top = max(pc.values())
+            best = min(p for p, c in pc.items() if c == top)
+            out.append(best)
+            nxt = Counter()
+            for syms, f in seqs.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                        merged.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                nxt[tuple(merged)] += f
+            seqs = nxt
+        return out
+
+    merges = trained_merges(spark, SF)
+    assert merges == naive_train(wf)
+    assert merges == train_bpe(dict(wf))
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.n_unique_bpe_tokens)
+        for r in bpe_token_stats(spark, SF).collect()
+    }
+    assert set(got) == set(docs)
+    for d, text in docs.items():
+        ws = _words(text)
+        toks = [t for w in ws for t in encode_word(w, ranks)]
+        assert got[d] == (len(ws), len(toks), len(set(toks))), d

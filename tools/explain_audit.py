@@ -574,6 +574,13 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=2,
     ),
+    # BPE encode: one Arrow-batched python pass over the scan, merges
+    # by closure — no join, no shuffle beyond the spread repartition
+    "bpe_token_stats": dict(
+        must=[r"MapInPandas"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
     # dynamic-gap sessions: same stateful session operator as the
     # fixed-gap query; the per-row gap is an expression, not state
     "session_window_dynamic_gap": dict(

@@ -81,6 +81,92 @@ def _rp_num_bands(bpb: int) -> int:
     )
 
 
+# --- BPE tokenizer (bpe_token_stats / bpe_vocab_merges) ----------------
+
+#: (sf_dir) -> (merges list, rank dict); independent reimplementation
+#: of mr_python_spark.functions.bpe (Counter-based trainer over lists,
+#: same total orders: max frequency then lexicographically smallest
+#: pair; greedy lowest-rank leftmost encode)
+_BPE_ORACLE_MODELS: dict[str, tuple] = {}
+
+
+def _bpe_oracle_model() -> tuple:
+    sf_dir = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
+    model = _BPE_ORACLE_MODELS.get(sf_dir)
+    if model is None:
+        import re as _re
+        from collections import Counter
+
+        import duckdb
+
+        rows = duckdb.sql(
+            f"""
+            SELECT lower(text) FROM '{sf_dir}/documents.parquet'
+            WHERE doc_id % 3 = 0 ORDER BY doc_id LIMIT 1024
+            """
+        ).fetchall()
+        wf: Counter = Counter()
+        for (t,) in rows:
+            for w in _re.split(r"\s+", t):
+                if w:
+                    wf[w] += 1
+        vocab = [(list(w[:-1]) + [w[-1] + "</w>"], f) for w, f in wf.items()]
+        merges: list[tuple[str, str]] = []
+        for _ in range(200):
+            pc: Counter = Counter()
+            for syms, f in vocab:
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += f
+            if not pc:
+                break
+            bestf = max(pc.values())
+            if bestf < 2:
+                break
+            best = min(p for p, f in pc.items() if f == bestf)
+            merges.append(best)
+            a, b = best
+            for k, (syms, f) in enumerate(vocab):
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[k] = (out, f)
+        model = (merges, {p: i for i, p in enumerate(merges)})
+        _BPE_ORACLE_MODELS[sf_dir] = model
+    return model
+
+
+def _bpe_merge_strs(dummy: int) -> list:
+    merges, _ = _bpe_oracle_model()
+    return [f"{i}\t{a}\t{b}\t{a}{b}" for i, (a, b) in enumerate(merges)]
+
+
+def _bpe_stats(text: str) -> list:
+    import re as _re
+
+    _, ranks = _bpe_oracle_model()
+    words = [w for w in _re.split(r"\s+", text.lower()) if w]
+    toks: list[str] = []
+    for w in words:
+        syms = list(w[:-1]) + [w[-1] + "</w>"]
+        while len(syms) > 1:
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+        toks.extend(syms)
+    return [len(words), len(toks), len(set(toks))]
+
+
+
 def register_udfs(con) -> None:
     """Register the oracle UDFs on a DuckDB connection (idempotent)."""
     import duckdb
@@ -138,6 +224,12 @@ def register_udfs(con) -> None:
             _pq_adc,
             [duckdb.list_type(duckdb.typing.DOUBLE), duckdb.list_type(INTEGER)],
             duckdb.typing.DOUBLE,
+        )
+        con.create_function(
+            "bpe_stats", _bpe_stats, [VARCHAR], duckdb.list_type(INTEGER)
+        )
+        con.create_function(
+            "bpe_merges", _bpe_merge_strs, [INTEGER], duckdb.list_type(VARCHAR)
         )
     except Exception as e:  # already registered on this connection
         if "already" not in str(e).lower():
@@ -821,6 +913,26 @@ LEFT JOIN found f ON f.vec_a = t.vec_a AND f.vec_b = t.vec_b
 """
 
 
+def _bpe_stats_sql() -> str:
+    return """
+SELECT doc_id,
+       s[1] AS n_words,
+       s[2] AS n_bpe_tokens,
+       s[3] AS n_unique_bpe_tokens
+FROM (SELECT doc_id, bpe_stats(text) AS s FROM documents)
+"""
+
+
+def _bpe_merges_sql() -> str:
+    return """
+SELECT CAST(string_split(s, chr(9))[1] AS INTEGER) AS rank,
+       string_split(s, chr(9))[2] AS "left",
+       string_split(s, chr(9))[3] AS "right",
+       string_split(s, chr(9))[4] AS merged
+FROM (SELECT unnest(bpe_merges(1)) AS s)
+"""
+
+
 def udf_oracles() -> dict[str, str]:
     """name -> DuckDB SQL requiring :func:`register_udfs` on the connection."""
     return {
@@ -832,6 +944,8 @@ def udf_oracles() -> dict[str, str]:
         "ann_ivf_kmeans": _ann_ivf_kmeans_sql(),
         "ann_ivf_pq": _ann_ivf_pq_sql(),
         "ann_pq_recall_report": _ann_pq_recall_sql(),
+        "bpe_token_stats": _bpe_stats_sql(),
+        "bpe_vocab_merges": _bpe_merges_sql(),
         "dedup_semantic": _sem_dedup_sql(),
         "dedup_semantic_within_lang": _sem_lang_sql(),
         "dedup_lsh_eval_report": _lsh_eval_sql(),

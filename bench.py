@@ -61,6 +61,9 @@ HEADLINE = [
     "dedup_exact_substring",
     "dedup_semantic",
     "gopher_quality_rules",
+    # round-9 additions: the BPE subword encode (python-pass-bound) so
+    # tokenizer throughput regressions are visible round-over-round
+    "bpe_token_stats",
 ]
 
 

@@ -49,6 +49,12 @@ QUERIES = [
     "dedup_embedding_lsh",
     "dedup_rp_lsh_eval_report",
     "char_diversity_quality",
+    # round-9 additions: envelope flags must not flip with layout, and
+    # the BPE merge table / subword counts are layout-independent by
+    # construction (driver-side training on an ORDER BY sample)
+    "dedup_incremental_minhash_envelope",
+    "dedup_semantic_envelope",
+    "bpe_token_stats",
 ]
 
 

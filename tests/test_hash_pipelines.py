@@ -627,3 +627,44 @@ def test_bpe_trainer_and_encoder_cross_check(spark):
         ws = _words(text)
         toks = [t for w in ws for t in encode_word(w, ranks)]
         assert got[d] == (len(ws), len(toks), len(set(toks))), d
+
+
+def test_bigram_lm_bit_surprisal_mirror(spark):
+    """The distributed LM score must equal a from-scratch pure-Python
+    bigram LM (same bounded sample, same add-V smoothing) computing
+    floor(log2)+1 via int.bit_length — pinning the no-float-log
+    quantization contract at every doc."""
+    from collections import Counter
+
+    from mr_python_spark.functions.lm import (
+        LM_SAMPLE_CAP,
+        LM_SAMPLE_STRIDE,
+        bigram_lm_perplexity,
+    )
+    from mr_python_spark.session import load_table
+
+    docs = {
+        r.doc_id: [t for t in r.text.lower().split() if t]
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    sample_ids = sorted(d for d in docs if d % LM_SAMPLE_STRIDE == 0)[:LM_SAMPLE_CAP]
+    uni = Counter(t for d in sample_ids for t in docs[d])
+    bi = Counter(
+        f"{a} {b}" for d in sample_ids for a, b in zip(docs[d], docs[d][1:])
+    )
+    vocab = len(uni)
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.surprisal_bits, r.bits_per_bigram)
+        for r in bigram_lm_perplexity(spark, SF).collect()
+    }
+    expect_ids = {d for d, toks in docs.items() if len(toks) >= 2}
+    assert set(got) == expect_ids
+    for d in expect_ids:
+        toks = docs[d]
+        bits = [
+            ((uni[a] + vocab) // (bi[f"{a} {b}"] + 1)).bit_length()
+            for a, b in zip(toks, toks[1:])
+        ]
+        n, s = len(bits), sum(bits)
+        assert got[d] == (n, s, s / n), d

@@ -581,6 +581,15 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         hinted_broadcasts=0,
     ),
+    # bigram LM scoring: model frames are sample-bounded (safe to hint
+    # broadcast at any sf); bigrams built in-array (no Window shuffle);
+    # the TakeOrdered cap bounds the training sample without a global
+    # sort; per-doc aggregate partial-combines map-side
+    "bigram_lm_perplexity": dict(
+        must=[r"BroadcastHashJoin", r"TakeOrderedAndProject", r"partial_"],
+        must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window"],
+        hinted_broadcasts=2,  # unigram + bigram model tables
+    ),
     # dynamic-gap sessions: same stateful session operator as the
     # fixed-gap query; the per-row gap is an expression, not state
     "session_window_dynamic_gap": dict(

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mr_python_spark.functions.text import tokens_col
+from mr_python_spark.functions.text import STOPWORDS, tokens_col
 from mr_python_spark.registry import register
 from mr_python_spark.session import load_table
 
@@ -170,4 +170,155 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.sum("bits").cast("long").alias("surprisal_bits"),
         (F.sum("bits").cast("double") / F.count("*")).alias("bits_per_bigram"),
+    )
+
+
+#: Fixed-point scale for sub-unity class likelihoods: ``(c+1)/(N+V)``
+#: is < 1, so both engines compute ``(c+1) * 2**30 // (N+V)`` — an
+#: exact positive integer whose bit length is the quantized log2.
+NB_SCALE = 1 << 30
+#: Deterministic weak-label rule for the training sample: a document
+#: is "good" when stopwords are >= 6% of its tokens (exact integer
+#: comparison ``100 * n_stop >= 6 * n`` — no float threshold).
+NB_STOP_PCT = 6
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_NB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+sample_docs AS (
+  SELECT doc_id, t,
+         CASE WHEN 100 * len(list_filter(t, x -> x IN ({_STOP_IN})))
+                   >= {NB_STOP_PCT} * len(t)
+              THEN 1 ELSE 0 END AS g
+  FROM toks WHERE doc_id % {LM_SAMPLE_STRIDE} = 0
+  ORDER BY doc_id LIMIT {LM_SAMPLE_CAP}
+),
+class_docs AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS n_good,
+         CAST(COUNT(*) - SUM(g) AS BIGINT) AS n_bad,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM sample_docs
+),
+tok_class AS (
+  SELECT tok, CAST(SUM(g) AS BIGINT) AS cg,
+         CAST(COUNT(*) - SUM(g) AS BIGINT) AS cb
+  FROM (SELECT g, unnest(t) AS tok FROM sample_docs)
+  GROUP BY tok
+),
+class_tokens AS (
+  SELECT CAST(SUM(cg) AS BIGINT) AS ng, CAST(SUM(cb) AS BIGINT) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM tok_class
+),
+scored AS (
+  SELECT c.doc_id,
+         length(bin((COALESCE(m.cg, 0) + 1) * {NB_SCALE}
+                    // ((SELECT ng FROM class_tokens) + (SELECT v FROM class_tokens))))
+       - length(bin((COALESCE(m.cb, 0) + 1) * {NB_SCALE}
+                    // ((SELECT nb FROM class_tokens) + (SELECT v FROM class_tokens))))
+           AS dbits
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) c
+  LEFT JOIN tok_class m ON c.tok = m.tok
+),
+prior AS (
+  SELECT length(bin((n_good + 1) * {NB_SCALE} // (n_docs + 2)))
+       - length(bin((n_bad + 1) * {NB_SCALE} // (n_docs + 2))) AS pbits
+  FROM class_docs
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(dbits) + (SELECT pbits FROM prior) AS BIGINT) AS score_bits,
+       CAST(CASE WHEN SUM(dbits) + (SELECT pbits FROM prior) >= 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS pred_good
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register("nb_quality_classifier", _NB_ORACLE)
+def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes quality scores, trained closed-form.
+
+    The fasttext-style quality-classifier stage of a pretraining
+    pipeline, reduced to its aggregation-expressible core: weak labels
+    from a deterministic heuristic (stopword mass >= ``NB_STOP_PCT``%%,
+    exact integer comparison) on the same bounded stride sample the
+    other trained models use, Laplace-smoothed per-class token
+    likelihoods via ONE groupBy over the sample — NB training IS
+    aggregation, no gradient loop — and corpus scoring as a broadcast
+    join of the vocab-bounded model against the exploded tokens.
+
+    Per-token log-odds is the DIFFERENCE of two bit lengths of exact
+    fixed-point integers (``(c+1) * 2^30 // (N_class + V)``), so the
+    per-doc score is an exact signed integer sum both engines agree on
+    bit-for-bit; ``pred_good`` is its sign with the class prior added.
+    One corpus scan, map-side joins, partial-agged groupBy(doc_id) —
+    the 100 TB posture matches the bigram LM above.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col().alias("toks")
+    )
+
+    n_stop = F.size(F.expr(f"filter(toks, x -> x IN ({_STOP_IN}))"))
+    sample = (
+        docs.filter(F.col("doc_id") % LM_SAMPLE_STRIDE == 0)
+        .orderBy("doc_id")
+        .limit(LM_SAMPLE_CAP)
+        .select(
+            "toks",
+            (100 * n_stop >= NB_STOP_PCT * F.size("toks"))
+            .cast("long")
+            .alias("g"),
+        )
+    )
+    tok_class = (
+        sample.select("g", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.sum("g").alias("cg"),
+            (F.count("*") - F.sum("g")).alias("cb"),
+        )
+    )
+    # Scalar model constants from the bounded sample (tiny collects —
+    # the adaptive-planning pattern), inlined so both engines smooth
+    # with identical exact integers.
+    n_good, n_docs = sample.agg(F.sum("g"), F.count("*")).first()
+    ng, nb, v = tok_class.agg(F.sum("cg"), F.sum("cb"), F.count("*")).first()
+    n_bad = n_docs - n_good
+    pbits = ((n_good + 1) * NB_SCALE // (n_docs + 2)).bit_length() - (
+        (n_bad + 1) * NB_SCALE // (n_docs + 2)
+    ).bit_length()
+
+    scored = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .join(F.broadcast(tok_class), "tok", "left")
+        .select(
+            "doc_id",
+            (
+                F.length(
+                    F.bin(
+                        F.expr(
+                            f"(coalesce(cg, 0L) + 1L) * {NB_SCALE}L div {ng + v}L"
+                        )
+                    )
+                )
+                - F.length(
+                    F.bin(
+                        F.expr(
+                            f"(coalesce(cb, 0L) + 1L) * {NB_SCALE}L div {nb + v}L"
+                        )
+                    )
+                )
+            ).alias("dbits"),
+        )
+    )
+    score = F.sum("dbits") + F.lit(pbits)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        score.cast("long").alias("score_bits"),
+        (score >= 0).cast("int").alias("pred_good"),
     )

@@ -668,3 +668,57 @@ def test_bigram_lm_bit_surprisal_mirror(spark):
         ]
         n, s = len(bits), sum(bits)
         assert got[d] == (n, s, s / n), d
+
+
+def test_nb_classifier_pure_python_mirror(spark):
+    """The distributed NB score must equal a from-scratch pure-Python
+    multinomial NB (same weak labels, same Laplace smoothing, same
+    fixed-point bit-length log) at every doc — and the weak-label rule
+    must produce both classes in the sample (a one-class sample would
+    silently degenerate the model)."""
+    from collections import Counter
+
+    from mr_python_spark.functions.lm import (
+        LM_SAMPLE_CAP,
+        LM_SAMPLE_STRIDE,
+        NB_SCALE,
+        NB_STOP_PCT,
+        nb_quality_classifier,
+    )
+    from mr_python_spark.functions.text import STOPWORDS
+    from mr_python_spark.session import load_table
+
+    docs = {
+        r.doc_id: [t for t in r.text.lower().split() if t]
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    sample_ids = sorted(d for d in docs if d % LM_SAMPLE_STRIDE == 0)[:LM_SAMPLE_CAP]
+    label = {
+        d: 100 * sum(t in STOPWORDS for t in docs[d]) >= NB_STOP_PCT * len(docs[d])
+        for d in sample_ids
+    }
+    assert 0 < sum(label.values()) < len(label)
+
+    cg = Counter(t for d in sample_ids if label[d] for t in docs[d])
+    cb = Counter(t for d in sample_ids if not label[d] for t in docs[d])
+    vocab = len({t for d in sample_ids for t in docs[d]})
+    ng, nb = sum(cg.values()), sum(cb.values())
+    n_good, n_docs = sum(label.values()), len(label)
+    pbits = ((n_good + 1) * NB_SCALE // (n_docs + 2)).bit_length() - (
+        (n_docs - n_good + 1) * NB_SCALE // (n_docs + 2)
+    ).bit_length()
+
+    got = {
+        r.doc_id: (r.n_tokens, r.score_bits, r.pred_good)
+        for r in nb_quality_classifier(spark, SF).collect()
+    }
+    assert set(got) == {d for d, toks in docs.items() if toks}
+    for d, toks in docs.items():
+        if not toks:
+            continue
+        score = pbits + sum(
+            ((cg[t] + 1) * NB_SCALE // (ng + vocab)).bit_length()
+            - ((cb[t] + 1) * NB_SCALE // (nb + vocab)).bit_length()
+            for t in toks
+        )
+        assert got[d] == (len(toks), score, int(score >= 0)), d

@@ -590,6 +590,14 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window"],
         hinted_broadcasts=2,  # unigram + bigram model tables
     ),
+    # NB classifier: one vocab-bounded model broadcast, weak labels
+    # and training all inside the TakeOrdered sample, corpus scored in
+    # one scan with a partial-agged per-doc reduce
+    "nb_quality_classifier": dict(
+        must=[r"BroadcastHashJoin", r"TakeOrderedAndProject", r"partial_"],
+        must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window"],
+        hinted_broadcasts=1,  # the per-token class-count model table
+    ),
     # dynamic-gap sessions: same stateful session operator as the
     # fixed-gap query; the per-row gap is an expression, not state
     "session_window_dynamic_gap": dict(

@@ -64,6 +64,8 @@ HEADLINE = [
     # round-9 additions: the BPE subword encode (python-pass-bound) so
     # tokenizer throughput regressions are visible round-over-round
     "bpe_token_stats",
+    "bigram_lm_perplexity",
+    "nb_quality_classifier",
 ]
 
 

@@ -107,11 +107,15 @@ PRIORITY: list[str] = [
     "dedup_semantic_envelope",  # SemDeDup (round-5)
     "ann_ivf_label",
     "ann_recall_report",  # measured-recall index audit (round-6)
-    "multimodal_decode_real",  # real BMP/PGM/PPM decode (round-7)
-    "multimodal_frame_sample",
+    "multimodal_decode_real",  # real BMP/PNG/JPEG decode (round-7/9)
     "vector_norms",
     "gopher_quality_rules",  # Gopher shape rules (round-6)
-    "doc_rarity_score",
+    # round-9 trained-model scorers (swap in for doc_rarity_score —
+    # the bigram LM supersedes rarity as the perplexity-family rep —
+    # and multimodal_frame_sample, whose family keeps decode_real;
+    # both rotated-out entries stay hash-gated in the full sweep)
+    "bigram_lm_perplexity",  # CCNet-style LM filter (round-9)
+    "nb_quality_classifier",  # closed-form NB quality scorer (round-9)
     "reach_flagged_neighborhood",  # WITH RECURSIVE reach (round-7)
     "pipeline_curate_report",  # capstone composed pipeline (round-5)
 ]

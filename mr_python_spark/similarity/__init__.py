@@ -78,6 +78,16 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         "vec_id", "embedding"
     )
+    return _blocked_topk(emb.select("vec_id", "embedding"), queries)
+
+
+def _blocked_topk(corpus: DataFrame, queries: DataFrame) -> DataFrame:
+    """Shared blocked-GEMM exact top-k core (see ann_brute_topk).
+
+    ``corpus``/``queries`` carry (vec_id, embedding); any candidate
+    predicate is applied by the CALLER before packing, so it sits
+    below the mapInPandas in the plan and reaches the parquet scan.
+    """
     q_packed = queries.agg(
         F.collect_list("vec_id").alias("q_ids"),
         F.collect_list("embedding").alias("q_vecs"),
@@ -102,7 +112,7 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    packed = emb.select("vec_id", "embedding").mapInPandas(pack, pack_schema)
+    packed = corpus.mapInPandas(pack, pack_schema)
     blocks = packed.join(F.broadcast(q_packed))  # 1-row cross: queries → every block
 
     schema = T.StructType(
@@ -158,6 +168,65 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+#: candidate predicate for the filtered search: a plain range filter so
+#: it is parquet-PUSHABLE (a modulo would not be) — the audit pins it
+FILTER_MAX_LABEL = 4
+
+_FILTERED_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+), q AS (
+  SELECT * FROM n WHERE vec_id % {QUERY_STRIDE} = 0
+), c AS (
+  SELECT * FROM n WHERE label < {FILTER_MAX_LABEL}
+), scored AS (
+  SELECT
+    q.vec_id AS query_id,
+    c.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(q.e, c.e), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (q.nrm * c.nrm) AS score
+  FROM q JOIN c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+@register("ann_filtered_topk", _FILTERED_ORACLE)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-filtered exact top-k: the production retrieval shape.
+
+    Metadata predicate first, cosine rank second ("nearest *in-stock*
+    products", "nearest *same-language* docs").  The candidate filter
+    (``label < FILTER_MAX_LABEL``) is applied BELOW the packing
+    ``mapInPandas``, so Catalyst pushes it into the parquet scan
+    (audit pins ``PushedFilters: [...LessThan(label``) and the blocked
+    GEMM only ever sees surviving rows — at 100 TB with the corpus
+    partitioned/bucketed on the filter column this prunes whole files
+    before a single byte of embedding is read.  Queries are the usual
+    stride subset, deliberately UNfiltered: the selective-filter case
+    where an IVF index degrades (a cross-cell candidate set empties
+    most probed cells) and the right plan is exactly this filtered
+    brute scan.  Sharing ``_blocked_topk`` with ``ann_brute_topk``
+    keeps one audited GEMM core for both.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        "vec_id", "embedding"
+    )
+    candidates = emb.filter(F.col("label") < FILTER_MAX_LABEL).select(
+        "vec_id", "embedding"
+    )
+    return _blocked_topk(candidates, queries)
 
 
 _IVF_ORACLE = """

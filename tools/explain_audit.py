@@ -400,6 +400,15 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=1,  # the 1-row packed query aggregate
     ),
+    # filtered retrieval: the candidate predicate must reach the
+    # parquet scan BELOW the packing mapInPandas — files prune before
+    # any embedding bytes are read when partitioned on the column
+    "ann_filtered_topk": dict(
+        must=[r"MapInPandas", r"Window", r"BroadcastExchange",
+              r"PushedFilters: \[.*LessThan\(label"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=1,  # the 1-row packed query aggregate
+    ),
     "ann_ivf_label": dict(
         must=[r"BroadcastHashJoin"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],

@@ -930,3 +930,97 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_distinct_stop") >= GOPHER_MIN_DISTINCT_STOP)
         ).alias("passes"),
     )
+
+
+#: Fixed-point scale for the drift report's quantized log2: probability
+#: ratios become ``count * 2**30 // total`` — exact BIGINT-safe
+#: integers up to multi-billion-token source slices (past that, the
+#: same expression moves to DECIMAL(38,0), the engine's stock recipe).
+DRIFT_SCALE = 1 << 30
+
+_DRIFT_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab),
+per_src AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cs FROM toks GROUP BY source, tok
+),
+src_total AS (
+  SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM per_src GROUP BY source
+),
+contrib AS (
+  SELECT p.source, s.ns,
+         p.cs * (length(bin(p.cs * {DRIFT_SCALE} // s.ns))
+               - length(bin(v.c  * {DRIFT_SCALE} // (SELECT n FROM total)))) AS dbits
+  FROM per_src p
+  JOIN vocab v USING (tok)
+  JOIN src_total s USING (source)
+)
+SELECT source,
+       CAST(MAX(ns) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS src_vocab,
+       CAST(SUM(dbits) AS BIGINT) AS drift_bits,
+       CAST(SUM(dbits) AS DOUBLE) / MAX(ns) AS kl_bits_per_token
+FROM contrib
+GROUP BY source
+"""
+
+
+@register("source_drift_report", _DRIFT_ORACLE)
+def source_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence to the corpus unigram mix, in bits.
+
+    The mixture-monitoring pass of a curation pipeline: when one
+    source's token distribution drifts from the blended corpus
+    (scraper regression, injected spam, a language flip), its KL
+    jumps.  ``KL(p_src || p_corpus) = E_src[log2(p_src/p_corpus)]``
+    with every log2 quantized the engine's way — the bit length of the
+    exact fixed-point integer ``count * 2**30 // total`` — so each
+    source's ``drift_bits`` is an exact signed integer sum both
+    engines reproduce bit-for-bit (the quantized estimate may dip
+    slightly below KL's true nonnegative value; it is a monitoring
+    report, not a probability).
+
+    One corpus scan feeds two map-side-combined aggregates
+    ((source, tok) and tok); the vocab join stays UNhinted — vocabulary
+    scales with the corpus, exactly the frame the round-2 broadcast
+    policy says AQE must be left to plan — and only the
+    source-cardinality totals frame (20 rows here, |sources| always)
+    broadcasts.  Output is |sources| rows; nothing corpus-sized moves.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens_col()).alias("tok"))
+
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    per_src = toks.groupBy("source", "tok").agg(F.count("*").alias("cs"))
+    src_total = per_src.groupBy("source").agg(F.sum("cs").alias("ns"))
+    # one scalar: the corpus token total (exact bigint, inlined so the
+    # oracle's (SELECT n FROM total) sees the identical literal)
+    n = vocab.agg(F.sum("c")).first()[0]
+
+    contrib = (
+        per_src.join(vocab, "tok")
+        .join(F.broadcast(src_total), "source")
+        .select(
+            "source",
+            "ns",
+            (
+                F.col("cs")
+                * (
+                    F.length(F.bin(F.expr(f"cs * {DRIFT_SCALE}L div ns")))
+                    - F.length(F.bin(F.expr(f"c * {DRIFT_SCALE}L div {n}L")))
+                )
+            ).alias("dbits"),
+        )
+    )
+    return contrib.groupBy("source").agg(
+        F.max("ns").alias("n_tokens"),
+        F.count("*").alias("src_vocab"),
+        F.sum("dbits").alias("drift_bits"),
+        (F.sum("dbits").cast("double") / F.max("ns")).alias("kl_bits_per_token"),
+    )

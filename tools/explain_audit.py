@@ -599,6 +599,14 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window"],
         hinted_broadcasts=2,  # unigram + bigram model tables
     ),
+    # drift report: only the |sources|-row totals frame is HINTED to
+    # broadcast; the corpus-scaling vocab join is left to AQE (its
+    # small-sf physical plan may still pick broadcast by size estimate
+    # — that is the planner's reversible choice, not a forced hint)
+    "source_drift_report": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"Window"],
+    ),
     # NB classifier: one vocab-bounded model broadcast, weak labels
     # and training all inside the TakeOrdered sample, corpus scored in
     # one scan with a partial-agged per-doc reduce

@@ -1024,3 +1024,75 @@ def source_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dbits").alias("drift_bits"),
         (F.sum("dbits").cast("double") / F.max("ns")).alias("kl_bits_per_token"),
     )
+
+
+_DUPNGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks)
+  WHERE i + 2 <= len(t)
+),
+counts AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c, CAST(length(g) AS BIGINT) AS glen
+  FROM grams GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN c >= 2 THEN c * glen ELSE 0 END) AS BIGINT) AS dup_char_mass,
+       CAST(SUM(CASE WHEN c >= 2 THEN c * glen ELSE 0 END) AS DOUBLE)
+         / SUM(c * glen) AS dup_ngram_char_frac
+FROM counts
+GROUP BY doc_id
+"""
+
+
+@register("dup_ngram_char_fraction", _DUPNGRAM_ORACLE)
+def dup_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-trigram character mass per document (Gopher rule).
+
+    The published repetition heuristic that ``quality_repetition``'s
+    top-gram shares don't capture: a document can avoid any single
+    dominant n-gram yet still be MOSTLY repeated material (looped
+    generations, stitched boilerplate).  This measures the fraction of
+    trigram CHARACTER mass carried by trigrams occurring >= 2 times in
+    the document; corpora drop docs past a threshold (Gopher used
+    ~0.10-0.18 across gram sizes).
+
+    Trigrams are built inside the token array (``transform`` with
+    index, like the bigram LM) — no window, so the only shuffles are
+    the two map-side-combined per-doc aggregates, each keyed by doc_id
+    and bounded by document length.  Exact integer masses; the final
+    fraction is the one IEEE division.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    trigrams = F.expr(
+        "filter(transform(toks, (x, i) -> IF(i < size(toks) - 2,"
+        " concat(x, ' ', element_at(toks, i + 2), ' ', element_at(toks, i + 3)),"
+        " NULL)), g -> g IS NOT NULL)"
+    )
+    counts = (
+        docs.select("doc_id", F.explode(trigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "doc_id",
+            "c",
+            (F.col("c") * F.length("g")).alias("mass"),
+            F.when(F.col("c") >= 2, F.col("c") * F.length("g"))
+            .otherwise(F.lit(0))
+            .alias("dup_mass"),
+        )
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.sum("dup_mass").alias("dup_char_mass"),
+        (F.sum("dup_mass").cast("double") / F.sum("mass")).alias(
+            "dup_ngram_char_frac"
+        ),
+    )

@@ -599,6 +599,13 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window"],
         hinted_broadcasts=2,  # unigram + bigram model tables
     ),
+    # Gopher dup-ngram mass: in-array trigram build (no Window), two
+    # doc-keyed partial-agged reduces, zero joins
+    "dup_ngram_char_fraction": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"Window", r"Join"],
+        hinted_broadcasts=0,
+    ),
     # drift report: only the |sources|-row totals frame is HINTED to
     # broadcast; the corpus-scaling vocab join is left to AQE (its
     # small-sf physical plan may still pick broadcast by size estimate

@@ -589,3 +589,94 @@ def char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("sum_c2").cast("double")
         ).alias("effective_alphabet"),
     )
+
+
+#: Winnowing parameters (Schleimer, Wilkerson, Aiken 2003): k-gram
+#: size and window width.  Guarantee: any shared token run of length
+#: >= WINNOW_K + WINNOW_W - 1 contributes at least one shared
+#: fingerprint, and no run shorter than WINNOW_K ever matches.
+WINNOW_K = 3
+WINNOW_W = 4
+
+_WINNOW_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, len(t) - {WINNOW_K} + 2),
+           j -> md5(t[j] || ' ' || t[j+1] || ' ' || t[j+2])
+         ) AS hs
+  FROM (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+    FROM documents
+  )
+  WHERE len(t) >= {WINNOW_K}
+),
+wins AS (
+  SELECT doc_id, len(hs) AS n_grams,
+         list_transform(
+           range(1, len(hs) - {WINNOW_W} + 2),
+           j -> list_min(list_slice(hs, j, j + {WINNOW_W} - 1))
+         ) AS w
+  FROM grams
+  WHERE len(hs) >= {WINNOW_W}
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(w) AS BIGINT) AS n_windows,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_fingerprints,
+       list_min(w) AS min_fp,
+       CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS fp_rate
+FROM wins
+"""
+
+
+@register("winnow_fingerprint_report", _WINNOW_ORACLE)
+def winnow_fingerprint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed k-gram fingerprints (the MOSS algorithm) per document.
+
+    The published scalable fingerprinting scheme behind plagiarism /
+    overlap detection: hash every ``WINNOW_K``-gram, slide a
+    ``WINNOW_W`` window over the hash sequence, keep each window's
+    minimum.  Any shared run of ``k + w - 1`` tokens is guaranteed a
+    shared fingerprint — the density/recall dial ``doc_fingerprint``'s
+    single whole-doc hash doesn't have.  md5 is the cross-engine hash
+    (bit-identical hex in Spark and DuckDB, so the report hash-gates
+    value-for-value, fingerprints included — unlike the xxhash64
+    rows-only tier).
+
+    The entire computation is ONE per-row projection over the token
+    array (gram build, hash, window minima, distinct — all
+    higher-order array functions inside whole-stage codegen): zero
+    joins, zero windows, ZERO shuffles at any corpus scale.  Per-row
+    cost is O(len · w) string compares — winnowing's own bound.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {WINNOW_K} + 1),"
+        f" j -> md5(concat_ws(' ', slice(toks, j, {WINNOW_K}))))"
+    )
+    hashed = (
+        docs.filter(F.size("toks") >= WINNOW_K)
+        .select("doc_id", grams.alias("hs"))
+        .filter(F.size("hs") >= WINNOW_W)
+    )
+    wins = F.expr(
+        f"transform(sequence(1, size(hs) - {WINNOW_W} + 1),"
+        f" j -> array_min(slice(hs, j, {WINNOW_W})))"
+    )
+    return hashed.select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n_grams"),
+        wins.alias("w"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        F.size("w").cast("long").alias("n_windows"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_fingerprints"),
+        F.array_min("w").alias("min_fp"),
+        (F.size(F.array_distinct("w")).cast("double") / F.size("w")).alias(
+            "fp_rate"
+        ),
+    )

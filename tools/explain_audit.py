@@ -599,6 +599,13 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window"],
         hinted_broadcasts=2,  # unigram + bigram model tables
     ),
+    # winnowing: the whole algorithm is one per-row array projection —
+    # no exchange of ANY kind may appear
+    "winnow_fingerprint_report": dict(
+        must=[r"codegen id"],
+        must_not=[r"Exchange", r"Join", r"Window", r"CartesianProduct"],
+        hinted_broadcasts=0,
+    ),
     # Gopher dup-ngram mass: in-array trigram build (no Window), two
     # doc-keyed partial-agged reduces, zero joins
     "dup_ngram_char_fraction": dict(

@@ -1823,3 +1823,84 @@ def dedup_rp_lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.coalesce("hit", F.lit(False)).alias("found_by_rp_lsh"),
     )
+
+
+_WINNOW_PAIRS_ORACLE = """
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, len(t) - 1),
+           j -> md5(t[j] || ' ' || t[j+1] || ' ' || t[j+2])
+         ) AS hs
+  FROM (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+    FROM documents
+  )
+  WHERE len(t) >= 3
+),
+fps AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(hs) - 2),
+           j -> list_min(list_slice(hs, j, j + 3))
+         ))) AS fp
+  FROM grams
+  WHERE len(hs) >= 4
+),
+rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 10
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+FROM fps a
+JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+JOIN rare r ON r.fp = a.fp
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("dedup_winnow", _WINNOW_PAIRS_ORACLE)
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowed fingerprints.
+
+    The matching half of the MOSS scheme (the report half is
+    ``winnow_fingerprint_report``): documents sharing >= 2 rare
+    winnowed fingerprints are overlap candidates, scored by how many
+    they share.  Winnowing keeps ~2/(w+1) of the gram hashes, so the
+    inverted index this builds is ~2.5x smaller than the full-shingle
+    index behind ``dedup_ngram_jaccard`` — the published way to cut
+    fingerprint storage while keeping the shared-run guarantee
+    (any common run of k+w-1 tokens still collides).
+
+    Scale posture is the family standard: fingerprint postings are
+    df-capped (2..DF_CAP) before the pair explosion, so join cost is
+    bounded by Σ min(df, cap)² — never all-pairs — and pairs explode
+    JVM-side from each posting's sorted doc array (bucket-group
+    pattern; no self-join re-running the upstream projection per
+    side).  The md5 fingerprints make the whole path — values
+    included — SQL-oracle hash-gated, unlike the xxhash64 tiers.
+    """
+    from mr_python_spark.functions.text import winnow_windows
+
+    fps = winnow_windows(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct("w")).alias("fp")
+    )
+    posts = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= DF_CAP))
+    )
+    pairs = posts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                " y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= 2)
+    )

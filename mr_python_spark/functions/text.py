@@ -598,6 +598,38 @@ def char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K = 3
 WINNOW_W = 4
 
+def winnow_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, w) with ``w`` the per-window minima array.
+
+    The shared winnowing projection: gram build, md5, sliding-window
+    minima — one per-row array computation, zero shuffles.  Consumed
+    by :func:`winnow_fingerprint_report` (per-doc density report) and
+    :func:`mr_python_spark.dedup.dedup_winnow` (shared-fingerprint
+    candidate pairs).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {WINNOW_K} + 1),"
+        f" j -> md5(concat_ws(' ', slice(toks, j, {WINNOW_K}))))"
+    )
+    hashed = (
+        docs.filter(F.size("toks") >= WINNOW_K)
+        .select("doc_id", grams.alias("hs"))
+        .filter(F.size("hs") >= WINNOW_W)
+    )
+    wins = F.expr(
+        f"transform(sequence(1, size(hs) - {WINNOW_W} + 1),"
+        f" j -> array_min(slice(hs, j, {WINNOW_W})))"
+    )
+    return hashed.select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n_grams"),
+        wins.alias("w"),
+    )
+
+
 _WINNOW_ORACLE = f"""
 WITH grams AS (
   SELECT doc_id,
@@ -650,27 +682,7 @@ def winnow_fingerprint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins, zero windows, ZERO shuffles at any corpus scale.  Per-row
     cost is O(len · w) string compares — winnowing's own bound.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens_col().alias("toks")
-    )
-    grams = F.expr(
-        f"transform(sequence(1, size(toks) - {WINNOW_K} + 1),"
-        f" j -> md5(concat_ws(' ', slice(toks, j, {WINNOW_K}))))"
-    )
-    hashed = (
-        docs.filter(F.size("toks") >= WINNOW_K)
-        .select("doc_id", grams.alias("hs"))
-        .filter(F.size("hs") >= WINNOW_W)
-    )
-    wins = F.expr(
-        f"transform(sequence(1, size(hs) - {WINNOW_W} + 1),"
-        f" j -> array_min(slice(hs, j, {WINNOW_W})))"
-    )
-    return hashed.select(
-        "doc_id",
-        F.size("hs").cast("long").alias("n_grams"),
-        wins.alias("w"),
-    ).select(
+    return winnow_windows(spark, sf_dir).select(
         "doc_id",
         "n_grams",
         F.size("w").cast("long").alias("n_windows"),

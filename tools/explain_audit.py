@@ -599,6 +599,15 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window"],
         hinted_broadcasts=2,  # unigram + bigram model tables
     ),
+    # winnow matching: zero-shuffle fingerprint projection feeding the
+    # df-capped posting aggregate + JVM pair explosion — no self-join,
+    # no forced broadcast
+    "dedup_winnow": dict(
+        must=[r"partial_", r"HashAggregate", r"Generate"],
+        must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window",
+                  r"BroadcastHashJoin"],
+        hinted_broadcasts=0,
+    ),
     # winnowing: the whole algorithm is one per-row array projection —
     # no exchange of ANY kind may appear
     "winnow_fingerprint_report": dict(

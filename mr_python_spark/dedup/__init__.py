@@ -1880,10 +1880,12 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     side).  The md5 fingerprints make the whole path — values
     included — SQL-oracle hash-gated, unlike the xxhash64 tiers.
     """
-    from mr_python_spark.functions.text import winnow_windows
+    from mr_python_spark.functions.text import winnow_minima
 
-    fps = winnow_windows(spark, sf_dir).select(
-        "doc_id", F.explode(F.array_distinct("w")).alias("fp")
+    fps = (
+        winnow_minima(spark, sf_dir)
+        .select("doc_id", F.col("wm").alias("fp"))
+        .distinct()
     )
     posts = (
         fps.groupBy("fp")

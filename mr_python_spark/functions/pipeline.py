@@ -1096,3 +1096,204 @@ def dup_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_ngram_char_frac"
         ),
     )
+
+
+#: DSIR hashed-feature space: unigrams hash into this many buckets.
+#: Constant by construction — the model table the scorer joins is at
+#: most DSIR_BUCKETS rows at ANY corpus size, which is what makes its
+#: broadcast hint policy-safe (unlike a vocabulary join, which scales
+#: with the corpus and stays AQE-planned).
+DSIR_BUCKETS = 64
+
+#: Fixed target slice for the importance weights: documents whose
+#: ``lang`` matches are the "target domain" whose hashed unigram mix
+#: raw documents are scored against.
+DSIR_TARGET_LANG = "en"
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(tok), 1, 6))::BIGINT % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+    FROM documents
+  )
+),
+model AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(COUNT(*) AS BIGINT) AS cr
+  FROM toks GROUP BY b
+),
+tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM model
+),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         length(bin((m.ct + 1) * {DRIFT_SCALE} // ((SELECT tt FROM tot) + {DSIR_BUCKETS})))
+       - length(bin((m.cr + 1) * {DRIFT_SCALE} // ((SELECT tr FROM tot) + {DSIR_BUCKETS}))) AS dbits
+  FROM toks t JOIN model m USING (b)
+)
+SELECT doc_id, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(dbits) AS BIGINT) AS dsir_bits,
+       CAST(SUM(dbits) AS DOUBLE) / COUNT(*) AS bits_per_token,
+       SUM(dbits) >= 0 AS selected
+FROM scored
+GROUP BY doc_id, lang
+"""
+
+
+@register("dsir_importance_weights", _DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al. 2023,
+    arXiv:2302.03169) over hashed unigram features.
+
+    The published importance-resampling recipe for targeting a
+    pretraining mixture at a domain: fit two bag-of-hashed-ngrams
+    unigram models — target (here the ``DSIR_TARGET_LANG`` slice) and
+    raw (the whole corpus) — and weight every document by
+    ``log p_target(x) - log p_raw(x)`` summed over its features.
+    Documents are then resampled by weight; this report emits the
+    weight, plus the threshold verdict at 0 (more target-like than
+    not), keeping the rejection-reasons shape of the other filters.
+
+    Feature hashing is the scheme's scale device and the determinism
+    device at once: md5 (the cross-engine hash) maps every token into
+    ``DSIR_BUCKETS`` buckets, so the model is a CONSTANT-size table at
+    any corpus size — safe to broadcast-hint, unlike a vocabulary
+    join — and both engines integer-hash identically via the hex
+    prefix.  Each log2 is quantized as the engine's stock fixed-point
+    bit length (the ``source_drift_report`` device), so the per-token
+    contribution is an exact signed integer and the per-doc sum is
+    bit-reproducible at any scale.  One corpus scan, one constant
+    broadcast join, one map-side-combined per-doc aggregate; the two
+    denominator scalars inline as literals (``.first()``) exactly like
+    the drift report's corpus total.  100 TB: nothing corpus-sized
+    moves except the exploded-token shuffle every text aggregate pays.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens_col()).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    model = toks.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    trow = model.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr")).first()
+    tt, tr = int(trow["tt"]), int(trow["tr"])
+
+    scored = toks.join(F.broadcast(model), "b").select(
+        "doc_id",
+        "lang",
+        (
+            F.length(
+                F.bin(F.expr(f"(ct + 1) * {DRIFT_SCALE}L div {tt + DSIR_BUCKETS}L"))
+            )
+            - F.length(
+                F.bin(F.expr(f"(cr + 1) * {DRIFT_SCALE}L div {tr + DSIR_BUCKETS}L"))
+            )
+        ).alias("dbits"),
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("dbits").alias("dsir_bits"),
+        (F.sum("dbits").cast("double") / F.count("*")).alias("bits_per_token"),
+        (F.sum("dbits") >= 0).alias("selected"),
+    )
+
+
+#: Temperature-mixture fixed-point scale and the sampling budget the
+#: quota column is denominated in.
+MIX_SCALE = 1 << 30
+MIX_BUDGET = 100_000
+
+_TEMPERATURE_ORACLE = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+mass AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS sqrt_mass
+  FROM per_src
+),
+tot AS (
+  SELECT CAST(SUM(sqrt_mass) AS BIGINT) AS smass,
+         CAST(SUM(n_tokens) AS BIGINT) AS ntot
+  FROM mass
+)
+SELECT source, n_docs, n_tokens, sqrt_mass,
+       sqrt_mass * {MIX_SCALE} // (SELECT smass FROM tot) AS weight_fp,
+       n_tokens * {MIX_SCALE} // (SELECT ntot FROM tot) AS natural_fp,
+       CAST(sqrt_mass * {MIX_SCALE} // (SELECT smass FROM tot) AS DOUBLE)
+         / (n_tokens * {MIX_SCALE} // (SELECT ntot FROM tot)) AS upsample_ratio,
+       sqrt_mass * {MIX_BUDGET} // (SELECT smass FROM tot) AS sample_quota
+FROM mass
+"""
+
+
+@register("mixture_temperature_weights", _TEMPERATURE_ORACLE)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (α = 1/2), the
+    multilingual-corpus mixture recipe (mBERT / XLM-R exponential
+    smoothing: sample source i with probability ∝ nᵢ^α).
+
+    ``mixture_resample_sources`` consumes fixed per-source rates; this
+    operator is where those rates come from — α-tempered token-mass
+    shares that upsample small sources and damp dominant ones.  α=1/2
+    is computed EXACTLY: ``floor(sqrt(n))`` on an exact token count is
+    the integer square root in both engines (n ≪ 2⁵³, sqrt correctly
+    rounded, so floor cannot cross an integer boundary), and every
+    share is fixed-point integer division — the weight table
+    hash-gates value-for-value.  ``upsample_ratio`` (tempered vs
+    natural share) is the one IEEE division per row.
+
+    One corpus scan into a |sources|-row aggregate (token counts come
+    from ``size(tokens)`` — a projection, no explode), then scalar
+    totals over the tiny frame.  At 100 TB the per-source aggregate is
+    the only shuffle and its output is |sources| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_col())).alias("n_tokens"),
+    )
+    mass = per_src.select(
+        "*",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long").alias(
+            "sqrt_mass"
+        ),
+    )
+    trow = mass.agg(
+        F.sum("sqrt_mass").alias("smass"), F.sum("n_tokens").alias("ntot")
+    ).first()
+    smass, ntot = int(trow["smass"]), int(trow["ntot"])
+    return mass.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "sqrt_mass",
+        F.expr(f"sqrt_mass * {MIX_SCALE}L div {smass}L").alias("weight_fp"),
+        F.expr(f"n_tokens * {MIX_SCALE}L div {ntot}L").alias("natural_fp"),
+        F.expr(
+            f"CAST(sqrt_mass * {MIX_SCALE}L div {smass}L AS DOUBLE)"
+            f" / (n_tokens * {MIX_SCALE}L div {ntot}L)"
+        ).alias("upsample_ratio"),
+        F.expr(f"sqrt_mass * {MIX_BUDGET}L div {smass}L").alias("sample_quota"),
+    )

@@ -708,3 +708,138 @@ def winnow_fingerprint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("wm").alias("min_fp"),
         (F.countDistinct("wm").cast("double") / F.count("*")).alias("fp_rate"),
     )
+
+
+#: BM25 retrieval parameters: the fixed query term set (one common,
+#: one mid, one rare term of the corpus vocabulary), k1 = 1.2 and
+#: b = 0.75 expressed exactly as the integer-cleared rational form
+#: below, result size, and the fixed-point scales.
+BM25_QUERY = ("spark", "window", "dup")
+BM25_TOPK = 10
+BM25_SCALE = 1 << 20
+BM25_IDF_SCALE = 1 << 20
+
+_BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+_BM25_ORACLE = f"""
+WITH dl AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))
+              AS BIGINT) AS dl
+  FROM documents
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+    FROM documents
+  )
+  WHERE tok IN ({_BM25_TERMS})
+  GROUP BY doc_id, tok
+),
+idf AS (
+  SELECT tok,
+         CAST(length(bin(
+           (2 * (SELECT n FROM tot) - 2 * COUNT(*) + 1) * {BM25_IDF_SCALE}
+             // (2 * COUNT(*) + 1)
+         )) AS BIGINT) AS idf_bits
+  FROM tf GROUP BY tok
+),
+scored AS (
+  SELECT tf.doc_id,
+         i.idf_bits
+           * ((22 * tf.tf * (SELECT t FROM tot) * {BM25_SCALE})
+              // (10 * tf.tf * (SELECT t FROM tot)
+                  + 3 * (SELECT t FROM tot)
+                  + 9 * d.dl * (SELECT n FROM tot))) AS s
+  FROM tf JOIN idf i USING (tok) JOIN dl d USING (doc_id)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(SUM(s) AS BIGINT) AS score_fp,
+       CAST(SUM(s) AS DOUBLE) / {BM25_SCALE} AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY score_fp DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+@register("search_bm25_topk", _BM25_ORACLE)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k document retrieval for a fixed query term set
+    (Robertson/Spärck Jones probabilistic ranking, the standard
+    lexical-retrieval scorer).
+
+    The retrieval capability the tf-idf report stops short of: score
+    every document against a query and return the best k.  Score =
+    Σ_term idf(term) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), with
+    k1 = 1.2, b = 0.75.  Clearing denominators makes the saturation
+    term the exact integer rational ``22·tf·T / (10·tf·T + 3·T +
+    9·dl·N)`` (T = corpus tokens, N = docs, avgdl = T/N), evaluated in
+    fixed point; idf uses the engine's quantized-log2 bit-length
+    device on the exact Robertson ratio ``(2N−2df+1)/(2df+1)``.  Every
+    per-(doc,term) score is therefore an exact integer, sums are
+    exact, and the top-k order (score desc, doc_id) is total — the
+    ranking hash-gates value-for-value.  BIGINT headroom: the widest
+    product ``22·tf·T·2²⁰`` fits to about T ≈ 10¹¹ tokens; past that
+    the same expression moves to DECIMAL(38,0), the engine's stock
+    recipe.
+
+    Plan: doc lengths are a pure projection (``size(tokens)``, no
+    explode); the token explode is filtered to the query terms BEFORE
+    any shuffle, so the per-(doc,term) aggregate carries only matching
+    postings; the idf frame (|query| rows, constant) broadcast-joins;
+    dl rides the posting aggregate via ``max`` instead of a second
+    corpus join; the final top-k is one TakeOrderedAndProject.  100 TB:
+    one filtered posting shuffle keyed by doc_id + a constant
+    broadcast — the inverted-index probe shape.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    trow = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).first()
+    n_docs, t_toks = int(trow["n"]), int(trow["t"])
+
+    terms = F.array(*[F.lit(t) for t in BM25_QUERY])
+    tf = (
+        docs.select("doc_id", F.size("toks").cast("long").alias("dl"),
+                    F.explode("toks").alias("tok"))
+        .filter(F.array_contains(terms, F.col("tok")))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    idf = tf.groupBy("tok").agg(
+        F.length(
+            F.bin(
+                F.expr(
+                    f"(2 * {n_docs}L - 2 * count(*) + 1) * {BM25_IDF_SCALE}L"
+                    f" div (2 * count(*) + 1)"
+                )
+            )
+        )
+        .cast("long")
+        .alias("idf_bits")
+    )
+    scored = tf.join(F.broadcast(idf), "tok").select(
+        "doc_id",
+        F.expr(
+            f"idf_bits * ((22 * tf * {t_toks}L * {BM25_SCALE}L)"
+            f" div (10 * tf * {t_toks}L + 3 * {t_toks}L + 9 * dl * {n_docs}L))"
+        ).alias("s"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hit_terms"),
+            F.sum("s").alias("score_fp"),
+            (F.sum("s").cast("double") / F.lit(BM25_SCALE)).alias("score"),
+        )
+        .orderBy(F.desc("score_fp"), "doc_id")
+        .limit(BM25_TOPK)
+    )

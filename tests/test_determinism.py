@@ -55,6 +55,13 @@ QUERIES = [
     "dedup_incremental_minhash_envelope",
     "dedup_semantic_envelope",
     "bpe_token_stats",
+    # round-9 second-wave scorers: DSIR's per-doc bit sums, the BM25
+    # ranking's fixed-point scores, and the isqrt mixture shares are
+    # all exact-integer until a final division — layout must not move
+    # a bit (nor reorder the BM25 top-k, which ties on doc_id)
+    "dsir_importance_weights",
+    "search_bm25_topk",
+    "mixture_temperature_weights",
 ]
 
 

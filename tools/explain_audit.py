@@ -830,6 +830,29 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"Exchange.*Exchange.*Exchange"],
         hinted_broadcasts=0,
     ),
+    # DSIR scoring: the ONLY join is against the DSIR_BUCKETS-row
+    # hashed model (constant size by construction -> hint is
+    # policy-safe); per-doc reduce partial-combines map-side
+    "dsir_importance_weights": dict(
+        must=[r"BroadcastHashJoin", r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window"],
+        hinted_broadcasts=1,  # the 64-bucket hashed unigram model
+    ),
+    # temperature mixture: token counts via size(tokens) projection
+    # (no explode, no Generate), one |sources|-row aggregate, no joins
+    "mixture_temperature_weights": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"Join", r"Generate", r"Window"],
+        hinted_broadcasts=0,
+    ),
+    # BM25: postings filtered to the query terms BEFORE the shuffle,
+    # |query|-row idf frame broadcast, dl rides the posting aggregate
+    # (no second corpus join), top-k is TakeOrderedAndProject
+    "search_bm25_topk": dict(
+        must=[r"BroadcastHashJoin", r"TakeOrderedAndProject", r"partial_"],
+        must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window"],
+        hinted_broadcasts=1,  # the constant-size idf frame
+    ),
 }
 
 

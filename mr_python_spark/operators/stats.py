@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mr_python_spark.functions.text import tokens_col
 from mr_python_spark.operators.aggregates import fixed_point
 from mr_python_spark.registry import register
 from mr_python_spark.session import load_table
@@ -463,4 +464,105 @@ def reservoir_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("event_type", "event_id", "user_id")
+    )
+
+
+#: Count-Min Sketch geometry: CMS_D independent hash rows of CMS_W
+#: counters.  The hash family is the cross-engine md5-prefix device
+#: seeded by the row index, so BOTH engines build bit-identical
+#: sketches — what turns the usual probabilistic accuracy claim into
+#: a value-for-value hash gate.  Sketch size is d*w counters, CONSTANT
+#: at any corpus size (the point of the sketch).
+CMS_D = 4
+CMS_W = 256
+CMS_TOPK = 12
+
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT tok, i,
+         ('0x' || substr(md5(chr(CAST(48 + i AS INTEGER)) || tok), 1, 6))::BIGINT % {CMS_W} AS b
+  FROM toks, (SELECT unnest(range(0, {CMS_D})) AS i)
+),
+counters AS (
+  SELECT i, b, CAST(COUNT(*) AS BIGINT) AS c FROM hashed GROUP BY i, b
+),
+exact AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count FROM toks GROUP BY tok
+),
+est AS (
+  SELECT h.tok, MIN(c.c) AS cms_estimate
+  FROM (SELECT DISTINCT tok, i, b FROM hashed) h
+  JOIN counters c USING (i, b)
+  GROUP BY h.tok
+)
+SELECT e.tok, est.cms_estimate, e.exact_count,
+       est.cms_estimate - e.exact_count AS overcount
+FROM exact e JOIN est USING (tok)
+ORDER BY est.cms_estimate DESC, e.tok
+LIMIT {CMS_TOPK}
+"""
+
+
+@register("cms_heavy_hitters", _CMS_ORACLE)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy hitters (Cormode & Muthukrishnan 2005)
+    with the exact-count audit column.
+
+    The mergeable frequency sketch the HLL envelope's family was
+    missing: ``CMS_D`` hash rows × ``CMS_W`` counters, estimate =
+    min over rows of the hashed counter — never an undercount, over
+    by at most the collision mass.  Per-partition partial counts
+    merge by addition (the sketch IS an aggregate), so at 100 TB the
+    corpus collapses into a CONSTANT d·w-counter frame in one
+    map-side-combined pass; the estimate probe then joins that
+    constant frame (broadcast hint is policy-safe by construction).
+    The exact column is the evaluation tier — a production run keeps
+    only the sketch.
+
+    Determinism: the hash family is the seeded md5-prefix device, so
+    the sketch, the estimates, and the measured overcounts are
+    bit-identical in both engines and under any partitioning; the
+    top-k orders by (estimate desc, tok) — a total order on exact
+    integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col()).alias("tok"))
+
+    def bucket(i: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(chr(48 + i)), F.col("tok"))), 1, 6),
+                16,
+                10,
+            ).cast("long")
+            % CMS_W
+        )
+
+    hashed = toks.select(
+        "tok",
+        F.posexplode(F.array(*[bucket(i) for i in range(CMS_D)])).alias("i", "b"),
+    )
+    counters = hashed.groupBy("i", "b").agg(F.count("*").alias("c"))
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    est = (
+        hashed.distinct()
+        .join(F.broadcast(counters), ["i", "b"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return (
+        exact.join(est, "tok")
+        .select(
+            "tok",
+            "cms_estimate",
+            "exact_count",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.desc("cms_estimate"), "tok")
+        .limit(CMS_TOPK)
     )

@@ -783,3 +783,109 @@ def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_3"
         ),
     )
+
+
+_KNN_EVAL_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+), q AS (
+  SELECT * FROM n WHERE vec_id % {QUERY_STRIDE} = 0
+), scored AS (
+  SELECT
+    q.vec_id AS query_id,
+    n.vec_id AS neighbor_id,
+    n.label AS n_label,
+    list_sum(list_transform(list_zip(q.e, n.e), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (q.nrm * n.nrm) AS score
+  FROM q JOIN n ON q.vec_id <> n.vec_id
+), topk AS (
+  SELECT query_id, n_label FROM (
+    SELECT query_id, n_label,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+), votes AS (
+  SELECT query_id, n_label, CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM topk GROUP BY query_id, n_label
+), pred AS (
+  SELECT query_id, n_label AS predicted FROM (
+    SELECT query_id, n_label,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY n_votes DESC, n_label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT q.label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN p.predicted = q.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN p.predicted = q.label THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS accuracy
+FROM pred p JOIN q ON p.query_id = q.vec_id
+GROUP BY q.label
+"""
+
+
+@register("knn_label_eval", _KNN_EVAL_ORACLE)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-prediction accuracy over the embedding space — the
+    classifier-evaluation tier for the vector index family.
+
+    Leave-one-out k-NN on the deterministic probe subset (every
+    ``QUERY_STRIDE``-th vector): exact cosine top-``TOP_K`` neighbors
+    from the shared blocked-GEMM core (:func:`_blocked_topk` — corpus
+    never shuffled, queries ride a 1-row broadcast), neighbors
+    majority-vote a predicted label (total tie order: votes desc,
+    label asc), and the report is per-label accuracy.  This measures
+    whether the embedding space actually CLUSTERS by label — the
+    assumption SemDeDup and the IVF label index both lean on; a low
+    accuracy here says those passes are partitioning noise, not
+    structure.
+
+    Everything after the GEMM is exact-integer voting (floats only
+    order neighbors, same contract as ``ann_brute_topk``); the final
+    accuracy is the one IEEE division.  100 TB: probe cost is
+    O(|probe| · corpus) GEMM FLOPs spread block-parallel; label joins
+    are equi-joins on vec_id, AQE-planned, nothing forced.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    topk = _blocked_topk(
+        emb.select("vec_id", "embedding"),
+        queries.select("vec_id", "embedding"),
+    )
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(
+            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "label", "n_label"
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "n_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("n_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("n_label").alias("predicted"))
+    )
+    truth = queries.select(F.col("vec_id").alias("query_id"), "label")
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("label"), 1).otherwise(0)
+            ).alias("n_correct"),
+            (
+                F.sum(
+                    F.when(F.col("predicted") == F.col("label"), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*")
+            ).alias("accuracy"),
+        )
+    )

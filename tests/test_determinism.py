@@ -62,6 +62,11 @@ QUERIES = [
     "dsir_importance_weights",
     "search_bm25_topk",
     "mixture_temperature_weights",
+    # the sketch is an exact-integer aggregate under the fixed md5
+    # family; the kNN report's floats only ORDER neighbors (the
+    # ann_brute contract) before exact-integer voting
+    "cms_heavy_hitters",
+    "knn_label_eval",
 ]
 
 

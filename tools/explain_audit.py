@@ -845,6 +845,22 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"Join", r"Generate", r"Window"],
         hinted_broadcasts=0,
     ),
+    # CMS: sketch builds as ONE map-side-combined constant-size
+    # aggregate; the estimate probe joins the constant counter frame
+    # (hinted); exact-count audit column is the evaluation tier
+    "cms_heavy_hitters": dict(
+        must=[r"BroadcastHashJoin", r"TakeOrderedAndProject", r"partial_"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=1,  # the d*w counter frame
+    ),
+    # kNN eval: blocked-GEMM core (1-row packed-query broadcast onto
+    # corpus blocks — the deliberate NLJ of the ann family), then
+    # exact-integer voting; label joins equi, AQE-planned
+    "knn_label_eval": dict(
+        must=[r"MapInPandas", r"Window"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=1,  # the 1-row packed query frame
+    ),
     # BM25: postings filtered to the query terms BEFORE the shuffle,
     # |query|-row idf frame broadcast, dl rides the posting aggregate
     # (no second corpus join), top-k is TakeOrderedAndProject

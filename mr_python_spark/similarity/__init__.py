@@ -889,3 +889,96 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+#: hard negatives kept per anchor (from the TOP_K exact shortlist)
+HARD_NEG_K = 3
+
+_HARD_NEG_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+), q AS (
+  SELECT * FROM n WHERE vec_id % {QUERY_STRIDE} = 0
+), scored AS (
+  SELECT
+    q.vec_id AS anchor_id,
+    q.label AS anchor_label,
+    n.vec_id AS neighbor_id,
+    n.label AS n_label,
+    list_sum(list_transform(list_zip(q.e, n.e), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (q.nrm * n.nrm) AS score
+  FROM q JOIN n ON q.vec_id <> n.vec_id
+), ranked AS (
+  SELECT anchor_id, anchor_label, neighbor_id, n_label,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT anchor_id, neighbor_id AS negative_id, n_label AS negative_label, neg_rank
+FROM (
+  SELECT anchor_id, neighbor_id, n_label,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY rank) AS neg_rank
+  FROM ranked
+  WHERE rank <= {TOP_K} AND n_label <> anchor_label
+)
+WHERE neg_rank <= {HARD_NEG_K}
+"""
+
+
+@register("hard_negative_mining", _HARD_NEG_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    anchor, the nearest neighbors that carry a DIFFERENT label.
+
+    The training-pair construction step of every retrieval/embedding
+    fine-tune (DPR, SimCSE-sup, sentence-transformers): negatives that
+    are close in the current embedding space are the informative ones.
+    Anchors are the deterministic probe subset; candidates come from
+    the shared blocked-GEMM exact top-``TOP_K`` shortlist
+    (:func:`_blocked_topk`), then the label filter keeps the top
+    ``HARD_NEG_K`` wrong-label neighbors per anchor, re-ranked densely
+    so downstream samplers see a contiguous rank.
+
+    Floats only order the shortlist (the ann_brute contract — both
+    engines rank on identical doubles with a neighbor_id tie-break);
+    everything emitted is integer.  100 TB: same cost envelope as the
+    brute probe (|anchors| · corpus GEMM, block-parallel, corpus never
+    shuffled) — production would swap the exact shortlist for the IVF
+    probe, same downstream shape.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    topk = _blocked_topk(
+        emb.select("vec_id", "embedding"),
+        queries.select("vec_id", "embedding"),
+    )
+    labels = emb.select("vec_id", "label")
+    cand = (
+        topk.withColumnRenamed("query_id", "anchor_id")
+        .join(
+            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "label", "n_label"
+            ),
+            "neighbor_id",
+        )
+        .join(
+            labels.withColumnRenamed("vec_id", "anchor_id").withColumnRenamed(
+                "label", "anchor_label"
+            ),
+            "anchor_id",
+        )
+        .filter(F.col("n_label") != F.col("anchor_label"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy("rank")
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= HARD_NEG_K)
+        .select(
+            "anchor_id",
+            F.col("neighbor_id").alias("negative_id"),
+            F.col("n_label").alias("negative_label"),
+            "neg_rank",
+        )
+    )

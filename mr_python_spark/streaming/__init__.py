@@ -813,3 +813,101 @@ def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, out_schema)
+
+
+_SCMS_ORACLE = """
+WITH hashed AS (
+  SELECT user_id, i,
+         ('0x' || substr(md5(chr(CAST(48 + i AS INTEGER)) || CAST(user_id AS VARCHAR)), 1, 6))::BIGINT % 256 AS b
+  FROM events, (SELECT unnest(range(0, 4)) AS i)
+),
+counters AS (
+  SELECT i, b, CAST(COUNT(*) AS BIGINT) AS c FROM hashed GROUP BY i, b
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_events FROM events GROUP BY user_id
+),
+est AS (
+  SELECT h.user_id, MIN(c.c) AS cms_estimate
+  FROM (SELECT DISTINCT user_id, i, b FROM hashed) h
+  JOIN counters c USING (i, b)
+  GROUP BY h.user_id
+)
+SELECT e.user_id, est.cms_estimate, e.exact_events,
+       est.cms_estimate - e.exact_events AS overcount
+FROM exact e JOIN est USING (user_id)
+ORDER BY est.cms_estimate DESC, e.user_id
+LIMIT 12
+"""
+
+
+@register("streaming_cms_hitters", _SCMS_ORACLE)
+def streaming_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch maintained BY THE STREAM: heavy-hitter users.
+
+    The streaming half of :func:`~mr_python_spark.operators.stats.
+    cms_heavy_hitters`: the sketch counters ARE the streaming state —
+    a complete-mode groupBy(row, bucket) count over the event stream,
+    d·w = 1024 rows of state TOTAL regardless of stream volume or key
+    cardinality (the reason production pipelines sketch instead of
+    counting: per-key streaming state grows unboundedly, sketch state
+    doesn't).  Spark keeps every counter incrementally current per
+    micro-batch; the heavy-hitter probe then reads the materialized
+    sketch batch-side (streaming forbids a second aggregation in the
+    same query — and a production probe IS a point-in-time lookup).
+    The exact-count audit column is the evaluation tier, same as the
+    batch twin; the seeded md5 family makes sketch and estimates
+    bit-identical across engines and under any partitioning.
+    """
+    stream = staged_events_stream(spark, sf_dir)
+
+    def bucket(i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(chr(48 + i)), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        )
+
+    hashed = stream.select(
+        "user_id",
+        F.posexplode(F.array(*[bucket(i) for i in range(4)])).alias("i", "b"),
+    )
+    counters = hashed.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+    sketch = run_to_memory(
+        spark, counters, "stream_cms", output_mode="complete"
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    batch_hashed = events.select(
+        "user_id",
+        F.posexplode(F.array(*[bucket(i) for i in range(4)])).alias("i", "b"),
+    )
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_events"))
+    est = (
+        batch_hashed.distinct()
+        .join(F.broadcast(sketch), ["i", "b"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "cms_estimate",
+            "exact_events",
+            (F.col("cms_estimate") - F.col("exact_events")).alias("overcount"),
+        )
+        .orderBy(F.desc("cms_estimate"), "user_id")
+        .limit(12)
+    )

@@ -67,6 +67,7 @@ QUERIES = [
     # ann_brute contract) before exact-integer voting
     "cms_heavy_hitters",
     "knn_label_eval",
+    "hard_negative_mining",
 ]
 
 

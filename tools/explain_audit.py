@@ -861,6 +861,19 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=1,  # the 1-row packed query frame
     ),
+    # hard negatives: same blocked-GEMM shortlist; label joins equi
+    "hard_negative_mining": dict(
+        must=[r"MapInPandas", r"Window"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=1,  # the 1-row packed query frame
+    ),
+    # streaming sketch probe: the audited plan is the batch probe over
+    # the stream-materialized 1024-row counter frame (hinted)
+    "streaming_cms_hitters": dict(
+        must=[r"BroadcastHashJoin", r"TakeOrderedAndProject", r"partial_"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=1,
+    ),
     # BM25: postings filtered to the query terms BEFORE the shuffle,
     # |query|-row idf frame broadcast, dl rides the posting aggregate
     # (no second corpus join), top-k is TakeOrderedAndProject

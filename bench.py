@@ -66,6 +66,11 @@ HEADLINE = [
     "bpe_token_stats",
     "bigram_lm_perplexity",
     "nb_quality_classifier",
+    # round-9 second wave: retrieval (inverted-index probe shape),
+    # hashed-model scoring, and the constant-state sketch
+    "search_bm25_topk",
+    "dsir_importance_weights",
+    "cms_heavy_hitters",
 ]
 
 

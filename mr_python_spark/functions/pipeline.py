@@ -1145,6 +1145,35 @@ GROUP BY doc_id, lang
 """
 
 
+#: (applicationId, documents file identity) → cached hashed-token
+#: frame; the DSIR scorer reads it three times per run (model build,
+#: totals scalar, scoring join), so it is tokenized+hashed ONCE
+_DSIR_TOKS_CACHE: dict = {}
+
+
+def _dsir_hashed_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, b) — md5-bucketed tokens, cached per corpus
+    (same keyed-cache-with-stale-eviction as the shingle frames)."""
+    from mr_python_spark.dedup import _keyed_df_cache
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        return (
+            docs.select("doc_id", "lang", F.explode(tokens_col()).alias("tok"))
+            .select(
+                "doc_id",
+                "lang",
+                (
+                    F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("long")
+                    % DSIR_BUCKETS
+                ).alias("b"),
+            )
+            .cache()
+        )
+
+    return _keyed_df_cache(_DSIR_TOKS_CACHE, spark, sf_dir, build)
+
+
 @register("dsir_importance_weights", _DSIR_ORACLE)
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data-selection importance weights (Xie et al. 2023,
@@ -1173,19 +1202,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drift report's corpus total.  100 TB: nothing corpus-sized
     moves except the exploded-token shuffle every text aggregate pays.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(tokens_col()).alias("tok"),
-    ).select(
-        "doc_id",
-        "lang",
-        (
-            F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("long")
-            % DSIR_BUCKETS
-        ).alias("b"),
-    )
+    toks = _dsir_hashed_toks(spark, sf_dir)
     model = toks.groupBy("b").agg(
         F.sum(
             F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)

@@ -59,7 +59,10 @@ PRIORITY: list[str] = [
     # window functions (running-frame shape also covered by the
     # gap-fill's ignore-nulls running window)
     "window_rank_dense",
-    "timeseries_gapfill",
+    # (timeseries_gapfill rotated out for the round-9 second wave —
+    # running/ignore-nulls frames keep window_rank_dense + the
+    # behavioral entries as in-window kin; gapfill stays in the sweep)
+    "search_bm25_topk",  # BM25 retrieval, inverted-index probe (round-9)
     # timeseries / behavioral analytics (round-5)
     "funnel_stages_events",
     "event_transition_matrix",
@@ -75,8 +78,9 @@ PRIORITY: list[str] = [
     "variant_props_events",
     "q1_pricing_decimal",
     "interval_ship_latency",
-    # statistics
-    "stats_variance_quantity",
+    # statistics / sketches (variance rotated out round-9 second wave;
+    # the moments recipe stays gated in the full sweep)
+    "cms_heavy_hitters",  # Count-Min sketch + exact audit (round-9)
     # projection/filter + distinct
     "filter_project_lineitem",
     "distinct_users_per_event",
@@ -96,7 +100,9 @@ PRIORITY: list[str] = [
     "pandas_udaf_weighted_avg",
     # LLM-pipeline families: dedup, ANN, multimodal, vectors,
     # cleaning passes
-    "dedup_exact",
+    # (dedup_exact rotated out round-9 second wave — the family keeps
+    # three in-window reps below and exact stays gated in the sweep)
+    "dsir_importance_weights",  # DSIR hashed-model selection (round-9)
     "dedup_ngram_jaccard",
     "dedup_containment",  # |A∩B|/min containment (round-6)
     # round-9: the two udf-oracle pipelines now enter the window via
@@ -108,7 +114,9 @@ PRIORITY: list[str] = [
     "ann_ivf_label",
     "ann_recall_report",  # measured-recall index audit (round-6)
     "multimodal_decode_real",  # real BMP/PNG/JPEG decode (round-7/9)
-    "vector_norms",
+    # (vector_norms rotated out round-9 second wave for the stronger
+    # embedding-space rep; it stays gated in the full sweep)
+    "knn_label_eval",  # embedding-space k-NN label accuracy (round-9)
     "gopher_quality_rules",  # Gopher shape rules (round-6)
     # round-9 trained-model scorers (swap in for doc_rarity_score —
     # the bigram LM supersedes rarity as the perplexity-family rep —

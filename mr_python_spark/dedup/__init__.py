@@ -1906,3 +1906,79 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= 2)
     )
+
+
+_AGREE_ORACLE = f"""
+WITH lex AS (
+  SELECT doc_a AS a, doc_b AS b FROM ({_NGRAM_ORACLE}) lex_src
+),
+sem AS (
+  SELECT vec_a AS a, vec_b AS b FROM ({_EMB_PAIRS_ORACLE}) sem_src
+),
+tagged AS (
+  SELECT a, b, 1 AS il, 0 AS isem FROM lex
+  UNION ALL
+  SELECT a, b, 0 AS il, 1 AS isem FROM sem
+),
+pairs AS (
+  SELECT a, b, MAX(il) AS il, MAX(isem) AS isem FROM tagged GROUP BY a, b
+)
+SELECT
+  CAST(SUM(il) AS BIGINT) AS n_lexical,
+  CAST(SUM(isem) AS BIGINT) AS n_semantic,
+  CAST(SUM(il * isem) AS BIGINT) AS n_both,
+  CAST(COUNT(*) AS BIGINT) AS n_either,
+  CASE WHEN COUNT(*) = 0 THEN CAST(0.0 AS DOUBLE)
+       ELSE CAST(SUM(il * isem) AS DOUBLE) / COUNT(*) END AS agreement
+FROM pairs
+"""
+
+
+@register("dedup_lexical_semantic_agreement", _AGREE_ORACLE)
+def dedup_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit between the lexical and semantic near-dup
+    passes: do n-gram Jaccard (text) and embedding cosine (vectors)
+    flag the SAME pairs?
+
+    The multi-signal sanity check a layered curation pipeline wants
+    before composing filters: high agreement means the cheap lexical
+    pass can pre-filter for the expensive semantic one; near-zero
+    agreement means they remove DIFFERENT redundancy and must both
+    run.  Output is one summary row — pair counts per signal, the
+    intersection, and their pairwise Jaccard (``agreement``) — built
+    by composing the two existing exact tiers (``dedup_ngram_
+    jaccard_exact`` ≥ 0.2, ``dedup_embedding_cosine`` ≥ 0.4, ids
+    shared via the doc_id = vec_id identity the SemDeDup queries
+    already use).  Flags are exact integers; the one division is
+    guarded for the empty-corpus case.
+
+    Scale: the two pair producers keep their own documented cost
+    envelopes (cached shingles / block-grid GEMM); everything after
+    is a pair-keyed aggregate whose output is ONE row.  The exact
+    tiers are deliberate here — an audit wants ground truth, and the
+    capped/LSH variants exist for the production path.
+    """
+    lex = dedup_ngram_jaccard_exact(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), F.lit(1).alias("il"),
+        F.lit(0).alias("isem"),
+    )
+    sem = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b"), F.lit(0).alias("il"),
+        F.lit(1).alias("isem"),
+    )
+    pairs = (
+        lex.unionByName(sem)
+        .groupBy("a", "b")
+        .agg(F.max("il").alias("il"), F.max("isem").alias("isem"))
+    )
+    return pairs.agg(
+        F.sum("il").alias("n_lexical"),
+        F.sum("isem").alias("n_semantic"),
+        F.sum(F.col("il") * F.col("isem")).alias("n_both"),
+        F.count("*").alias("n_either"),
+        F.when(F.count("*") == 0, F.lit(0.0))
+        .otherwise(
+            F.sum(F.col("il") * F.col("isem")).cast("double") / F.count("*")
+        )
+        .alias("agreement"),
+    )

@@ -843,3 +843,96 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_fp"), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+#: fraction (percent) of each language's token mass the curation
+#: budget keeps, best-quality-first
+KEEP_TOKEN_PCT = 60
+
+_QTHRESH_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(least(len(toks), 100) AS DOUBLE) / 100.0
+           * (0.5 + 0.5 * (CAST(len(list_filter(toks, t -> t IN {STOPWORDS!r})) AS DOUBLE)
+                           / len(toks))) AS quality_score
+  FROM (
+    SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+  )
+  WHERE len(toks) > 0
+),
+ranked AS (
+  SELECT lang, n_tokens, quality_score,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS rn,
+         SUM(n_tokens) OVER (PARTITION BY lang) AS total
+  FROM scored
+)
+SELECT lang,
+       CAST(MIN(rn) AS BIGINT) AS n_docs_kept,
+       CAST(min_by(cum, rn) AS BIGINT) AS kept_tokens,
+       CAST(MAX(total) AS BIGINT) AS total_tokens,
+       min_by(quality_score, rn) AS threshold_score
+FROM ranked
+WHERE cum * 100 >= {KEEP_TOKEN_PCT} * total
+GROUP BY lang
+"""
+
+
+@register("quality_token_budget", _QTHRESH_ORACLE)
+def quality_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality threshold for a fixed token budget: the
+    score cut that keeps the best ``KEEP_TOKEN_PCT``% of token mass.
+
+    How curation thresholds are actually chosen at scale — not a
+    fixed magic score but "keep the best N tokens": rank documents by
+    quality within each language, take the running token sum, and
+    report the first document where the kept mass crosses the budget
+    (its score IS the per-language threshold, and small languages get
+    their own cut instead of being crushed by the corpus-wide one).
+
+    Determinism: the ranking order (quality_score desc, doc_id) is a
+    total order on doubles both engines compute identically (the
+    gated ``quality_score`` expression); the running sum accumulates
+    exact integers, so the crossing row — found as min row_number
+    over the satisfying set, its columns extracted with ``min_by`` —
+    is unambiguous.  100 TB: one per-lang-partitioned window (the
+    sort is the cost, same shape as any per-key ranking) and a
+    |langs|-row aggregate; nothing corpus-sized leaves the shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "lang", tokens_col().alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size("toks").cast("long")
+    n_stop = F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t)))
+    score = (F.least(F.size("toks"), F.lit(100)).cast("double") / 100.0) * (
+        0.5 + 0.5 * (n_stop.cast("double") / F.size("toks"))
+    )
+    scored = toked.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"), score.alias("quality_score")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("quality_score"), "doc_id")
+    ranked = scored.select(
+        "lang",
+        "n_tokens",
+        "quality_score",
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).alias("rn"),
+        F.sum("n_tokens")
+        .over(Window.partitionBy("lang"))
+        .alias("total"),
+    )
+    return (
+        ranked.filter(F.col("cum") * 100 >= KEEP_TOKEN_PCT * F.col("total"))
+        .groupBy("lang")
+        .agg(
+            F.min("rn").cast("long").alias("n_docs_kept"),
+            F.min_by("cum", "rn").cast("long").alias("kept_tokens"),
+            F.max("total").cast("long").alias("total_tokens"),
+            F.min_by("quality_score", "rn").alias("threshold_score"),
+        )
+    )

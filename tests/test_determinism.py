@@ -68,6 +68,11 @@ QUERIES = [
     "cms_heavy_hitters",
     "knn_label_eval",
     "hard_negative_mining",
+    # the budget threshold's crossing row must not move with layout
+    # (double ordering + exact integer running mass), and the
+    # agreement counts compose two exact pair tiers
+    "quality_token_budget",
+    "dedup_lexical_semantic_agreement",
 ]
 
 

@@ -867,6 +867,18 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=1,  # the 1-row packed query frame
     ),
+    # agreement audit: composes the two exact pair tiers (their own
+    # audited plans), then a pair-keyed aggregate to ONE row
+    "dedup_lexical_semantic_agreement": dict(
+        must=[r"HashAggregate|SortAggregate", r"Union"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # per-lang ranking window + |langs|-row aggregate; no joins
+    "quality_token_budget": dict(
+        must=[r"Window", r"HashAggregate|SortAggregate"],
+        must_not=[r"CartesianProduct", r"Join"],
+        hinted_broadcasts=0,
+    ),
     # streaming sketch probe: the audited plan is the batch probe over
     # the stream-materialized 1024-row counter frame (hinted)
     "streaming_cms_hitters": dict(

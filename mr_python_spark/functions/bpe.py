@@ -236,3 +236,41 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.mapInPandas(stats, _BPE_STATS_SCHEMA)
+
+
+@register("tokenizer_fertility_report")  # udf-oracle in tools/udf_oracles.py
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility under the trained BPE:
+    subwords per word and characters per subword.
+
+    THE standard multilingual-tokenizer quality metric (fertility ≈ 1
+    means the vocab fits the language; high fertility means the
+    language pays more sequence length per word — the signal behind
+    vocab-budget reallocations and the mBERT/XLM-R sampling-α
+    debates, and exactly what :func:`~mr_python_spark.functions.
+    pipeline.mixture_temperature_weights` adjusts for).  Composes the
+    per-doc ``bpe_token_stats`` pass (Arrow-batched encode, per-batch
+    word cache) with the documents metadata on an equi-join, then one
+    |langs|-row aggregate: every sum is an exact integer, the two
+    ratios are final single divisions.  Same udf-oracle tier as the
+    rest of the BPE family (DuckDB re-runs the full train+encode via
+    registered Python UDFs).
+    """
+    stats = bpe_token_stats(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return (
+        stats.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            (
+                F.sum("n_bpe_tokens").cast("double") / F.sum("n_words")
+            ).alias("fertility"),
+            (
+                F.sum("n_chars").cast("double") / F.sum("n_bpe_tokens")
+            ).alias("chars_per_token"),
+        )
+    )

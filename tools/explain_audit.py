@@ -867,6 +867,12 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=1,  # the 1-row packed query frame
     ),
+    # fertility: the BPE encode pass (MapInPandas, ranks by closure)
+    # joined equi to doc metadata, one |langs|-row aggregate
+    "tokenizer_fertility_report": dict(
+        must=[r"MapInPandas", r"partial_"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
     # agreement audit: composes the two exact pair tiers (their own
     # audited plans), then a pair-keyed aggregate to ONE row
     "dedup_lexical_semantic_agreement": dict(

@@ -933,6 +933,24 @@ FROM (SELECT unnest(bpe_merges(1)) AS s)
 """
 
 
+def _bpe_fertility_sql() -> str:
+    return """
+WITH s AS (
+  SELECT doc_id, st[1] AS n_words, st[2] AS n_bpe_tokens
+  FROM (SELECT doc_id, bpe_stats(text) AS st FROM documents)
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(s.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(s.n_bpe_tokens) AS DOUBLE) / SUM(s.n_words) AS fertility,
+       CAST(SUM(d.n_chars) AS DOUBLE) / SUM(s.n_bpe_tokens) AS chars_per_token
+FROM s JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
 def udf_oracles() -> dict[str, str]:
     """name -> DuckDB SQL requiring :func:`register_udfs` on the connection."""
     return {
@@ -946,6 +964,7 @@ def udf_oracles() -> dict[str, str]:
         "ann_pq_recall_report": _ann_pq_recall_sql(),
         "bpe_token_stats": _bpe_stats_sql(),
         "bpe_vocab_merges": _bpe_merges_sql(),
+        "tokenizer_fertility_report": _bpe_fertility_sql(),
         "dedup_semantic": _sem_dedup_sql(),
         "dedup_semantic_within_lang": _sem_lang_sql(),
         "dedup_lsh_eval_report": _lsh_eval_sql(),

@@ -1982,3 +1982,73 @@ def dedup_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .alias("agreement"),
     )
+
+
+#: Fixed-point scale for aggregating pair similarities across engines:
+#: each pair's jaccard is ONE identical IEEE division in Spark and
+#: DuckDB, so ``floor(jaccard * PROV_SCALE)`` is the same integer in
+#: both and its SUM is exact — float sums would be addition-order
+#: dependent.
+PROV_SCALE = 1 << 20
+
+_CROSS_SOURCE_ORACLE = f"""
+WITH p AS ({_NGRAM_CAPPED_ORACLE}),
+s AS (SELECT doc_id, source FROM documents)
+SELECT
+  least(sa.source, sb.source) AS source_a,
+  greatest(sa.source, sb.source) AS source_b,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(CASE WHEN p.jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_strong,
+  CAST(SUM(CAST(FLOOR(p.jaccard * {PROV_SCALE}) AS BIGINT)) AS BIGINT) AS jsum_fp
+FROM p
+JOIN s sa ON sa.doc_id = p.doc_a
+JOIN s sb ON sb.doc_id = p.doc_b
+GROUP BY 1, 2
+"""
+
+
+@register("dedup_cross_source_matrix", _CROSS_SOURCE_ORACLE)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate provenance matrix: which source pairs share
+    near-dup documents, and how strongly.
+
+    The dataset-report companion to the dedup passes (the Dolma /
+    RefinedWeb-style contamination table): every verified
+    ``dedup_ngram_jaccard`` pair is attributed to its unordered
+    (source, source) cell — diagonal cells are intra-source
+    duplication (boilerplate within a crawl), off-diagonal cells are
+    cross-source contamination (mirrors, syndication, scraped
+    re-posts), the signal that decides which source to DROP rather
+    than which document.
+
+    Per-pair jaccard is one identical IEEE division in both engines,
+    so the quantized ``floor(j * PROV_SCALE)`` summand — and therefore
+    ``jsum_fp`` — is exact; ``n_strong`` counts pairs at or above
+    jaccard 1/2 with the same determinism.  Plan: the pair frame is
+    bounded by verified near-dups (not corpus size); attributing
+    sources is two doc_id-keyed joins against a narrow (doc_id,
+    source) projection — corpus-scaling, so NOT broadcast-hinted (the
+    round-2 policy); AQE picks the strategy.  The final aggregate is
+    at most |sources|² rows.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_strong"),
+            F.sum(F.floor(F.col("jaccard") * PROV_SCALE))
+            .cast("long")
+            .alias("jsum_fp"),
+        )
+    )

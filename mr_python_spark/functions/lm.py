@@ -29,7 +29,7 @@ is word count — /root/reference/docs.rst:137-176).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mr_python_spark.functions.text import STOPWORDS, tokens_col
@@ -321,4 +321,74 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         score.cast("long").alias("score_bits"),
         (score >= 0).cast("int").alias("pred_good"),
+    )
+
+
+#: Fixed-point scale for the per-bigram surprisal used as the CCNet
+#: bucket sort key: ``surprisal_bits * PPL_SCALE // n_bigrams`` is an
+#: exact integer in both engines, so the tercile ORDER BY is total
+#: (tie-broken by doc_id) and the bucket assignment deterministic.
+PPL_SCALE = 1 << 20
+
+_PPL_BUCKETS_ORACLE = f"""
+WITH lm AS ({_LM_ORACLE}),
+langs AS (SELECT doc_id, lang FROM documents),
+keyed AS (
+  SELECT l.doc_id, g.lang, l.n_bigrams, l.surprisal_bits,
+         l.surprisal_bits * {PPL_SCALE} // l.n_bigrams AS bpp_fp
+  FROM lm l JOIN langs g USING (doc_id)
+)
+SELECT doc_id, lang, n_bigrams, surprisal_bits, bpp_fp,
+       CASE NTILE(3) OVER (PARTITION BY lang ORDER BY bpp_fp, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM keyed
+"""
+
+
+@register("ccnet_perplexity_buckets", _PPL_BUCKETS_ORACLE)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles per language
+    (Wenzek et al. 2020, arXiv:1911.00359).
+
+    The published CCNet pipeline does not filter on a fixed perplexity
+    threshold — it sorts each language's documents by LM perplexity
+    and splits them into equal thirds, keeping ``head`` (most fluent)
+    for the highest-quality corpus slice and letting downstream
+    consumers choose how deep into ``middle``/``tail`` to reach.  This
+    operator is that bucketing over the engine's bigram-LM scorer.
+
+    Determinism: the sort key is the fixed-point integer
+    ``surprisal_bits * PPL_SCALE // n_bigrams`` (both factors exact
+    integers from the LM scorer), tie-broken by doc_id, so the
+    per-language ORDER is total and ``NTILE(3)`` — the same
+    even-split definition in Spark and DuckDB — assigns identical
+    buckets in both engines.
+
+    Plan: the LM scorer's one corpus scan + broadcast model joins,
+    then a doc_id-keyed join against a (doc_id, lang) projection and
+    ONE per-language window sort over |docs| narrow rows (five
+    integers each — the text never enters the window shuffle).  At
+    100 TB the window is the standard per-language sort every
+    quantile-split pays; languages are the partition key, so skew
+    follows the corpus language mix and the AQE skew handling the
+    window tier already relies on applies.
+    """
+    lm = bigram_lm_perplexity(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    keyed = lm.join(langs, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "surprisal_bits",
+        F.expr(f"surprisal_bits * {PPL_SCALE}L div n_bigrams").alias("bpp_fp"),
+    )
+    w = Window.partitionBy("lang").orderBy("bpp_fp", "doc_id")
+    tile = F.ntile(3).over(w)
+    return keyed.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "surprisal_bits",
+        "bpp_fp",
+        F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail").alias("bucket"),
     )

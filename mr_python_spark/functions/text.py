@@ -936,3 +936,198 @@ def quality_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("quality_score", "rn").alias("threshold_score"),
         )
     )
+
+
+#: Exact-phrase retrieval: fixed two-word phrases (positional
+#: adjacency, the inverted-index-with-positions query class) and the
+#: per-phrase result size.
+PHRASE_QUERIES = ("big table", "hash join", "sort merge")
+PHRASE_TOPK = 10
+
+_PHRASE_IN = ", ".join(f"'{p}'" for p in PHRASE_QUERIES)
+
+_PHRASE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks
+),
+hits AS (
+  SELECT doc_id, len(t) AS n_tokens, tok || ' ' || t[i+1] AS phrase
+  FROM pos
+  WHERE i < len(t) AND tok || ' ' || t[i+1] IN ({_PHRASE_IN})
+),
+counts AS (
+  SELECT phrase, doc_id,
+         CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS phrase_count
+  FROM hits GROUP BY phrase, doc_id
+)
+SELECT phrase, doc_id, n_tokens, phrase_count
+FROM counts
+QUALIFY ROW_NUMBER() OVER (PARTITION BY phrase ORDER BY phrase_count DESC, doc_id)
+        <= {PHRASE_TOPK}
+"""
+
+
+@register("search_phrase_topk", _PHRASE_ORACLE)
+def search_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase top-k retrieval: per-phrase document ranking by
+    adjacent-occurrence count.
+
+    The positional half of the lexical-retrieval surface: BM25
+    (``search_bm25_topk``) ranks by bag-of-words statistics and
+    cannot distinguish "hash join" from "join ... hash"; a phrase
+    query demands ADJACENT positions.  Classic engines answer it from
+    positional postings; here adjacency never leaves the row — each
+    document's matches are counted INSIDE its token array with an
+    indexed ``transform`` (the bigram-LM device), so the corpus text
+    is scanned once, never exploded, and never shuffled.
+
+    Only (phrase, doc) hit rows — bounded by matches, not corpus
+    size — reach the per-phrase ranking window; counts and ranks are
+    exact integers with a total order (count desc, doc_id), so the
+    top-k hash-gates value-for-value.  100 TB: one scan, a
+    hit-proportional shuffle on |phrases| partitions, and a top-k
+    window per phrase; a hot phrase skews its partition exactly like
+    a hot key in the window tier (same AQE posture).  Matching is
+    case-folded whitespace tokenization, the corpus-wide convention.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    counts = [
+        F.expr(
+            "size(filter(transform(toks, (x, i) ->"
+            f" IF(x = '{w1}' AND try_element_at(toks, i + 2) = '{w2}', 1, NULL)),"
+            " p -> p IS NOT NULL))"
+        )
+        .cast("long")
+        .alias(f"c{k}")
+        for k, (w1, w2) in enumerate(p.split(" ") for p in PHRASE_QUERIES)
+    ]
+    stack_args = ", ".join(f"'{p}', c{k}" for k, p in enumerate(PHRASE_QUERIES))
+    hits = (
+        docs.select("doc_id", F.size("toks").cast("long").alias("n_tokens"), *counts)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                f"stack({len(PHRASE_QUERIES)}, {stack_args}) AS (phrase, phrase_count)"
+            ),
+        )
+        .filter(F.col("phrase_count") > 0)
+    )
+    w = Window.partitionBy("phrase").orderBy(F.desc("phrase_count"), "doc_id")
+    return (
+        hits.select("phrase", "doc_id", "n_tokens", "phrase_count",
+                    F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= PHRASE_TOPK)
+        .select("phrase", "doc_id", "n_tokens", "phrase_count")
+    )
+
+
+#: Fixed-point scale for the type/token and hapax ratios (exact
+#: integer division — the TTR is the one place a float ratio would be
+#: tempting and is not needed).
+VOCAB_SCALE = 1 << 20
+
+_VOCAB_GROWTH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+uc AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(t) AS tok FROM toks)
+  GROUP BY source, tok
+),
+us AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM uc GROUP BY source
+),
+bs AS (
+  SELECT source, CAST(COUNT(DISTINCT b) AS BIGINT) AS n_bigram_types
+  FROM (
+    SELECT source, t[i] || ' ' || t[i+1] AS b
+    FROM (SELECT source, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+  ) GROUP BY source
+),
+dc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
+SELECT source, n_docs, n_tokens, n_types, n_hapax, n_bigram_types,
+       n_types * {VOCAB_SCALE} // n_tokens AS ttr_fp,
+       n_hapax * {VOCAB_SCALE} // n_types AS hapax_fp
+FROM us JOIN bs USING (source) JOIN dc USING (source)
+"""
+
+
+@register("vocab_growth_report", _VOCAB_GROWTH_ORACLE)
+def vocab_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-growth statistics: types, hapax legomena,
+    bigram types, and fixed-point type/token ratios.
+
+    The corpus-analytics table behind Heaps'-law monitoring: a
+    source whose type/token ratio or hapax share is anomalously LOW
+    is template/boilerplate-heavy (few new words per token); one
+    anomalously HIGH is noise-heavy (OCR junk, random strings —
+    every token novel).  Dataset reports (C4, Dolma, RefinedWeb)
+    tabulate exactly these to decide per-source cleaning pressure;
+    tracked across crawls the same numbers ARE the Heaps curve.
+
+    Everything is exact-integer: counts, distinct counts, and
+    fixed-point ratios (``n_types·2²⁰ div n_tokens``), so the report
+    hash-gates with no float tolerance.  Plan: one corpus scan
+    explodes tokens into a (source, token) partial+final count — the
+    word-count shape — then a |vocab|-row re-aggregate per source;
+    bigram types explode in-array bigrams (zip_with — no window, no
+    second scan of the text) into a distinct-count.  Final join of
+    three |sources|-row frames.  100 TB: two word-count-class
+    shuffles; nothing else moves.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", tokens_col().alias("t"))
+    uc = (
+        toks.select("source", F.explode("t").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    us = uc.groupBy("source").agg(
+        F.count("*").alias("n_types"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    bs = (
+        toks.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "zip_with(t, slice(t, 2, size(t)), (x, y) -> "
+                    "CASE WHEN y IS NOT NULL THEN concat(x, ' ', y) END)"
+                )
+            ).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .groupBy("source")
+        .agg(F.countDistinct("b").alias("n_bigram_types"))
+    )
+    dc = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        us.join(bs, "source")
+        .join(dc, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            "n_bigram_types",
+            F.expr(f"n_types * {VOCAB_SCALE}L div n_tokens").alias("ttr_fp"),
+            F.expr(f"n_hapax * {VOCAB_SCALE}L div n_types").alias("hapax_fp"),
+        )
+    )

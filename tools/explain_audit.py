@@ -900,6 +900,35 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window"],
         hinted_broadcasts=1,  # the constant-size idf frame
     ),
+    # CCNet terciles: the LM scorer's two model broadcasts, then ONE
+    # per-language window over narrow integer rows (text never enters
+    # the window shuffle); no extra hints beyond the LM's
+    "ccnet_perplexity_buckets": dict(
+        must=[r"Window", r"BroadcastHashJoin", r"partial_"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=2,  # inherited: unigram + bigram LM models
+    ),
+    # phrase retrieval: adjacency counted IN-ARRAY — the only Generate
+    # is the 3-rows-per-doc stack() pivot, never a token explode — and
+    # no join anywhere; only hit rows reach the per-phrase rank window
+    "search_phrase_topk": dict(
+        must=[r"Window", r"Arguments: stack\("],
+        must_not=[r"Join", r"CartesianProduct", r"explode\("],
+        hinted_broadcasts=0,
+    ),
+    # dup provenance: pair frame bounded by verified near-dups; source
+    # attribution joins a corpus-scaling (doc_id, source) projection —
+    # broadcast-hint FORBIDDEN (round-2 policy), AQE picks
+    "dedup_cross_source_matrix": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # vocab growth: two word-count-class partial+final aggregates
+    # (unigram counts, bigram distinct), |sources|-row final joins
+    "vocab_growth_report": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"Window"],
+    ),
 }
 
 

@@ -73,6 +73,13 @@ QUERIES = [
     # agreement counts compose two exact pair tiers
     "quality_token_budget",
     "dedup_lexical_semantic_agreement",
+    # round-9 fourth wave: NTILE over a total fixed-point order, the
+    # in-array phrase counts + doc_id-tied top-k, quantized-jaccard
+    # provenance sums, and the all-integer vocab-growth table
+    "ccnet_perplexity_buckets",
+    "search_phrase_topk",
+    "dedup_cross_source_matrix",
+    "vocab_growth_report",
 ]
 
 

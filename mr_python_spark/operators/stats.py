@@ -518,9 +518,13 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min over rows of the hashed counter — never an undercount, over
     by at most the collision mass.  Per-partition partial counts
     merge by addition (the sketch IS an aggregate), so at 100 TB the
-    corpus collapses into a CONSTANT d·w-counter frame in one
-    map-side-combined pass; the estimate probe then joins that
-    constant frame (broadcast hint is policy-safe by construction).
+    corpus collapses into a CONSTANT d·w-counter frame: one
+    map-side-combined token count (the word-count shape), then the
+    VOCABULARY — not the raw token stream — is hashed into the d rows
+    (counter = Σ counts of tokens landing there, identical by
+    linearity, with |vocab|·d md5 calls instead of |tokens|·d); the
+    estimate probe then joins that constant frame (broadcast hint is
+    policy-safe by construction).
     The exact column is the evaluation tier — a production run keeps
     only the sketch.
 
@@ -543,14 +547,20 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             % CMS_W
         )
 
-    hashed = toks.select(
+    # count FIRST (the word-count shape), hash the VOCABULARY: the
+    # counter for (i, b) is the sum of the counts of tokens hashing
+    # there — identical to hashing the raw stream, but md5 runs
+    # |vocab|·d times instead of |corpus tokens|·d, and the estimate
+    # probe needs no distinct over a corpus-sized exploded frame
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    hashed = exact.select(
         "tok",
+        "exact_count",
         F.posexplode(F.array(*[bucket(i) for i in range(CMS_D)])).alias("i", "b"),
     )
-    counters = hashed.groupBy("i", "b").agg(F.count("*").alias("c"))
-    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    counters = hashed.groupBy("i", "b").agg(F.sum("exact_count").alias("c"))
     est = (
-        hashed.distinct()
+        hashed.select("tok", "i", "b")
         .join(F.broadcast(counters), ["i", "b"])
         .groupBy("tok")
         .agg(F.min("c").alias("cms_estimate"))

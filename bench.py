@@ -71,6 +71,15 @@ HEADLINE = [
     "search_bm25_topk",
     "dsir_importance_weights",
     "cms_heavy_hitters",
+    # round-9 fourth wave: positional retrieval (in-array, join-free),
+    # near-dup provenance (pair-bounded joins), the per-source
+    # vocabulary table (two word-count-class shuffles), and the CCNet
+    # terciles (cached-LM consumer — benched AFTER the LM entry, so
+    # its timing shows the marginal window cost, not a retrain)
+    "search_phrase_topk",
+    "dedup_cross_source_matrix",
+    "vocab_growth_report",
+    "ccnet_perplexity_buckets",
 ]
 
 

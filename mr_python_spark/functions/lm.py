@@ -123,8 +123,25 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     The two model frames are sample-bounded by construction — the
     broadcast hints are size-safe at any corpus scale (contrast the
     size-GATED dedup verify-join broadcast, whose frame scales with
-    the corpus).
+    the corpus).  The per-doc scored frame joins the shared keyed
+    cache (the DSIR pattern): the CCNet bucketer consumes it too, and
+    without the cache each consumer would retrain the model and
+    rescan the corpus.
     """
+    from mr_python_spark.dedup import _keyed_df_cache
+
+    def build() -> DataFrame:
+        return _lm_scored(spark, sf_dir).cache()
+
+    return _keyed_df_cache(_LM_SCORED_CACHE, spark, sf_dir, build)
+
+
+#: (applicationId, documents file identity) → cached per-doc LM score
+#: frame; see :func:`bigram_lm_perplexity`
+_LM_SCORED_CACHE: dict = {}
+
+
+def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens_col().alias("toks")
     )

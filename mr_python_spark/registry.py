@@ -103,7 +103,11 @@ PRIORITY: list[str] = [
     # (dedup_exact rotated out round-9 second wave — the family keeps
     # three in-window reps below and exact stays gated in the sweep)
     "dsir_importance_weights",  # DSIR hashed-model selection (round-9)
-    "dedup_ngram_jaccard",
+    # round-9 fourth wave: the provenance matrix RUNS dedup_ngram_jaccard
+    # end-to-end (pair mining + exact verification) and then attributes
+    # every pair to its source cell — a strictly stronger gate, so it
+    # takes the family slot; ngram_jaccard itself stays in the sweep
+    "dedup_cross_source_matrix",
     "dedup_containment",  # |A∩B|/min containment (round-6)
     # round-9: the two udf-oracle pipelines now enter the window via
     # their SQL-oracle ENVELOPE companions (each runs the parent pass
@@ -122,7 +126,11 @@ PRIORITY: list[str] = [
     # the bigram LM supersedes rarity as the perplexity-family rep —
     # and multimodal_frame_sample, whose family keeps decode_real;
     # both rotated-out entries stay hash-gated in the full sweep)
-    "bigram_lm_perplexity",  # CCNet-style LM filter (round-9)
+    # (fourth wave: the CCNet tercile bucketer runs the bigram LM
+    # end-to-end and then gates the per-language NTILE split on top —
+    # it takes the perplexity-family slot; the LM entry stays in the
+    # sweep and the bench)
+    "ccnet_perplexity_buckets",  # CCNet head/middle/tail (round-9)
     "nb_quality_classifier",  # closed-form NB quality scorer (round-9)
     "reach_flagged_neighborhood",  # WITH RECURSIVE reach (round-7)
     "pipeline_curate_report",  # capstone composed pipeline (round-5)

@@ -1314,3 +1314,144 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("upsample_ratio"),
         F.expr(f"sqrt_mass * {MIX_BUDGET}L div {smass}L").alias("sample_quota"),
     )
+
+
+#: Fixed-point scale for the shard-load and OOV shares (exact integer
+#: division — same device as the mixture weights).
+BALANCE_SCALE = 1 << 20
+
+_SHARD_BALANCE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         ((doc_id * 2654435761) % 1000003) % {SHUFFLE_SHARDS} AS shard,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))
+              AS BIGINT) AS n_tok
+  FROM documents
+),
+per AS (
+  SELECT shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM keyed GROUP BY shard
+)
+SELECT shard, n_docs, n_tokens,
+       CAST(n_tokens * {SHUFFLE_SHARDS} * {BALANCE_SCALE} // SUM(n_tokens) OVER ()
+            AS BIGINT) AS load_fp
+FROM per
+"""
+
+
+@register("shard_balance_report", _SHARD_BALANCE_ORACLE)
+def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass balance of the deterministic training shards.
+
+    The evaluation tier for ``shuffle_shard_order``: a trainer reading
+    one shard per worker is gated by the HEAVIEST shard, so the thing
+    to monitor is token mass per shard, not document count.
+    ``load_fp`` is each shard's mass relative to perfect balance
+    (``BALANCE_SCALE`` ≡ 1.0) as an exact fixed-point integer — the
+    multiplicative-hash sharding should hold every shard within a few
+    percent of 1.0 at any corpus size, and a drifting ``load_fp`` is
+    the signal to re-key.
+
+    One corpus scan (token counts are a ``size(tokens)`` projection —
+    no explode), one |shards|-row aggregate, and a global window over
+    that constant-size frame for the total.  100 TB: the per-shard
+    aggregate is the only shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        ((F.col("doc_id") * F.lit(2654435761)) % 1000003 % SHUFFLE_SHARDS).alias(
+            "shard"
+        ),
+        F.size(tokens_col()).cast("long").alias("n_tok"),
+    )
+    per = keyed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    return per.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            f"n_tokens * {SHUFFLE_SHARDS}L * {BALANCE_SCALE}L div sum(n_tokens) over ()"
+        ).alias("load_fp"),
+    )
+
+
+_OOV_DRIFT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+tg AS (
+  SELECT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM (SELECT doc_id, source, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)
+),
+cv AS (SELECT DISTINCT g FROM tg WHERE doc_id % 7 <> 0),
+batch AS (SELECT source, g FROM tg WHERE doc_id % 7 = 0)
+SELECT b.source,
+       CAST(COUNT(*) AS BIGINT) AS n_batch_grams,
+       CAST(SUM(CASE WHEN v.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_grams,
+       CAST(COUNT(DISTINCT CASE WHEN v.g IS NULL THEN b.g END) AS BIGINT) AS n_new_types,
+       CAST(SUM(CASE WHEN v.g IS NULL THEN 1 ELSE 0 END) * {BALANCE_SCALE} // COUNT(*)
+            AS BIGINT) AS oov_fp
+FROM batch b LEFT JOIN cv v USING (g)
+GROUP BY b.source
+"""
+
+
+@register("incremental_oov_report", _OOV_DRIFT_ORACLE)
+def incremental_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty monitor for incremental ingest: per-source trigram
+    out-of-vocabulary mass of a new batch against the accepted corpus.
+
+    The drift gauge a continuous-ingest pipeline runs beside the
+    incremental dedup passes.  The deterministic batch split is
+    ``doc_id % 7`` — coprime with the fixture's 20-source id cycle,
+    unlike the dedup family's ``% 10`` split, which aliases onto two
+    sources and would leave 18 report rows empty: a batch whose n-gram contexts are mostly ALREADY in
+    the corpus adds little (re-crawls, mirrors); one with a spiking
+    OOV share signals topic/domain drift — or junk — before any
+    model ever trains on it.  Trigram contexts (not unigrams) because
+    a saturated unigram vocabulary stops moving long before the
+    context distribution does — same reason the LM smooths bigrams.
+
+    All counts are exact integers and ``oov_fp`` an exact fixed-point
+    share.  Plan: corpus trigrams collapse to a DISTINCT type set
+    (grows with the n-gram vocabulary, not corpus rows) before the
+    join — the aggregate-below-join rewrite — and the batch side
+    carries only the 10% slice; in-array trigram build, no window.
+    100 TB: one distinct-aggregate shuffle + one vocabulary-keyed
+    join, both word-count-class.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tg = docs.select(
+        "doc_id", "source", tokens_col().alias("toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "filter(transform(toks, (x, i) -> IF(i < size(toks) - 2,"
+                " concat(x, ' ', element_at(toks, i + 2), ' ', element_at(toks, i + 3)),"
+                " NULL)), g -> g IS NOT NULL)"
+            )
+        ).alias("g"),
+    )
+    is_batch = F.col("doc_id") % 7 == 0
+    cv = tg.filter(~is_batch).select("g").distinct().withColumn("seen", F.lit(1))
+    batch = tg.filter(is_batch).select("source", "g")
+    joined = batch.join(cv, "g", "left")
+    novel = F.when(F.col("seen").isNull(), 1).otherwise(0)
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_batch_grams"),
+        F.sum(novel).alias("n_oov_grams"),
+        F.countDistinct(F.when(F.col("seen").isNull(), F.col("g"))).alias(
+            "n_new_types"
+        ),
+        F.expr(
+            f"sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END) * {BALANCE_SCALE}L div count(*)"
+        ).alias("oov_fp"),
+    )

@@ -80,6 +80,10 @@ QUERIES = [
     "search_phrase_topk",
     "dedup_cross_source_matrix",
     "vocab_growth_report",
+    # fifth wave: shard load shares and trigram-OOV masses are exact
+    # fixed-point integers over deterministic hash/batch splits
+    "shard_balance_report",
+    "incremental_oov_report",
 ]
 
 

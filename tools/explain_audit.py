@@ -929,6 +929,20 @@ AUDITS: dict[str, dict] = {
         must=[r"partial_", r"HashAggregate"],
         must_not=[r"CartesianProduct", r"Window"],
     ),
+    # shard balance: size(tokens) projection (no explode), |shards|-row
+    # aggregate, global window ONLY over that constant-size frame
+    "shard_balance_report": dict(
+        must=[r"partial_", r"HashAggregate", r"Window"],
+        must_not=[r"CartesianProduct", r"explode\("],
+        hinted_broadcasts=0,
+    ),
+    # OOV drift: corpus trigrams collapse to a DISTINCT type set below
+    # the join (aggregate-below-join); vocabulary-keyed join left to
+    # AQE — the type set scales with the n-gram vocabulary, no hint
+    "incremental_oov_report": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window"],
+    ),
 }
 
 

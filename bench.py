@@ -80,6 +80,10 @@ HEADLINE = [
     "dedup_cross_source_matrix",
     "vocab_growth_report",
     "ccnet_perplexity_buckets",
+    # round-9 fifth wave: shard load shares and the trigram-OOV
+    # drift join (distinct-type set below the join)
+    "shard_balance_report",
+    "incremental_oov_report",
 ]
 
 

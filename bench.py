@@ -84,6 +84,11 @@ HEADLINE = [
     # drift join (distinct-type set below the join)
     "shard_balance_report",
     "incremental_oov_report",
+    # round-9 sixth wave: the cross-sides GEMM grid (the mining cost
+    # envelope) and the ablation curve (cached-LM consumer — benched
+    # after the LM entry, so its timing is the marginal rank+join cost)
+    "bitext_margin_mining",
+    "quality_ablation_curve",
 ]
 
 

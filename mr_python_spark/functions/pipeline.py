@@ -1455,3 +1455,149 @@ def incremental_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END) * {BALANCE_SCALE}L div count(*)"
         ).alias("oov_fp"),
     )
+
+
+def _ablation_oracle() -> str:
+    """Oracle SQL assembled at import (embeds the LM oracle text)."""
+    from mr_python_spark.functions.lm import _LM_ORACLE
+
+    return f"""
+WITH lm AS ({_LM_ORACLE}),
+q AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, t -> t IN {STOPWORDS!r})) AS BIGINT) AS n_stop,
+         md5(lower(trim(text))) AS h
+  FROM (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+  )
+  WHERE len(toks) > 0
+),
+dupg AS (
+  SELECT md5(lower(trim(text))) AS h, COUNT(*) AS c FROM documents GROUP BY 1
+),
+keyed AS (
+  SELECT q.doc_id, q.n_tokens,
+         least(q.n_tokens, 100) * (q.n_tokens + q.n_stop) * {BALANCE_SCALE}
+           // (200 * q.n_tokens) AS q_fp,
+         CASE WHEN d.c > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM q JOIN dupg d ON q.h = d.h
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY q_fp DESC, doc_id) AS rnk,
+         COUNT(*) OVER () AS n_total
+  FROM keyed
+),
+dec AS (
+  SELECT CAST((rnk - 1) * 10 // n_total + 1 AS BIGINT) AS decile,
+         doc_id, n_tokens, is_dup
+  FROM ranked
+)
+SELECT d.decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(d.is_dup) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(d.is_dup) * {BALANCE_SCALE} // COUNT(*) AS BIGINT) AS dup_fp,
+       CAST(SUM(coalesce(lm.surprisal_bits, 0)) * {BALANCE_SCALE}
+            // NULLIF(SUM(coalesce(lm.n_bigrams, 0)), 0) AS BIGINT) AS bpp_fp
+FROM dec d LEFT JOIN lm ON d.doc_id = lm.doc_id
+GROUP BY d.decile
+"""
+
+
+def quality_ablation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ablation curve: per quality decile, the duplicate
+    mass and LM perplexity the filter would keep — the bookkeeping
+    behind published threshold choices (FineWeb / Gopher / CCNet run
+    exactly this table before fixing any cutoff).
+
+    Reading the curve: decile 1 is the highest-quality tenth; if
+    ``dup_fp`` and ``bpp_fp`` don't improve monotonically toward it,
+    the quality heuristic is not separating what the pipeline hopes it
+    separates — measured evidence, not a vibe, for where to cut.
+
+    Determinism: the decile key is the exact fixed-point quality score
+    ``least(nt,100)·(nt+ns)·2^20 div (200·nt)`` (the quality_score
+    formula cleared of its two divisions), ranked with a doc_id
+    tie-break, and ``decile = (rank−1)·10 div n + 1`` — every emitted
+    column is an exact integer (the two ``_fp`` shares are single
+    integer divisions).
+
+    Scale: NO single-partition NTILE.  The global rank is computed the
+    distributed way — per-key counts, a running-offset window over the
+    distinct-key frame (BOUNDED: the key space is ≤ 2^20+1 values by
+    construction, so that window is constant-size at any corpus), and
+    a per-key ``row_number`` for the tie order — then deciles are
+    arithmetic on the rank.  Everything else is hash aggregates and
+    doc_id equi-joins over narrow integer rows; the LM frame comes
+    from the shared keyed cache (one corpus scan amortized across the
+    LM family).
+    """
+    from mr_python_spark.functions.lm import bigram_lm_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "text", tokens_col().alias("toks"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    q = toked.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("nt"),
+        F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t)))
+        .cast("long")
+        .alias("ns"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+    ).filter(F.col("nt") > 0)
+    dupg = (
+        docs.select(F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("c"))
+    )
+    keyed = q.join(dupg, "h").select(
+        "doc_id",
+        F.col("nt").alias("n_tokens"),
+        F.expr(f"least(nt, 100L) * (nt + ns) * {BALANCE_SCALE}L div (200L * nt)").alias(
+            "q_fp"
+        ),
+        (F.col("c") > 1).cast("int").alias("is_dup"),
+    )
+    # distributed exact rank over (q_fp DESC, doc_id): per-key counts,
+    # running offsets over the BOUNDED distinct-key frame, per-key
+    # row_number for the tie order
+    counts = keyed.groupBy("q_fp").agg(F.count("*").alias("n_k"))
+    off_w = (
+        Window.orderBy(F.desc("q_fp"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "q_fp", F.coalesce(F.sum("n_k").over(off_w), F.lit(0)).alias("off")
+    )
+    n_total = keyed.count()
+    tie_w = Window.partitionBy("q_fp").orderBy("doc_id")
+    ranked = (
+        keyed.join(offsets, "q_fp")
+        .withColumn("rnk", F.col("off") + F.row_number().over(tie_w))
+        .select(
+            F.expr(f"(rnk - 1L) * 10L div {n_total}L + 1L").alias("decile"),
+            "doc_id",
+            "n_tokens",
+            "is_dup",
+        )
+    )
+    lm = bigram_lm_perplexity(spark, sf_dir).select(
+        "doc_id", "n_bigrams", "surprisal_bits"
+    )
+    joined = ranked.join(lm, "doc_id", "left")
+    return joined.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        F.expr(f"sum(is_dup) * {BALANCE_SCALE}L div count(*)").alias("dup_fp"),
+        F.expr(
+            f"sum(coalesce(surprisal_bits, 0L)) * {BALANCE_SCALE}L"
+            " div nullif(sum(coalesce(n_bigrams, 0L)), 0L)"
+        ).alias("bpp_fp"),
+    )
+
+
+register("quality_ablation_curve", _ablation_oracle())(quality_ablation_curve)

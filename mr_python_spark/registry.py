@@ -115,13 +115,20 @@ PRIORITY: list[str] = [
     # official artifact shows 0 no_oracle rows
     "dedup_incremental_minhash_envelope",  # production ingest shape (round-5)
     "dedup_semantic_envelope",  # SemDeDup (round-5)
-    "ann_ivf_label",
+    # (ann_ivf_label rotated out round-9 sixth wave: ann_recall_report
+    # RUNS it end-to-end as the approx side, a strictly stronger gate;
+    # the label index stays hash-gated in the full sweep)
     "ann_recall_report",  # measured-recall index audit (round-6)
     "multimodal_decode_real",  # real BMP/PNG/JPEG decode (round-7/9)
     # (vector_norms rotated out round-9 second wave for the stronger
     # embedding-space rep; it stays gated in the full sweep)
     "knn_label_eval",  # embedding-space k-NN label accuracy (round-9)
-    "gopher_quality_rules",  # Gopher shape rules (round-6)
+    "bitext_margin_mining",  # CCMatrix margin-based mining (round-9)
+    # (gopher_quality_rules rotated out round-9 sixth wave: the quality
+    # family keeps nb_quality_classifier + the ablation curve, which
+    # runs the quality scorer AND the bigram LM AND the exact-dup key
+    # end-to-end; gopher stays hash-gated in the full sweep)
+    "quality_ablation_curve",  # FineWeb-style decile ablation (round-9)
     # round-9 trained-model scorers (swap in for doc_rarity_score —
     # the bigram LM supersedes rarity as the perplexity-family rep —
     # and multimodal_frame_sample, whose family keeps decode_real;

@@ -982,3 +982,269 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_rank",
         )
     )
+
+
+#: neighbors per side used for the margin normalizer (the k of
+#: Artetxe & Schwenk's k-NN margin; CCMatrix used k=4)
+BITEXT_K = 4
+#: fixed-point scale for quantized cosines: ``floor((1+cos)·2^20)`` is
+#: an exact integer in both engines, so neighbor ranking, the margin
+#: sums, and the emitted scores are all integer-deterministic (floats
+#: only produce the ONE quantized value; the boundary-margin test in
+#: tests/test_determinism.py pins that no fixture cosine sits close
+#: enough to a quantization boundary for a cross-engine ulp to flip it)
+BITEXT_SCALE = 1 << 20
+#: minimum difference-margin (scaled by ``2·BITEXT_K·BITEXT_SCALE``) a
+#: mutual-best pair must clear: a pair only counts as mined bitext when
+#: its cosine exceeds the mean of both endpoints' k-NN cosines — the
+#: margin>0 rule of the difference variant (ratio>1 in the ratio
+#: variant); raising it trades recall for precision exactly as the
+#: published miners tune it
+BITEXT_MARGIN_MIN = 1
+#: the two corpus slices mined against each other in the fixture: the
+#: two largest language sides of the documents table (any partition of
+#: the corpus works — crawl snapshots, modalities, …)
+BITEXT_SRC_LANG = "zh"
+BITEXT_TGT_LANG = "en"
+#: target rows per grid block (same sizing rule as the cosine grid)
+BITEXT_BLOCK_ROWS = 4096
+
+_BITEXT_ORACLE = f"""
+WITH j AS (
+  SELECT e.vec_id, d.lang,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.lang IN ('{BITEXT_SRC_LANG}', '{BITEXT_TGT_LANG}')
+), n AS (
+  SELECT vec_id, lang, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM j
+), x AS (SELECT * FROM n WHERE lang = '{BITEXT_SRC_LANG}'),
+y AS (SELECT * FROM n WHERE lang = '{BITEXT_TGT_LANG}'),
+scored AS (
+  SELECT x.vec_id AS src_id, y.vec_id AS tgt_id,
+         CAST(floor((1.0 + list_sum(list_transform(list_zip(x.e, y.e),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (x.nrm * y.nrm)) * {BITEXT_SCALE}) AS BIGINT) AS cos_q
+  FROM x CROSS JOIN y
+), fwd AS (
+  SELECT src_id, tgt_id, cos_q FROM (
+    SELECT src_id, tgt_id, cos_q,
+           ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos_q DESC, tgt_id) AS r
+    FROM scored) WHERE r <= {BITEXT_K}
+), bwd AS (
+  SELECT src_id, tgt_id, cos_q FROM (
+    SELECT src_id, tgt_id, cos_q,
+           ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cos_q DESC, src_id) AS r
+    FROM scored) WHERE r <= {BITEXT_K}
+), sx AS (SELECT src_id, CAST(SUM(cos_q) AS BIGINT) AS s FROM fwd GROUP BY src_id),
+sy AS (SELECT tgt_id, CAST(SUM(cos_q) AS BIGINT) AS s FROM bwd GROUP BY tgt_id),
+fmarg AS (
+  SELECT f.src_id, f.tgt_id, f.cos_q,
+         2 * {BITEXT_K} * f.cos_q - sx.s - sy.s AS margin_fp
+  FROM fwd f JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+), fbest AS (
+  SELECT src_id, tgt_id, cos_q, margin_fp FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                 ORDER BY margin_fp DESC, tgt_id) AS rn
+    FROM fmarg) WHERE rn = 1
+), bmarg AS (
+  SELECT b.src_id, b.tgt_id,
+         2 * {BITEXT_K} * b.cos_q - sx.s - sy.s AS margin_fp
+  FROM bwd b JOIN sx USING (src_id) JOIN sy USING (tgt_id)
+), bbest AS (
+  SELECT src_id, tgt_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                 ORDER BY margin_fp DESC, src_id) AS rn
+    FROM bmarg) WHERE rn = 1
+)
+SELECT f.src_id, f.tgt_id,
+       f.cos_q AS cos_fp, CAST(f.margin_fp AS BIGINT) AS margin_fp
+FROM fbest f JOIN bbest b ON f.src_id = b.src_id AND f.tgt_id = b.tgt_id
+WHERE f.margin_fp >= {BITEXT_MARGIN_MIN}
+"""
+
+
+@register("bitext_margin_mining", _BITEXT_ORACLE)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based mutual-kNN bitext mining (Artetxe & Schwenk 2019,
+    arXiv:1811.01136; the CCMatrix / NLLB corpus-mining recipe,
+    Schwenk et al. 2021) between two corpus slices.
+
+    The parallel-corpus construction step of every large multilingual
+    train set: embed both sides, and keep pair (x, y) only when (a) y
+    is x's best candidate AND x is y's best candidate (mutual best)
+    and (b) the pair clears a MARGIN over each side's k-NN
+    neighborhood — raw cosine is known to be miscalibrated in hubness
+    regions, so the score is the difference variant
+    ``cos(x,y) − (Σ_k cos(x,·) + Σ_k cos(y,·)) / 2k``.
+
+    Determinism: every cosine is quantized ONCE at the GEMM boundary
+    (``floor((1+cos)·2^20)``); neighbor ranking, the k-NN sums, the
+    margin, and the mutual-best argmax are integer arithmetic with
+    doc-id tie-breaks from there on, so the mined table hash-gates
+    value-for-value against the oracle.
+
+    Scale: BOTH sides grow with the corpus, so neither may ride a
+    broadcast (contrast ``ann_brute_topk``'s bounded probe pack).  The
+    plan is the cross-sides block grid — X rows shard into Px blocks,
+    Y rows into Py (both adaptive, ~4096 rows/block), each (i, j) cell
+    is one Arrow task whose single f64 GEMM emits the per-cell partial
+    top-k of BOTH directions (kth-tie-safe, quantized) — communication
+    |X|·Py + |Y|·Px vector rows, per-task memory two block matrices,
+    no driver collect, no corpus-sized broadcast.  Everything after
+    the grid is id-keyed equi-joins and per-id windows over O(n·k)
+    narrow integer rows, AQE-planned.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    langs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("vec_id"), "lang")
+        .filter(F.col("lang").isin(BITEXT_SRC_LANG, BITEXT_TGT_LANG))
+    )
+    sided = spread(emb.join(langs, "vec_id"))
+    # adaptive grid: one cheap count per side (the cosine-grid sizing
+    # rule) keeps per-cell GEMMs at a constant block size at any SF
+    n_x = sided.filter(F.col("lang") == BITEXT_SRC_LANG).count()
+    n_y = sided.filter(F.col("lang") == BITEXT_TGT_LANG).count()
+    import math as _math
+
+    px = max(2, _math.ceil(n_x / BITEXT_BLOCK_ROWS))
+    py = max(2, _math.ceil(n_y / BITEXT_BLOCK_ROWS))
+
+    # X rows shard by id into their own block and replicate across the
+    # Py columns; Y rows the transpose (explode is a generator, so each
+    # side gets its own projection and the union feeds the grid)
+    is_src = F.col("lang") == BITEXT_SRC_LANG
+    xs_cells = sided.filter(is_src).select(
+        "vec_id",
+        "embedding",
+        F.lit(1).alias("is_src"),
+        F.pmod("vec_id", F.lit(px)).cast("int").alias("ci"),
+        F.explode(F.sequence(F.lit(0), F.lit(py - 1))).alias("cj"),
+    )
+    ys_cells = sided.filter(~is_src).select(
+        "vec_id",
+        "embedding",
+        F.lit(0).alias("is_src"),
+        F.explode(F.sequence(F.lit(0), F.lit(px - 1))).alias("ci"),
+        F.pmod("vec_id", F.lit(py)).cast("int").alias("cj"),
+    )
+    cells = xs_cells.unionByName(ys_cells)
+
+    schema = T.StructType(
+        [
+            T.StructField("dir", T.IntegerType()),
+            T.StructField("src_id", T.LongType()),
+            T.StructField("tgt_id", T.LongType()),
+            T.StructField("cos_q", T.LongType()),
+        ]
+    )
+
+    k = BITEXT_K
+    scale = BITEXT_SCALE
+
+    def cell_partials(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf[pdf["is_src"] == 1]
+        ys = pdf[pdf["is_src"] == 0]
+        if xs.empty or ys.empty:
+            return pd.DataFrame(
+                {"dir": [], "src_id": [], "tgt_id": [], "cos_q": []}
+            ).astype({"dir": "int32", "src_id": "int64", "tgt_id": "int64", "cos_q": "int64"})
+        x_ids = xs["vec_id"].to_numpy(dtype=np.int64)
+        y_ids = ys["vec_id"].to_numpy(dtype=np.int64)
+        xm = np.array(list(xs["embedding"]), dtype=np.float64)
+        ym = np.array(list(ys["embedding"]), dtype=np.float64)
+        xm /= np.linalg.norm(xm, axis=1, keepdims=True)
+        ym /= np.linalg.norm(ym, axis=1, keepdims=True)
+        # ONE quantization at the GEMM boundary; both directions'
+        # partial top-k work on these integers so the global ranks
+        # cannot disagree with the cell-local cut
+        cos_q = np.floor((1.0 + xm @ ym.T) * scale).astype(np.int64)
+        frames = []
+        # dir 0: per x, keep every y scoring >= the kth best (ties kept
+        # so the global (cos_q DESC, id ASC) rank never loses a winner)
+        if cos_q.shape[1] > k:
+            kth = np.partition(-cos_q, k - 1, axis=1)[:, k - 1 : k]
+            keep = -cos_q <= kth
+        else:
+            keep = np.ones_like(cos_q, dtype=bool)
+        ai, bi = np.nonzero(keep)
+        frames.append(
+            pd.DataFrame(
+                {"dir": 0, "src_id": x_ids[ai], "tgt_id": y_ids[bi], "cos_q": cos_q[ai, bi]}
+            )
+        )
+        # dir 1: per y, keep every x scoring >= the kth best
+        if cos_q.shape[0] > k:
+            kth = np.partition(-cos_q, k - 1, axis=0)[k - 1 : k, :]
+            keep = -cos_q <= kth
+        else:
+            keep = np.ones_like(cos_q, dtype=bool)
+        ai, bi = np.nonzero(keep)
+        frames.append(
+            pd.DataFrame(
+                {"dir": 1, "src_id": x_ids[ai], "tgt_id": y_ids[bi], "cos_q": cos_q[ai, bi]}
+            )
+        )
+        return pd.concat(frames, ignore_index=True)
+
+    partial = cells.groupBy("ci", "cj").applyInPandas(cell_partials, schema)
+
+    wf = Window.partitionBy("src_id").orderBy(F.desc("cos_q"), F.asc("tgt_id"))
+    fwd = (
+        partial.filter(F.col("dir") == 0)
+        .withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= k)
+        .select("src_id", "tgt_id", "cos_q")
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(F.desc("cos_q"), F.asc("src_id"))
+    bwd = (
+        partial.filter(F.col("dir") == 1)
+        .withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") <= k)
+        .select("src_id", "tgt_id", "cos_q")
+    )
+    sx = fwd.groupBy("src_id").agg(F.sum("cos_q").alias("sxs"))
+    sy = bwd.groupBy("tgt_id").agg(F.sum("cos_q").alias("sys"))
+
+    fmarg = (
+        fwd.join(sx, "src_id")
+        .join(sy, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_q",
+            (F.lit(2 * k) * F.col("cos_q") - F.col("sxs") - F.col("sys")).alias(
+                "margin_fp"
+            ),
+        )
+    )
+    wfb = Window.partitionBy("src_id").orderBy(F.desc("margin_fp"), F.asc("tgt_id"))
+    fbest = (
+        fmarg.withColumn("rn", F.row_number().over(wfb))
+        .filter(F.col("rn") == 1)
+        .select("src_id", "tgt_id", "cos_q", "margin_fp")
+    )
+    bmarg = (
+        bwd.join(sx, "src_id")
+        .join(sy, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            (F.lit(2 * k) * F.col("cos_q") - F.col("sxs") - F.col("sys")).alias(
+                "margin_fp"
+            ),
+        )
+    )
+    wbb = Window.partitionBy("tgt_id").orderBy(F.desc("margin_fp"), F.asc("src_id"))
+    bbest = (
+        bmarg.withColumn("rn", F.row_number().over(wbb))
+        .filter(F.col("rn") == 1)
+        .select("src_id", "tgt_id")
+    )
+    return (
+        fbest.join(bbest, ["src_id", "tgt_id"])
+        .filter(F.col("margin_fp") >= BITEXT_MARGIN_MIN)
+        .select("src_id", "tgt_id", F.col("cos_q").alias("cos_fp"), "margin_fp")
+    )

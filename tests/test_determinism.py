@@ -84,6 +84,11 @@ QUERIES = [
     # fixed-point integers over deterministic hash/batch splits
     "shard_balance_report",
     "incremental_oov_report",
+    # sixth wave: the mined-bitext table is integer arithmetic from the
+    # one quantization at the GEMM boundary on, and the ablation curve's
+    # distributed rank + fixed-point shares must not move with layout
+    "bitext_margin_mining",
+    "quality_ablation_curve",
 ]
 
 
@@ -244,3 +249,49 @@ def test_rp_cosine_threshold_margin(sf):
     assert min(g_gap, f_gap) >= 1e-6, (
         f"pair within {min(g_gap, f_gap)} of the 0.4 cosine threshold"
     )
+
+
+@pytest.mark.parametrize("sf", GATED_SFS)
+def test_bitext_quantization_boundary_margin(sf):
+    """bitext_margin_mining quantizes every cross-side cosine ONCE
+    (``floor((1+cos)·2^20)``) and is pure integer arithmetic after —
+    but the engine's normalize-then-GEMM doubles and the oracle's
+    dot/(na·nb) fold differ by ~1e-15 relative, so the gate is only
+    stable while no cosine sits on a quantization boundary.  Pin that:
+    for EVERY cross-side pair in every gated fixture, the two float
+    paths must agree on the floor outright AND sit >= 1e-7 quanta away
+    from the nearest boundary (measured minima 9.4e-7 / 1.4e-5 /
+    5.9e-6 at sf0.1/0.01/0.001; the cross-engine divergence is ~1e-9
+    quanta, so the margin is ~100x)."""
+    import duckdb
+    import numpy as np
+
+    from mr_python_spark.similarity import (
+        BITEXT_SCALE,
+        BITEXT_SRC_LANG,
+        BITEXT_TGT_LANG,
+    )
+
+    rows = duckdb.sql(
+        f"""
+        SELECT d.lang, e.embedding
+        FROM '{sf}/embeddings.parquet' e
+        JOIN '{sf}/documents.parquet' d ON e.vec_id = d.doc_id
+        WHERE d.lang IN ('{BITEXT_SRC_LANG}', '{BITEXT_TGT_LANG}')
+        ORDER BY e.vec_id
+        """
+    ).fetchall()
+    langs = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    x, y = mat[langs == BITEXT_SRC_LANG], mat[langs == BITEXT_TGT_LANG]
+    nx, ny = np.linalg.norm(x, axis=1), np.linalg.norm(y, axis=1)
+    q_gemm = (1.0 + (x / nx[:, None]) @ (y / ny[:, None]).T) * BITEXT_SCALE
+    q_fold = (1.0 + (x @ y.T) / np.outer(nx, ny)) * BITEXT_SCALE
+    assert (np.floor(q_gemm) == np.floor(q_fold)).all(), (
+        "the two float paths disagree on a quantized cosine"
+    )
+    worst = min(
+        float(np.abs(q_gemm - np.round(q_gemm)).min()),
+        float(np.abs(q_fold - np.round(q_fold)).min()),
+    )
+    assert worst >= 1e-7, f"cosine within {worst} quanta of a floor boundary"

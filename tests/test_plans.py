@@ -19,6 +19,7 @@ sys.path.insert(0, REPO)
 
 from tools.explain_audit import (  # noqa: E402
     AUDITS,
+    FRAME_BUILDERS,
     count_broadcast_exchanges,
     formatted_plan,
 )
@@ -36,7 +37,8 @@ def entrymod(spark):
 @pytest.mark.parametrize("name", sorted(AUDITS))
 def test_plan_properties(spark, entrymod, name):
     spec = AUDITS[name]
-    plan = formatted_plan(entrymod.queries()[name](spark, SF))
+    fn = FRAME_BUILDERS.get(name) or entrymod.queries()[name]
+    plan = formatted_plan(fn(spark, SF))
     for pat in spec.get("must", []):
         assert re.search(pat, plan), f"{name}: missing /{pat}/\n{plan}"
     for pat in spec.get("must_not", []):
@@ -48,7 +50,7 @@ def test_plan_properties(spark, entrymod, name):
         prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            nostats_df = entrymod.queries()[name](spark, SF)
+            nostats_df = fn(spark, SF)
             got = count_broadcast_exchanges(nostats_df)
             nostats = formatted_plan(nostats_df)
         finally:

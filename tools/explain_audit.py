@@ -597,7 +597,11 @@ AUDITS: dict[str, dict] = {
     "bigram_lm_perplexity": dict(
         must=[r"BroadcastHashJoin", r"TakeOrderedAndProject", r"partial_"],
         must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window"],
-        hinted_broadcasts=2,  # unigram + bigram model tables
+        # the scored frame is keyed-cached (round 9): consumers plan an
+        # InMemoryTableScan LEAF, so the walk sees ZERO hints here; the
+        # model hints are policed on the UNCACHED builder instead (the
+        # lm_scored_builder pseudo-entry below)
+        hinted_broadcasts=0,
     ),
     # winnow matching: codegen'd exploded winnowing core (per-doc
     # Window — the measured 17× choice over in-array lambdas) feeding
@@ -906,7 +910,7 @@ AUDITS: dict[str, dict] = {
     "ccnet_perplexity_buckets": dict(
         must=[r"Window", r"BroadcastHashJoin", r"partial_"],
         must_not=[r"CartesianProduct"],
-        hinted_broadcasts=2,  # inherited: unigram + bigram LM models
+        hinted_broadcasts=0,  # LM frame is a cached leaf; see builder entry
     ),
     # phrase retrieval: adjacency counted IN-ARRAY — the only Generate
     # is the 3-rows-per-doc stack() pivot, never a token explode — and
@@ -943,6 +947,53 @@ AUDITS: dict[str, dict] = {
         must=[r"partial_", r"HashAggregate"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window"],
     ),
+    # bitext mining: BOTH sides are corpus-scaling, so broadcast hints
+    # are FORBIDDEN (round-2 policy) — the cross-sides grid replicates
+    # via explode, scores in one applyInPandas GEMM per cell, and
+    # everything downstream is id-keyed windows + equi-joins
+    "bitext_margin_mining": dict(
+        must=[r"FlatMapGroupsInPandas", r"Window"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
+    # ablation curve: distributed exact rank (per-key counts + bounded
+    # offsets window + per-key row_number) — NO single-partition NTILE
+    # over corpus rows; LM joins from the keyed cache (its two model
+    # hints are inside the cached plan, like ccnet's)
+    "quality_ablation_curve": dict(
+        must=[r"partial_", r"HashAggregate", r"Window"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,  # LM frame is a cached leaf; see builder entry
+    ),
+    # UNCACHED LM builder frame: the keyed cache makes every consumer
+    # plan an InMemoryTableScan leaf (hints invisible to the policy
+    # walk, by design — order-independence), so the broadcast policy
+    # for the LM's two sample-bounded model tables is asserted on the
+    # builder itself via FRAME_BUILDERS
+    "lm_scored_builder": dict(
+        must=[r"BroadcastHashJoin", r"partial_"],
+        must_not=[r"CartesianProduct", r"SortMergeJoin"],
+        hinted_broadcasts=2,  # unigram + bigram model tables
+    ),
+}
+
+
+def _lm_scored_builder(spark, sf_dir):
+    # evict the keyed cache first: once any consumer has cached the
+    # scored frame, the CacheManager rewrites every logically-equal
+    # plan (this fresh build included) to the InMemoryRelation, hiding
+    # the hints this entry exists to police
+    from mr_python_spark.functions import lm
+
+    for k in list(lm._LM_SCORED_CACHE):
+        lm._LM_SCORED_CACHE.pop(k).unpersist()
+    return lm._lm_scored(spark, sf_dir)
+
+
+#: pseudo-entries auditing UNCACHED builder frames that registry
+#: queries only ever consume through a keyed cache
+FRAME_BUILDERS = {
+    "lm_scored_builder": _lm_scored_builder,
 }
 
 
@@ -991,7 +1042,8 @@ def main(argv: list[str]) -> int:
     failures = 0
     for name in names:
         spec = AUDITS[name]
-        plan = formatted_plan(qs[name](spark, SF_DIR))
+        fn = FRAME_BUILDERS.get(name) or qs[name]
+        plan = formatted_plan(fn(spark, SF_DIR))
         problems = []
         for pat in spec.get("must", []):
             if not re.search(pat, plan):
@@ -1006,7 +1058,7 @@ def main(argv: list[str]) -> int:
             prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             try:
-                nostats_df = qs[name](spark, SF_DIR)
+                nostats_df = fn(spark, SF_DIR)
                 got = count_broadcast_exchanges(nostats_df)
             finally:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)

@@ -331,7 +331,9 @@ def dedup_exact_losers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NGRAM_ORACLE = """
+#: full exact-jaccard pair frame (no ordering/limit) — shared by the
+#: top-50 exact tier and the agreement audit's thresholded lexical side
+_NGRAM_BODY = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
   FROM documents
@@ -356,24 +358,18 @@ SELECT
 FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-ORDER BY jaccard DESC, doc_a, doc_b
-LIMIT 50
 """
 
+_NGRAM_ORACLE = (
+    _NGRAM_BODY + "ORDER BY jaccard DESC, doc_a, doc_b\nLIMIT 50\n"
+)
 
-@register("dedup_ngram_jaccard_exact", _NGRAM_ORACLE)
-def dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT 3-shingle Jaccard: top-50 most similar document pairs.
 
-    Small-corpus path, explicitly so: the inverted-index self-join is
-    lossless (pairs sharing no shingle have similarity 0) but costs
-    Σ df(shingle)² — quadratic in the presence of boilerplate
-    shingles.  The default registry entry ``dedup_ngram_jaccard``
-    delegates to the df-capped generator instead; use this variant
-    when the corpus is small enough that exactness beats the cap's
-    recall loss.  Jaccard = ratio of small exact ints →
-    bit-identical across engines.
-    """
+def _ngram_jaccard_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard over ALL co-shingled pairs (unordered,
+    unlimited) — the shared producer behind the top-50 exact tier and
+    the agreement audit.  Jaccard = ratio of small exact ints → one
+    identical IEEE division on both engines."""
     docs = load_table(spark, sf_dir, "documents")
     # inverted index: hash shingles to longs (8-byte join key instead of
     # a ~20-byte string; 64-bit collisions are ~(n_shingles)²/2⁶⁵) and
@@ -409,6 +405,24 @@ def dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
             ).alias("jaccard"),
         )
+    )
+
+
+@register("dedup_ngram_jaccard_exact", _NGRAM_ORACLE)
+def dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-shingle Jaccard: top-50 most similar document pairs.
+
+    Small-corpus path, explicitly so: the inverted-index self-join is
+    lossless (pairs sharing no shingle have similarity 0) but costs
+    Σ df(shingle)² — quadratic in the presence of boilerplate
+    shingles.  The default registry entry ``dedup_ngram_jaccard``
+    delegates to the df-capped generator instead; use this variant
+    when the corpus is small enough that exactness beats the cap's
+    recall loss.  Jaccard = ratio of small exact ints →
+    bit-identical across engines.
+    """
+    return (
+        _ngram_jaccard_frame(spark, sf_dir)
         .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(50)
     )
@@ -1039,24 +1053,37 @@ RP_TARGET_BUCKET = 32
 #: Σ min(bucket, cap)² — the df-cap posture of dedup_ngram_jaccard.
 #: Never triggers at shipped SFs (isotropic test vectors).
 RP_BUCKET_CAP = 2048
-#: OR-amplification design point: per-band collision probability at the
-#: design cosine 0.45 (the center of the fixtures' true-pair mass) is
-#: p0^bits with p0 = 1 − acos(0.45)/π; the band count is sized so a
-#: design-point pair is MISSED by all bands with probability ≤ 10%
-#: (recall ≥ 0.9 at cosine 0.45, lower near the 0.4 floor, higher above)
+#: OR-amplification design point: per-band MULTI-PROBE collision
+#: probability at the design cosine 0.45 (the center of the fixtures'
+#: true-pair mass) is P(Hamming ≤ 1 within the band) = p0^bits +
+#: bits·p0^(bits−1)·(1−p0) with p0 = 1 − acos(0.45)/π — the masked
+#: sub-band emission below catches Hamming-≤1 collisions exactly, so
+#: the formula is closed-form, no empirical capture constant.  The
+#: band count is sized so a design-point pair is MISSED by all bands
+#: with probability ≤ 10% (recall ≥ 0.9 at cosine 0.45, lower near
+#: the 0.4 floor, higher above).
 RP_DESIGN_P0 = 1 - math.acos(0.45) / math.pi
 RP_DESIGN_MISS = 0.1
-#: band-count ceiling: the OR-amplified count L = ⌈ln(1/miss)/p0^bits⌉
-#: grows as (n/32)^0.625 (the LSH n^ρ law, ρ = log2(1/p0)), so a hard
-#: cap bounds the banding pass; past the cap (n ≳ 10⁴·32) recall at the
-#: design point decays again — at that scale raise the cosine
-#: threshold, lower the recall target, or accept the measured curve
-#: from :func:`dedup_rp_lsh_eval_report`.
-RP_MAX_BANDS = 64
+#: band-count ceiling: the OR-amplified count L = ⌈ln(1/miss)/p_band⌉
+#: still grows with n (slower than pre-multi-probe: the Hamming-1 term
+#: decays as bits·p0^(bits−1), one power less), so a hard cap bounds
+#: the banding pass.  With the round-10 masked sub-bands the cap now
+#: engages at bits = 14 (n ≈ 512k at the 32-row bucket target) instead
+#: of bits = 8 (n ≈ 8k) — the measured high-recall regime extends
+#: ~64×.  Past the cap (n ≳ 1M) design-point recall decays again
+#: ((1−p_band)^128: 0.83 at n = 1M, 0.71 at 2M) — at that scale route
+#: semantic dedup through the trained-quantizer SemDeDup tier
+#: (:func:`dedup_semantic`, Σ|cluster|² bounded) and read the measured
+#: curve from :func:`dedup_rp_lsh_eval_report` before trusting a run.
+RP_MAX_BANDS = 128
 #: per-band projection seed base: band i draws its 16-column Gaussian
 #: slot from RandomState(1000 + i), so growing the band COUNT (corpus
 #: growth) appends bands without disturbing existing bucket assignments
 RP_BAND_SEED = 1000
+#: masked sub-band key coding: bucket key = mask · 2^16 + masked_val
+#: (masked_val < 2^15 always, mask < 16, so keys fit int32); a single
+#: int column keeps the (band, bval) shuffle schema unchanged
+RP_MASK_STRIDE = 1 << RP_SLOT_BITS
 
 
 def rp_bits_per_band(n: int) -> int:
@@ -1066,12 +1093,24 @@ def rp_bits_per_band(n: int) -> int:
     return min(RP_SLOT_BITS, max(4, math.ceil(math.log2(n / RP_TARGET_BUCKET))))
 
 
+def rp_band_collision(bits: int) -> float:
+    """Per-band design-point collision probability under masked
+    sub-band multi-probe: P(Hamming ≤ 1 over the band's sign bits) =
+    p0^bits + bits·p0^(bits−1)·(1−p0).  Exact — the b masked keys
+    catch every Hamming-≤1 pair and nothing farther."""
+    return RP_DESIGN_P0**bits + bits * RP_DESIGN_P0 ** (bits - 1) * (
+        1.0 - RP_DESIGN_P0
+    )
+
+
 def rp_num_bands(bits: int) -> int:
-    """OR-amplified band count for a band width: ⌈ln(1/miss)/p0^bits⌉,
-    capped at RP_MAX_BANDS.  Sized so the design-point (cosine 0.45)
-    miss probability (1 − p0^bits)^L stays ≤ RP_DESIGN_MISS."""
+    """OR-amplified band count for a band width:
+    ⌈ln(1/miss)/p_band(bits)⌉ capped at RP_MAX_BANDS.  Sized so the
+    design-point (cosine 0.45) miss probability (1 − p_band)^L stays
+    ≤ RP_DESIGN_MISS."""
     return min(
-        RP_MAX_BANDS, math.ceil(math.log(1.0 / RP_DESIGN_MISS) / (RP_DESIGN_P0**bits))
+        RP_MAX_BANDS,
+        math.ceil(math.log(1.0 / RP_DESIGN_MISS) / rp_band_collision(bits)),
     )
 
 
@@ -1079,36 +1118,45 @@ def rp_num_bands(bits: int) -> int:
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROXIMATE embedding near-dup pairs — the sub-quadratic scale path.
 
-    Random-projection (sign) LSH, **corpus-adaptive in both band width
-    and band count**: width grows as log2(n/32) to pin expected bucket
-    occupancy at ~32 (pair-evals per band stay LINEAR in n), and the
-    count is OR-amplified to L = ⌈ln(1/0.1)/p0^bits⌉ so a pair at the
-    design cosine 0.45 is missed by all bands with probability ≤ 10%
-    no matter how long the bands grow (p0 = 1 − acos(0.45)/π ≈ 0.649).
-    The previous fixed-four-band design kept candidates linear but let
-    recall decay as p^bits per band — measured 0.45–0.56 on the
-    fixtures; the amplified design measures ≥ 0.85
-    (:func:`dedup_rp_lsh_eval_report`).  Total work is
-    L(n)·32·n ∝ n^(1+ρ), ρ = log2(1/p0) ≈ 0.625 — the classic LSH
-    sub-quadratic law (vs n² exact); the RP_MAX_BANDS cap bounds the
-    banding pass at extreme n (see constant note).
+    Random-projection (sign) LSH with **masked sub-band multi-probe**,
+    corpus-adaptive in band width and band count.  Width grows as
+    log2(n/32) to pin expected bucket occupancy (pair-evals per band
+    stay LINEAR in n).  Each band of width b emits b bucket keys per
+    vector — the sign pattern with bit i deleted, for every i — so two
+    vectors whose band bits differ in AT MOST ONE position share at
+    least one key: per-band collision probability is exactly
+    P(Hamming ≤ 1) = p0^b + b·p0^(b−1)·(1−p0) instead of p0^b
+    (~7× at b = 11), closed-form with no margin heuristics.  The band
+    count is OR-amplified to L = ⌈ln(1/0.1)/p_band⌉ so a pair at the
+    design cosine 0.45 is missed with probability ≤ 10% (p0 =
+    1 − acos(0.45)/π ≈ 0.649).  The round-9 single-key design held
+    recall only to the RP_MAX_BANDS=64 cap (n ≈ 8k) and then decayed —
+    measured 0.90 (8k) → 0.62 (32k) → 0.47 (64k); the multi-probe term
+    decays one power of p0 slower, so the (now 128-band) cap engages
+    at n ≈ 512k and measured recall stays high through the probe
+    fixtures (:func:`dedup_rp_lsh_eval_report`,
+    docs/scale_probe_sf3.json `rp_recall_curve`).  Total work is
+    L(n)·b(n)·O(n) — still the sub-quadratic LSH law vs n² exact; past
+    the cap route semantic dedup through the SemDeDup tier (see
+    RP_MAX_BANDS note).
 
     Execution is ONE data shuffle: a mapInPandas banding pass computes
-    all L band values per vector from per-band seeded Gaussian slots
+    all L·b masked keys per vector from per-band seeded Gaussian slots
     (identical on every executor, no broadcast) and emits
-    (band, bval, vec_id, embedding); grouping on (band, bval) lands
-    each bucket in a single applyInPandas task that runs the EXACT
-    cosine verification as a numpy GEMM over the ≤ RP_BUCKET_CAP
-    members — normalize-then-GEMM, the identical float path to the
-    exact tier :func:`dedup_embedding_cosine`, so the approximate
-    output is a bit-consistent subset of the exact pass.  Verified
-    pairs (tiny — only true near-dups survive) are deduped across
-    bands with one distinct.  No candidate pair is ever materialized
-    as a row or joined: the old explode→distinct→join→fold pipeline
-    shuffled every candidate with two 64-double payloads and paid an
-    interpreted fold per pair; this one shuffles L·n banded vectors
-    and emits only verified pairs.  The fixtures' closest pair sits
-    ≥ 1e-5 from the 0.4 threshold (pinned by
+    (band, bval=mask·2^16+masked_val, vec_id, fval, embedding);
+    grouping on (band, bval) lands each bucket in a single
+    applyInPandas task that runs the EXACT cosine verification as a
+    numpy GEMM over the ≤ RP_BUCKET_CAP members — normalize-then-GEMM,
+    the identical float path to the exact tier
+    :func:`dedup_embedding_cosine`, so the approximate output is a
+    bit-consistent subset of the exact pass.  Within a band a
+    Hamming-0 pair co-occurs in all b masked buckets; the carried
+    full-band value ``fval`` (integer compare, no float recompute)
+    restricts its emission to mask 0, so each colliding band emits a
+    pair at most once and the cross-band distinct sees the same L×
+    duplication profile as the single-key design.  No candidate pair
+    is ever materialized as a row or joined.  The fixtures' closest
+    pair sits ≥ 1e-5 from the 0.4 threshold (pinned by
     tests/test_determinism.py::test_rp_cosine_threshold_margin), so
     the GEMM path and the DuckDB oracle's sequential fold
     (tools/udf_oracles.py) cannot disagree on membership.  Verified
@@ -1132,13 +1180,23 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("band", T.IntegerType()),
             T.StructField("bval", T.IntegerType()),
             T.StructField("vec_id", T.LongType()),
+            T.StructField("fval", T.IntegerType()),
             T.StructField("e", T.ArrayType(T.DoubleType())),
         ]
     )
+    b = bits_per_band
+    mask_ids = np.arange(b, dtype=np.int64)
 
     def band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         proj = None
-        weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+        weights = 1 << np.arange(b, dtype=np.int64)
+        # masked-key weight matrix W (b bits × b masks): deleting bit i
+        # and compressing is a linear recode of the bit vector, so all
+        # b masked values come from ONE (n,b)@(b,b) integer GEMM
+        W = np.zeros((b, b), dtype=np.int64)
+        for i in range(b):
+            kept = [j for j in range(b) if j != i]
+            W[kept, i] = 1 << np.arange(b - 1, dtype=np.int64)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -1148,7 +1206,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [
                         np.random.RandomState(RP_BAND_SEED + i).standard_normal(
                             (mat.shape[1], RP_SLOT_BITS)
-                        )[:, :bits_per_band]
+                        )[:, :b]
                         for i in range(n_bands)
                     ],
                     axis=1,
@@ -1156,14 +1214,20 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits = (mat @ proj >= 0.0).astype(np.int64)
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             evec = list(mat)  # float64 rows, reused as the carried payload
+            n_rows = len(ids)
             for band in range(n_bands):
-                chunk = bits[:, band * bits_per_band : (band + 1) * bits_per_band]
+                chunk = bits[:, band * b : (band + 1) * b]
+                fvals = (chunk @ weights).astype(np.int32)
+                masked = chunk @ W  # (n, b): masked val per mask
+                coded = (masked + mask_ids * RP_MASK_STRIDE).astype(np.int32)
                 yield pd.DataFrame(
                     {
                         "band": np.int32(band),
-                        "bval": (chunk @ weights).astype(np.int32),
-                        "vec_id": ids,
-                        "e": evec,
+                        # mask-major flatten pairs with tile(ids, b)
+                        "bval": coded.T.reshape(-1),
+                        "vec_id": np.tile(ids, b),
+                        "fval": np.tile(fvals, b),
+                        "e": evec * b,
                     }
                 )
 
@@ -1185,9 +1249,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)  # exact-tier float path
         sims = mat @ mat.T
         ai, bi = np.nonzero(sims >= 0.4)
-        a, b = ids[ai], ids[bi]
-        keep = a < b
-        return pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep]})
+        a, b_ = ids[ai], ids[bi]
+        # canonical within-band emission: a Hamming-1 pair shares only
+        # the bucket whose mask is its differing bit (emitted once); a
+        # Hamming-0 pair (equal fval) shares all b masked buckets —
+        # emit it from mask 0 only.  Integer compare, no float recode.
+        fv = pdf["fval"].to_numpy(dtype=np.int64)
+        canonical = (fv[ai] != fv[bi]) | (int(key[1]) < RP_MASK_STRIDE)
+        keep = (a < b_) & canonical
+        return pd.DataFrame({"vec_a": a[keep], "vec_b": b_[keep]})
 
     return (
         bands.groupBy("band", "bval")
@@ -1788,13 +1858,16 @@ def dedup_rp_lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ann_recall_report`` audits the IVF).
 
     The adaptive rule grows band width as log2(n/32) (linear pair-evals
-    per band) and OR-amplifies the band count to hold design-point
+    per band), emits b masked sub-band keys per band (Hamming-≤1
+    multi-probe), and OR-amplifies the band count to hold design-point
     recall as bands lengthen (:func:`rp_num_bands`); this report
-    measures the resulting recall on-corpus — ≥ 0.85 on the shipped
-    fixtures — so an operator sizing the banding for a full-scale run
-    reads the measured curve, not the theory.  Past the RP_MAX_BANDS
-    cap the theoretical decay returns, which is exactly what this
-    report exists to surface.  Ground truth is the exact block-grid
+    measures the resulting recall on-corpus — ≥ 0.88 overall / ≥ 0.93
+    at the design cosine across the probe fixtures through n = 64k
+    (docs/scale_probe_sf3.json `rp_recall_curve`) — so an operator
+    sizing the banding for a full-scale run reads the measured curve,
+    not the theory.  Past the RP_MAX_BANDS cap (n ≳ 1M) the
+    theoretical decay returns, which is exactly what this report
+    exists to surface; the SemDeDup tier is the documented crossover.  Ground truth is the exact block-grid
     GEMM pass (quadratic, evaluation runs on a sample); flags are
     exact set membership.  The reported cosine is the sequential fold
     on both engines, and threshold-membership cannot diverge between
@@ -1910,7 +1983,8 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AGREE_ORACLE = f"""
 WITH lex AS (
-  SELECT doc_a AS a, doc_b AS b FROM ({_NGRAM_ORACLE}) lex_src
+  SELECT doc_a AS a, doc_b AS b FROM ({_NGRAM_BODY}) lex_src
+  WHERE jaccard >= 0.2
 ),
 sem AS (
   SELECT vec_a AS a, vec_b AS b FROM ({_EMB_PAIRS_ORACLE}) sem_src
@@ -1946,11 +2020,17 @@ def dedup_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFr
     agreement means they remove DIFFERENT redundancy and must both
     run.  Output is one summary row — pair counts per signal, the
     intersection, and their pairwise Jaccard (``agreement``) — built
-    by composing the two existing exact tiers (``dedup_ngram_
-    jaccard_exact`` ≥ 0.2, ``dedup_embedding_cosine`` ≥ 0.4, ids
-    shared via the doc_id = vec_id identity the SemDeDup queries
-    already use).  Flags are exact integers; the one division is
-    guarded for the empty-corpus case.
+    from the two exact pair producers with MATCHED thresholded
+    semantics: the lexical side is the UNLIMITED exact-jaccard pair
+    frame filtered to jaccard ≥ 0.2 (not the top-50 window the
+    ``dedup_ngram_jaccard_exact`` registry entry shows — a LIMIT
+    would understate lexical coverage as corpora grow), the semantic
+    side is ``dedup_embedding_cosine`` ≥ 0.4; ids are shared via the
+    doc_id = vec_id identity the SemDeDup queries already use.
+    Threshold membership is gate-stable: each jaccard is one
+    identical IEEE division of exact ints on both engines.  Flags are
+    exact integers; the one division is guarded for the empty-corpus
+    case.
 
     Scale: the two pair producers keep their own documented cost
     envelopes (cached shingles / block-grid GEMM); everything after
@@ -1958,9 +2038,13 @@ def dedup_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFr
     tiers are deliberate here — an audit wants ground truth, and the
     capped/LSH variants exist for the production path.
     """
-    lex = dedup_ngram_jaccard_exact(spark, sf_dir).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), F.lit(1).alias("il"),
-        F.lit(0).alias("isem"),
+    lex = (
+        _ngram_jaccard_frame(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.2)
+        .select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
+            F.lit(1).alias("il"), F.lit(0).alias("isem"),
+        )
     )
     sem = dedup_embedding_cosine(spark, sf_dir).select(
         F.col("vec_a").alias("a"), F.col("vec_b").alias("b"), F.lit(0).alias("il"),

@@ -1323,7 +1323,8 @@ BALANCE_SCALE = 1 << 20
 _SHARD_BALANCE_ORACLE = f"""
 WITH keyed AS (
   SELECT doc_id,
-         ((doc_id * 2654435761) % 1000003) % {SHUFFLE_SHARDS} AS shard,
+         CAST(((CAST(doc_id AS HUGEINT) * 2654435761) % 1000003) % {SHUFFLE_SHARDS}
+              AS BIGINT) AS shard,
          CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))
               AS BIGINT) AS n_tok
   FROM documents
@@ -1360,10 +1361,16 @@ def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is the only shuffle.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # the multiplicative hash is computed in DECIMAL(38,0) (oracle:
+    # HUGEINT): doc_id * 2654435761 passes 2^63 at doc_id ≈ 3.47e9 —
+    # plausible at the 100 TB posture — where non-ANSI BIGINT would
+    # wrap silently on Spark while DuckDB promotes; the widened type
+    # keeps both engines on the same exact integer at any doc_id
     keyed = docs.select(
-        ((F.col("doc_id") * F.lit(2654435761)) % 1000003 % SHUFFLE_SHARDS).alias(
-            "shard"
-        ),
+        F.expr(
+            "CAST(CAST(doc_id AS DECIMAL(38,0)) * 2654435761 % 1000003"
+            f" % {SHUFFLE_SHARDS} AS BIGINT)"
+        ).alias("shard"),
         F.size(tokens_col()).cast("long").alias("n_tok"),
     )
     per = keyed.groupBy("shard").agg(
@@ -1411,8 +1418,9 @@ def incremental_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental dedup passes.  The deterministic batch split is
     ``doc_id % 7`` — coprime with the fixture's 20-source id cycle,
     unlike the dedup family's ``% 10`` split, which aliases onto two
-    sources and would leave 18 report rows empty: a batch whose n-gram contexts are mostly ALREADY in
-    the corpus adds little (re-crawls, mirrors); one with a spiking
+    sources and would leave 18 report rows empty.  What the gauge
+    reads: a batch whose n-gram contexts are mostly ALREADY in the
+    corpus adds little (re-crawls, mirrors); one with a spiking
     OOV share signals topic/domain drift — or junk — before any
     model ever trains on it.  Trigram contexts (not unigrams) because
     a saturated unigram vocabulary stops moving long before the
@@ -1569,16 +1577,23 @@ def quality_ablation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.desc("q_fp"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.select(
-        "q_fp", F.coalesce(F.sum("n_k").over(off_w), F.lit(0)).alias("off")
+    # n_total rides the same bounded-frame WindowExec as the running
+    # offset (an unbounded-frame sum over the identical ordering) —
+    # no separate keyed.count() driver action / extra corpus job
+    tot_w = Window.orderBy(F.desc("q_fp")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    n_total = keyed.count()
+    offsets = counts.select(
+        "q_fp",
+        F.coalesce(F.sum("n_k").over(off_w), F.lit(0)).alias("off"),
+        F.sum("n_k").over(tot_w).alias("n_tot"),
+    )
     tie_w = Window.partitionBy("q_fp").orderBy("doc_id")
     ranked = (
         keyed.join(offsets, "q_fp")
         .withColumn("rnk", F.col("off") + F.row_number().over(tie_w))
         .select(
-            F.expr(f"(rnk - 1L) * 10L div {n_total}L + 1L").alias("decile"),
+            F.expr("(rnk - 1L) * 10L div n_tot + 1L").alias("decile"),
             "doc_id",
             "n_tokens",
             "is_dup",

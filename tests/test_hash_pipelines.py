@@ -148,7 +148,7 @@ def test_simhash_pipeline(spark):
 
 
 def test_embedding_lsh_pipeline(spark):
-    """Numpy-recomputed OR-amplified random-projection bands must
+    """Numpy-recomputed masked sub-band multi-probe buckets must
     reproduce the engine's verified pair set, and every emitted pair
     must be a true cosine-≥0.4 pair (subset of the exact block-grid
     result)."""
@@ -156,6 +156,7 @@ def test_embedding_lsh_pipeline(spark):
 
     from mr_python_spark.dedup import (
         RP_BAND_SEED,
+        RP_MASK_STRIDE,
         RP_SLOT_BITS,
         dedup_embedding_cosine,
         dedup_embedding_lsh,
@@ -169,16 +170,23 @@ def test_embedding_lsh_pipeline(spark):
     mat = np.array([r.embedding for r in emb], dtype=np.float64)
     bits_per_band = rp_bits_per_band(len(ids))
     n_bands = rp_num_bands(bits_per_band)
-    weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+    mask_w = 1 << np.arange(bits_per_band - 1, dtype=np.int64)
 
+    # expected = union over masked buckets WITHOUT the engine's
+    # canonical-emission rule: the rule only suppresses duplicate
+    # emissions, so the distinct union must be identical — if the
+    # canonical logic ever dropped a Hamming-0 pair outright, got
+    # would lack a pair expected contains
     buckets = defaultdict(set)
     for band in range(n_bands):
         proj = np.random.RandomState(RP_BAND_SEED + band).standard_normal(
             (mat.shape[1], RP_SLOT_BITS)
         )
-        bvals = ((mat @ proj[:, :bits_per_band]) >= 0.0).astype(np.int64) @ weights
+        bits = ((mat @ proj[:, :bits_per_band]) >= 0.0).astype(np.int64)
         for row, vid in enumerate(ids):
-            buckets[(band, int(bvals[row]))].add(int(vid))
+            for i in range(bits_per_band):
+                mval = int(np.delete(bits[row], i) @ mask_w) + i * RP_MASK_STRIDE
+                buckets[(band, mval)].add(int(vid))
     by_id = {int(v): i for i, v in enumerate(ids)}
 
     # the ENGINE's verification float path (and the exact tier's):

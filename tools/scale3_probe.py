@@ -23,6 +23,9 @@ could not make:
 Usage::
 
     python tools/scale3_probe.py            # generate (once) + measure
+    python tools/scale3_probe.py --rp-only  # refresh only the recall
+                                            # curve (part 2), keeping
+                                            # the committed sf3 timings
 
 Writes ``docs/scale_probe_sf3.json``.
 """
@@ -84,14 +87,22 @@ def main() -> None:
 
     spark = get_spark("scale3_probe")
     qs = entrymod.queries()
-    result: dict = {"replicas_sf3": SF3_REPLICAS}
+    out = os.path.join(REPO, "docs", "scale_probe_sf3.json")
+    rp_only = "--rp-only" in sys.argv
+    if rp_only and os.path.exists(out):
+        with open(out) as f:
+            result = json.load(f)
+    else:
+        result = {"replicas_sf3": SF3_REPLICAS}
 
     # ---- part 1: sf3 timings (same method as scale_probe: warm both
     # scale factors, then per-query best-of-3) ----
-    for sf_dir in (SRC, SF1_DST, SF3_DST):
+    for sf_dir in () if rp_only else (SRC, SF1_DST, SF3_DST):
         for name in QUERIES:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", SF1_DST), ("sf3", SF3_DST)):
+    for sf_name, sf_dir in (
+        () if rp_only else (("sf0.1", SRC), ("sf1", SF1_DST), ("sf3", SF3_DST))
+    ):
         timings = {}
         for name in QUERIES:
             best = float("inf")
@@ -102,16 +113,17 @@ def main() -> None:
             timings[name] = round(best, 3)
         timings["total"] = round(sum(timings.values()), 3)
         result[sf_name] = timings
-    result["ratio_30x_data"] = {
-        k: round(result["sf3"][k] / result["sf0.1"][k], 2)
-        for k in result["sf0.1"]
-        if result["sf0.1"][k] > 0
-    }
-    result["ratio_sf3_vs_sf1"] = {
-        k: round(result["sf3"][k] / result["sf1"][k], 2)
-        for k in result["sf1"]
-        if result["sf1"][k] > 0
-    }
+    if not rp_only:
+        result["ratio_30x_data"] = {
+            k: round(result["sf3"][k] / result["sf0.1"][k], 2)
+            for k in result["sf0.1"]
+            if result["sf0.1"][k] > 0
+        }
+        result["ratio_sf3_vs_sf1"] = {
+            k: round(result["sf3"][k] / result["sf1"][k], 2)
+            for k in result["sf1"]
+            if result["sf1"][k] > 0
+        }
 
     # ---- part 2: RP-LSH recall decay across the RP_MAX_BANDS cap ----
     curve = []
@@ -162,7 +174,6 @@ def main() -> None:
     result["rp_recall_curve"] = curve
 
     print(json.dumps(result, indent=2))
-    out = os.path.join(REPO, "docs", "scale_probe_sf3.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
     print(f"wrote {out}", file=sys.stderr)

@@ -45,13 +45,16 @@ RP_SLOT_BITS = 16
 RP_TARGET_BUCKET = 32
 RP_BUCKET_CAP = 2048
 #: OR-amplification spec (mirrors mr_python_spark/dedup constants):
-#: band count L = ceil(ln(1/0.1) / p0^bits), p0 = 1 - acos(0.45)/pi,
-#: capped at 64; band i draws its 16-column Gaussian slot from
-#: RandomState(1000 + i) (deterministic across platforms by contract)
+#: masked sub-band multi-probe — per-band collision is P(Hamming<=1) =
+#: p0^bits + bits*p0^(bits-1)*(1-p0), p0 = 1 - acos(0.45)/pi; band
+#: count L = ceil(ln(1/0.1) / p_band) capped at 128; band i draws its
+#: 16-column Gaussian slot from RandomState(1000 + i) (deterministic
+#: across platforms by contract); bucket key = mask*2^16 + masked_val
 RP_DESIGN_P0 = 1 - math.acos(0.45) / math.pi
 RP_DESIGN_MISS = 0.1
-RP_MAX_BANDS = 64
+RP_MAX_BANDS = 128
 RP_BAND_SEED = 1000
+RP_MASK_STRIDE = 1 << RP_SLOT_BITS
 
 _RP_SLOTS: dict[int, "np.ndarray"] = {}
 
@@ -67,17 +70,34 @@ def _rp_slot(band: int) -> "np.ndarray":
 
 
 def _rp_band_val(e, band: int, bpb: int) -> int:
-    """Sign-projection band value, recomputed per row (independent of
-    the engine's batched GEMM path)."""
+    """Sign-projection full-band value, recomputed per row (independent
+    of the engine's batched GEMM path)."""
     v = np.asarray(e, dtype=np.float64)
     bits = (v @ _rp_slot(band)[: len(v), :bpb]) >= 0.0
     return int(bits.astype(np.int64) @ (1 << np.arange(bpb)))
 
 
+def _rp_mask_vals(e, band: int, bpb: int) -> list:
+    """Masked sub-band bucket keys: for each mask i, the band's sign
+    bits with bit i deleted and compressed, coded mask*2^16 + val —
+    the engine's multi-probe emission (dedup/__init__.py band_rows),
+    recomputed per row."""
+    v = np.asarray(e, dtype=np.float64)
+    bits = ((v @ _rp_slot(band)[: len(v), :bpb]) >= 0.0).astype(np.int64)
+    w = 1 << np.arange(bpb - 1)
+    return [
+        int(np.delete(bits, i) @ w) + i * RP_MASK_STRIDE for i in range(bpb)
+    ]
+
+
 def _rp_num_bands(bpb: int) -> int:
-    """OR-amplified band count for a band width (engine formula)."""
+    """OR-amplified band count for a band width (engine formula:
+    multi-probe Hamming<=1 per-band collision)."""
+    p_band = RP_DESIGN_P0**bpb + bpb * RP_DESIGN_P0 ** (bpb - 1) * (
+        1.0 - RP_DESIGN_P0
+    )
     return min(
-        RP_MAX_BANDS, math.ceil(math.log(1.0 / RP_DESIGN_MISS) / (RP_DESIGN_P0**bpb))
+        RP_MAX_BANDS, math.ceil(math.log(1.0 / RP_DESIGN_MISS) / p_band)
     )
 
 
@@ -99,10 +119,20 @@ def _bpe_oracle_model() -> tuple:
 
         import duckdb
 
+        # sample geometry is pipeline CONFIG, imported so a constant
+        # change in functions/bpe.py cannot desynchronize the oracle;
+        # the trainer algorithm below stays an independent reimpl
+        from mr_python_spark.functions.bpe import (
+            BPE_NUM_MERGES,
+            BPE_SAMPLE_CAP,
+            BPE_SAMPLE_STRIDE,
+        )
+
         rows = duckdb.sql(
             f"""
             SELECT lower(text) FROM '{sf_dir}/documents.parquet'
-            WHERE doc_id % 3 = 0 ORDER BY doc_id LIMIT 1024
+            WHERE doc_id % {BPE_SAMPLE_STRIDE} = 0
+            ORDER BY doc_id LIMIT {BPE_SAMPLE_CAP}
             """
         ).fetchall()
         wf: Counter = Counter()
@@ -112,7 +142,7 @@ def _bpe_oracle_model() -> tuple:
                     wf[w] += 1
         vocab = [(list(w[:-1]) + [w[-1] + "</w>"], f) for w, f in wf.items()]
         merges: list[tuple[str, str]] = []
-        for _ in range(200):
+        for _ in range(BPE_NUM_MERGES):
             pc: Counter = Counter()
             for syms, f in vocab:
                 for i in range(len(syms) - 1):
@@ -187,6 +217,12 @@ def register_udfs(con) -> None:
             _rp_band_val,
             [duckdb.list_type(duckdb.typing.DOUBLE), INTEGER, INTEGER],
             BIGINT,
+        )
+        con.create_function(
+            "rp_mask_vals",
+            _rp_mask_vals,
+            [duckdb.list_type(duckdb.typing.DOUBLE), INTEGER, INTEGER],
+            duckdb.list_type(BIGINT),
         )
         con.create_function("rp_num_bands", _rp_num_bands, [INTEGER], INTEGER)
         con.create_function(
@@ -363,10 +399,13 @@ SELECT doc_id, xxh64_str(array_to_string(t, ' ')) AS fingerprint FROM toks
 
 
 def _embedding_lsh_sql() -> str:
-    # band values come from the rp_band_val UDF (same seeded slots,
-    # per-row recompute); band width mirrors the engine's adaptive rule
-    # rp_bits_per_band(n) = clamp(4, 16, ceil(log2(n / 32))), computed
-    # from count(*) so the oracle tracks the engine at any SF
+    # masked sub-band keys come from the rp_mask_vals UDF (same seeded
+    # slots + recode, per-row recompute); band width mirrors the
+    # engine's adaptive rule rp_bits_per_band(n) = clamp(4, 16,
+    # ceil(log2(n / 32))), computed from count(*) so the oracle tracks
+    # the engine at any SF.  The canonical-emission rule (Hamming-0
+    # pairs, equal fval, count only at mask 0) is mirrored so the
+    # bucket-cap filter interacts identically on both engines.
     return f"""
 WITH p AS (
   SELECT CASE WHEN count(*) <= {RP_TARGET_BUCKET} THEN 4
@@ -379,12 +418,16 @@ v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ),
-bands AS (
+bands_raw AS (
   SELECT vec_id, CAST(band AS INTEGER) AS band,
-         rp_band_val(e, CAST(band AS INTEGER), CAST((SELECT bpb FROM p) AS INTEGER)) AS bval
+         rp_band_val(e, CAST(band AS INTEGER), CAST((SELECT bpb FROM p) AS INTEGER)) AS fval,
+         rp_mask_vals(e, CAST(band AS INTEGER), CAST((SELECT bpb FROM p) AS INTEGER)) AS mvals
   FROM v CROSS JOIN (
     SELECT unnest(range((SELECT rp_num_bands(CAST(bpb AS INTEGER)) FROM p))) AS band
   ) t
+),
+bands AS (
+  SELECT vec_id, band, fval, unnest(mvals) AS bval FROM bands_raw
 ),
 ok_buckets AS (
   SELECT band, bval FROM bands
@@ -397,6 +440,7 @@ cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM kept a JOIN kept b
     ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+  WHERE a.fval <> b.fval OR a.bval < {RP_MASK_STRIDE}
 ),
 n AS (
   SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v

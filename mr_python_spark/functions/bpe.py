@@ -274,3 +274,47 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+_FERTILITY_ENVELOPE_ORACLE = r"""
+WITH d AS (
+  SELECT lang, n_chars,
+         len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))
+           AS nw
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nw) AS BIGINT) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       TRUE AS fertility_ge_one,
+       TRUE AS tokens_le_chars
+FROM d GROUP BY lang
+"""
+
+
+@register("tokenizer_fertility_envelope", _FERTILITY_ENVELOPE_ORACLE)
+def tokenizer_fertility_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracle envelope for :func:`tokenizer_fertility_report` (whose
+    trained-BPE encode DuckDB can only replay via Python UDFs): runs the
+    parent end-to-end and re-shapes its per-language row into columns a
+    model-free oracle can pin exactly — ``n_docs`` / ``n_words`` /
+    ``n_chars`` (the word count is the same whitespace tokenization on
+    both engines; ``n_chars`` is table metadata) — plus two invariant
+    flags carrying the BPE output: ``fertility_ge_one`` (every word
+    encodes to ≥ 1 subword, so Σtokens ≥ Σwords) and ``tokens_le_chars``
+    (merges only shrink a word's symbol count, so Σtokens ≤ Σ|word| ≤
+    Σ n_chars).  A broken encode (dropped words, runaway splits, merge
+    loop) flips a flag and fails the hash gate; the full-strength
+    token-count gate stays on the parent's udf-oracle in the sweep.
+    Same envelope device as ``dedup_incremental_minhash_envelope``.
+    """
+    rep = tokenizer_fertility_report(spark, sf_dir)
+    return rep.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_chars",
+        (F.col("n_bpe_tokens") >= F.col("n_words")).alias("fertility_ge_one"),
+        (F.col("n_bpe_tokens") <= F.col("n_chars")).alias("tokens_le_chars"),
+    )

@@ -208,7 +208,33 @@ class _BitReader:
         return v
 
     def restart(self) -> bool:
-        """Consume a pending restart marker and byte-align."""
+        """Consume a pending restart marker and byte-align.
+
+        The marker may not have been prefetched: :meth:`_fill` stops
+        once nbits > 24, so an interval whose entropy data drains at a
+        refill boundary leaves the 0xFFDx bytes unread in ``data``
+        (e.g. a 4-byte tail fills 32 bits and returns before seeing
+        the marker).  In that case discard the < 8 one-padding bits
+        still in the accumulator and scan the marker here — otherwise
+        most real multi-interval DRI JPEGs fail to decode."""
+        if self.marker is None:
+            self.acc = 0
+            self.nbits = 0
+            # T.81 B.1.1.2: optional 0xFF fill bytes may precede any
+            # marker — skip them, then expect 0xFF 0xD0..0xD7
+            while (
+                self.pos + 1 < len(self.data)
+                and self.data[self.pos] == 0xFF
+                and self.data[self.pos + 1] == 0xFF
+            ):
+                self.pos += 1
+            if (
+                self.pos + 1 < len(self.data)
+                and self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+            ):
+                self.marker = self.data[self.pos + 1]
+                self.pos += 2
         if self.marker is None or not (0xD0 <= self.marker <= 0xD7):
             return False
         self.marker = None
@@ -444,10 +470,19 @@ def _category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
 
-def encode_jpeg(w: int, h: int, rgb: "bytes | None" = None, seed: int = 0) -> bytes:
+def encode_jpeg(
+    w: int,
+    h: int,
+    rgb: "bytes | None" = None,
+    seed: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
     """Baseline 4:4:4 JPEG of a (w, h) RGB raster (row-major bytes); a
     deterministic seeded gradient raster is synthesized when ``rgb`` is
-    None.  Annex K tables, no subsampling, no restart markers."""
+    None.  Annex K tables, no subsampling; ``restart_interval`` > 0
+    emits a DRI segment and byte-aligned RSTn markers every that many
+    MCUs (DC predictors reset), exercising the decoder's restart
+    path."""
     import numpy as np
 
     if rgb is None:
@@ -496,8 +531,18 @@ def encode_jpeg(w: int, h: int, rgb: "bytes | None" = None, seed: int = 0) -> by
             mode="edge",
         )
         padded.append(p)
+    mcu_idx = 0
+    rst_idx = 0
     for by in range(by_count):
         for bx in range(bx_count):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                # byte-align with 1-padding, emit RSTn raw (markers are
+                # never stuffed), reset DC predictors — T.81 E.1.4
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst_idx % 8)])
+                rst_idx += 1
+                pred = [0, 0, 0]
+            mcu_idx += 1
             for ci in range(3):
                 ti = 0 if ci == 0 else 1
                 dc_t, ac_t = enc[ti]
@@ -564,6 +609,11 @@ def encode_jpeg(w: int, h: int, rgb: "bytes | None" = None, seed: int = 0) -> by
         b"\x03" + struct.pack(">BB", 1, 0x00) + struct.pack(">BB", 2, 0x11)
         + struct.pack(">BB", 3, 0x11) + b"\x00\x3f\x00",
     )
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
-        b"\xff\xd8" + dqt + sof + dhts + sos + bytes(bw.out) + b"\xff\xd9"
+        b"\xff\xd8" + dqt + sof + dhts + dri + sos + bytes(bw.out) + b"\xff\xd9"
     )

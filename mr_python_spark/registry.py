@@ -42,30 +42,50 @@ ORACLES: dict[str, str] = {}
 #: parity gate.  (Round-7 rotation brought in the r5/r6 typed surfaces,
 #: Python Data Source stream+sink, behavioral analytics, and newer
 #: dedup strategies — those stay.)
+#:
+#: Round-10 rotation: the ten round-9 wave-3–6 entries that were green
+#: in both full sweeps but never driver-graded take the window slots
+#: of ten r9-graded entries, each of which leaves same-category kin
+#: in-window and stays hash-gated in the full sweep:
+#: search_bm25_topk → search_phrase_topk (retrieval),
+#: cms_heavy_hitters → streaming_cms_hitters (CMS sketch, now the
+#: live-stream variant), pandas_udf_token_count →
+#: tokenizer_fertility_report (Arrow-encode surface; udtf + udaf keep
+#: the UDF slots), dsir_importance_weights →
+#: mixture_temperature_weights (selection/mixture),
+#: event_transition_matrix → incremental_oov_report (funnel stays as
+#: the behavioral rep), dedup_containment → shard_balance_report
+#: (three dedup reps remain), ann_recall_report →
+#: ann_pq_recall_report (recall-audit slot, PQ variant),
+#: knn_label_eval → hard_negative_mining (blocked-GEMM eval kin),
+#: q6_forecast_revenue → ann_filtered_topk (q1/pipeline_rekey keep
+#: the TPC-H composites), join_bloom_runtime_filter →
+#: vocab_growth_report (three join shapes remain).
 PRIORITY: list[str] = [
     # §2a parity gate + §2b signature patterns
     "parity_word_count",
     "parity_secondary_sort",
     "word_count",
-    # TPC-H composites (joins + aggs + subqueries at scale shapes)
+    # TPC-H composites (joins + aggs + subqueries at scale shapes;
+    # q6 rotated out round-10 — q1/pipeline_rekey keep the family)
     "q1_pricing_summary",
-    "q6_forecast_revenue",
+    "ann_filtered_topk",  # filtered ANN, predicate below the GEMM (round-9)
     "pipeline_rekey_bands",
     # join shapes
     "join_left_outer_agg",
     "join_range_tiers",
     "join_asof_events",
-    "join_bloom_runtime_filter",  # runtime-filter join (round-7)
+    "vocab_growth_report",  # Heaps-law vocab curve (round-9)
     # window functions (running-frame shape also covered by the
     # gap-fill's ignore-nulls running window)
     "window_rank_dense",
     # (timeseries_gapfill rotated out for the round-9 second wave —
     # running/ignore-nulls frames keep window_rank_dense + the
     # behavioral entries as in-window kin; gapfill stays in the sweep)
-    "search_bm25_topk",  # BM25 retrieval, inverted-index probe (round-9)
+    "search_phrase_topk",  # positional-index phrase retrieval (round-9)
     # timeseries / behavioral analytics (round-5)
     "funnel_stages_events",
-    "event_transition_matrix",
+    "incremental_oov_report",  # trigram OOV drift gauge (round-9)
     # set ops
     "setop_intersect",
     # sorts / limits
@@ -80,7 +100,7 @@ PRIORITY: list[str] = [
     "interval_ship_latency",
     # statistics / sketches (variance rotated out round-9 second wave;
     # the moments recipe stays gated in the full sweep)
-    "cms_heavy_hitters",  # Count-Min sketch + exact audit (round-9)
+    "streaming_cms_hitters",  # live-stream Count-Min state (round-9)
     # projection/filter + distinct
     "filter_project_lineitem",
     "distinct_users_per_event",
@@ -95,20 +115,20 @@ PRIORITY: list[str] = [
     "streaming_stateful_sessions",
     "streaming_join_outer_live",  # stream-stream join matrix rep (round-6)
     # UDF / UDTF / UDAF surface
-    "pandas_udf_token_count",
+    "tokenizer_fertility_envelope",  # BPE fertility, SQL-oracle envelope (round-10)
     "udtf_word_explode",
     "pandas_udaf_weighted_avg",
     # LLM-pipeline families: dedup, ANN, multimodal, vectors,
     # cleaning passes
     # (dedup_exact rotated out round-9 second wave — the family keeps
     # three in-window reps below and exact stays gated in the sweep)
-    "dsir_importance_weights",  # DSIR hashed-model selection (round-9)
+    "mixture_temperature_weights",  # T5/PaLM temperature mixture (round-9)
     # round-9 fourth wave: the provenance matrix RUNS dedup_ngram_jaccard
     # end-to-end (pair mining + exact verification) and then attributes
     # every pair to its source cell — a strictly stronger gate, so it
     # takes the family slot; ngram_jaccard itself stays in the sweep
     "dedup_cross_source_matrix",
-    "dedup_containment",  # |A∩B|/min containment (round-6)
+    "shard_balance_report",  # shard token-mass balance (round-9)
     # round-9: the two udf-oracle pipelines now enter the window via
     # their SQL-oracle ENVELOPE companions (each runs the parent pass
     # end-to-end AND adds a DuckDB-checkable invariant), so the
@@ -118,11 +138,11 @@ PRIORITY: list[str] = [
     # (ann_ivf_label rotated out round-9 sixth wave: ann_recall_report
     # RUNS it end-to-end as the approx side, a strictly stronger gate;
     # the label index stays hash-gated in the full sweep)
-    "ann_recall_report",  # measured-recall index audit (round-6)
+    "ann_pq_recall_envelope",  # PQ recall, SQL-oracle envelope (round-10)
     "multimodal_decode_real",  # real BMP/PNG/JPEG decode (round-7/9)
     # (vector_norms rotated out round-9 second wave for the stronger
     # embedding-space rep; it stays gated in the full sweep)
-    "knn_label_eval",  # embedding-space k-NN label accuracy (round-9)
+    "hard_negative_mining",  # contrastive-negative mining (round-9)
     "bitext_margin_mining",  # CCMatrix margin-based mining (round-9)
     # (gopher_quality_rules rotated out round-9 sixth wave: the quality
     # family keeps nb_quality_classifier + the ablation curve, which

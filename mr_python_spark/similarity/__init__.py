@@ -785,6 +785,77 @@ def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_ENVELOPE_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+), q AS (
+  SELECT * FROM n WHERE vec_id % {{km_stride}} = 0
+), scored AS (
+  SELECT
+    q.vec_id AS query_id,
+    n.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(q.e, n.e), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (q.nrm * n.nrm) AS score
+  FROM q JOIN n ON q.vec_id <> n.vec_id
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+  )
+  WHERE rank <= {{top_k}}
+)
+SELECT query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(neighbor_id) AS BIGINT) AS truth_id_sum,
+       TRUE AS hits_in_range
+FROM truth GROUP BY query_id
+""".format(km_stride=KM_QUERY_STRIDE, top_k=KM_TOP_K)
+
+
+@register("ann_pq_recall_envelope", _PQ_ENVELOPE_ORACLE)
+def ann_pq_recall_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracle envelope for :func:`ann_pq_recall_report` (whose
+    trained IVF-PQ side DuckDB can only replay via Python UDFs): runs
+    the parent end-to-end and pairs its per-query hit count with the
+    exact brute-force truth columns a model-free oracle CAN replay —
+    the stride-{KM_QUERY_STRIDE} query set, ``n_true`` (exact top-k
+    membership count), and ``truth_id_sum`` (id-sum of the exact
+    neighbors — content-bearing, so the blocked-GEMM truth pipeline
+    hash-gates value-for-value; rank ties are already total-ordered by
+    neighbor_id, pinned green on ``ann_brute_topk``'s own gate) — plus
+    the ``hits_in_range`` invariant flag carrying the PQ output
+    (0 ≤ n_hits ≤ n_true; a PQ index that claims phantom hits or a
+    join that duplicates rows flips it).  The full-strength
+    recall-value gate stays on the parent's udf-oracle in the sweep.
+    Same envelope device as ``dedup_incremental_minhash_envelope``.
+    """
+    rep = ann_pq_recall_report(spark, sf_dir)
+    truth = (
+        ann_brute_topk(spark, sf_dir)
+        .filter(
+            (F.col("rank") <= KM_TOP_K)
+            & (F.col("query_id") % KM_QUERY_STRIDE == 0)
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum("neighbor_id").alias("truth_id_sum"),
+        )
+    )
+    return truth.join(rep, "query_id").select(
+        "query_id",
+        "n_true",
+        "truth_id_sum",
+        (
+            (F.col("n_hits") >= 0) & (F.col("n_hits") <= F.col("n_true"))
+        ).alias("hits_in_range"),
+    )
+
+
 _KNN_EVAL_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

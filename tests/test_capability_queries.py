@@ -522,6 +522,48 @@ def test_jpeg_roundtrip_baseline():
     assert np.abs(dec - np.array([100.0, 150.0, 200.0])).max() <= 3
 
 
+def test_jpeg_roundtrip_restart_intervals():
+    """DRI JPEGs decode identically to their no-DRI twins: restart
+    markers change entropy segmentation, not quantization, so the
+    pixel output must be byte-identical.  The (size, interval) sweep
+    lands interval boundaries on every accumulator tail alignment —
+    including the 4-byte refill-boundary drain where restart() used
+    to return False because _fill (which stops once nbits > 24) had
+    never prefetched the marker (the ADVICE-reported decode failure
+    on real multi-interval DRI files)."""
+    import numpy as np
+
+    from mr_python_spark.multimodal.jpeg import _BitReader, decode_jpeg_pixels, encode_jpeg
+
+    for (w, h, seed) in [(32, 32, 3), (40, 24, 1), (17, 13, 2), (64, 16, 7)]:
+        plain = decode_jpeg_pixels(encode_jpeg(w, h, seed=seed))
+        assert plain is not None
+        n_mcus = -(-w // 8) * -(-h // 8)
+        for interval in (1, 2, 3, 5, 7):
+            if interval >= n_mcus:
+                continue
+            payload = encode_jpeg(w, h, seed=seed, restart_interval=interval)
+            assert b"\xff\xdd" in payload, "DRI segment missing"
+            got = decode_jpeg_pixels(payload)
+            assert got is not None, (w, h, seed, interval)
+            assert got == plain, (w, h, seed, interval)
+
+    # unit pin of the exact failure mode: a 4-byte entropy tail fills
+    # 32 bits (> 24) so _fill returns without seeing the marker; a
+    # draining decoder then calls restart(), which must scan it
+    br = _BitReader(bytes([0xAB, 0xCD, 0xEF, 0x12, 0xFF, 0xD0, 0x55]), 0)
+    assert br.read_bits(26) is not None  # leaves 6 pad bits, marker unread
+    assert br.marker is None  # the pre-fix precondition
+    assert br.restart(), "restart() must scan the unprefetched marker"
+    assert br.read_bits(8) == 0x55  # decoding resumes after the marker
+
+    # fill-byte tolerance: 0xFF padding before the marker (B.1.1.2)
+    br = _BitReader(bytes([0xAB, 0xCD, 0xEF, 0x12, 0xFF, 0xFF, 0xD1, 0x66]), 0)
+    assert br.read_bits(26) is not None
+    assert br.restart()
+    assert br.read_bits(8) == 0x66
+
+
 def test_jpeg_rejects_corrupt_and_out_of_scope():
     """Malformed or out-of-scope JPEGs reject cleanly with None:
     truncation (header and mid-scan), progressive SOF2, oversized

@@ -181,7 +181,16 @@ def load_all_modules() -> None:
     from mr_python_spark import dedup, multimodal, similarity, sources, streaming  # noqa: F401
     from mr_python_spark.sources import pyds  # noqa: F401
     from mr_python_spark.streaming import stateful  # noqa: F401
-    from mr_python_spark.functions import bpe, lm, pipeline, pyudf, scalars, text, vectors  # noqa: F401
+    from mr_python_spark.functions import (  # noqa: F401
+        bpe,
+        lm,
+        pipeline,
+        pyudf,
+        scalars,
+        text,
+        unigram,
+        vectors,
+    )
     from mr_python_spark.operators import (  # noqa: F401
         aggregates,
         bucketing,

@@ -637,6 +637,121 @@ def test_bpe_trainer_and_encoder_cross_check(spark):
         assert got[d] == (len(ws), len(toks), len(set(toks))), d
 
 
+def test_unigram_trainer_and_encoder_cross_check(spark):
+    """The engine's unigram-LM trainer must piece-for-piece equal a
+    naive from-scratch reimplementation on the same sample (seeding,
+    Viterbi-EM, pruning, final costs), and the distributed per-doc
+    stats must equal segmenting every doc with the final costs
+    locally — including UNK single chars the sample never saw."""
+    from collections import Counter
+
+    from mr_python_spark.functions.bpe import (
+        BPE_SAMPLE_CAP,
+        BPE_SAMPLE_STRIDE,
+        _words,
+    )
+    from mr_python_spark.functions.unigram import (
+        UNIGRAM_EM_ITERS,
+        UNIGRAM_MAX_PIECE,
+        UNIGRAM_SEED_MULTI,
+        UNIGRAM_UNK_COST,
+        UNIGRAM_VOCAB,
+        _viterbi,
+        trained_unigram,
+        unigram_token_stats,
+    )
+    from mr_python_spark.session import load_table
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    sample_ids = sorted(d for d in docs if d % BPE_SAMPLE_STRIDE == 0)[:BPE_SAMPLE_CAP]
+    wf = Counter(w for d in sample_ids for w in _words(docs[d]))
+
+    # naive trainer: same spec, written from scratch with a recursive
+    # memoized segmenter (no shared code with the engine's dp loop)
+    def naive_seg(w, costs):
+        from functools import lru_cache
+
+        @lru_cache(maxsize=None)
+        def best(j):
+            if j == 0:
+                return (0, 0)
+            cands = []
+            for i in range(max(0, j - UNIGRAM_MAX_PIECE), j):
+                c = costs.get(w[i:j])
+                if c is None:
+                    if j - i != 1:
+                        continue
+                    c = UNIGRAM_UNK_COST
+                cands.append((best(i)[0] + c, i))
+            # min cost; ties -> smallest i (longest last piece)
+            return min(cands)
+
+        out, j = [], len(w)
+        while j:
+            i = best(j)[1]
+            out.append(w[i:j])
+            j = i
+        return out[::-1]
+
+    def naive_train(freq):
+        seed = Counter()
+        for w, f in freq.items():
+            for i in range(len(w)):
+                for j in range(i + 1, min(len(w), i + UNIGRAM_MAX_PIECE) + 1):
+                    seed[w[i:j]] += f
+        chars = sorted(s for s in seed if len(s) == 1)
+        vocab = chars + sorted(
+            (s for s in seed if len(s) > 1), key=lambda s: (-seed[s], s)
+        )[:UNIGRAM_SEED_MULTI]
+        cnt = {s: seed[s] for s in vocab}
+
+        def costs_of(c):
+            t, v = sum(c.values()), len(vocab)
+            return {s: ((t + v) // (c[s] + 1)).bit_length() for s in vocab}
+
+        def recount(costs):
+            nxt = {s: 0 for s in vocab}
+            for w, f in freq.items():
+                for p in naive_seg(w, costs):
+                    if p in nxt:
+                        nxt[p] += f
+            return nxt
+
+        for _ in range(UNIGRAM_EM_ITERS):
+            cnt = recount(costs_of(cnt))
+        vocab = chars + sorted(
+            (s for s in vocab if len(s) > 1), key=lambda s: (-cnt[s], s)
+        )[: max(0, UNIGRAM_VOCAB - len(chars))]
+        cnt = {s: cnt[s] for s in vocab}
+        cnt = recount(costs_of(cnt))
+        t, v = sum(cnt.values()), len(vocab)
+        costs = {s: ((t + v) // (cnt[s] + 1)).bit_length() for s in vocab}
+        return sorted(vocab, key=lambda s: (-cnt[s], s)), cnt, costs
+
+    pieces, counts, costs = trained_unigram(spark, SF)
+    n_pieces, n_counts, n_costs = naive_train(wf)
+    assert pieces == n_pieces
+    assert counts == n_counts
+    assert costs == n_costs
+    # structural invariants: chars exempt from pruning, cap respected
+    chars = {s for s in pieces if len(s) == 1}
+    assert len(pieces) <= max(UNIGRAM_VOCAB, len(chars))
+    assert all(len(s) <= UNIGRAM_MAX_PIECE for s in pieces)
+
+    got = {
+        r.doc_id: (r.n_words, r.n_unigram_tokens, r.n_unique_pieces)
+        for r in unigram_token_stats(spark, SF).collect()
+    }
+    assert set(got) == set(docs)
+    for d, text in docs.items():
+        ws = _words(text)
+        toks = [t for w in ws for t in _viterbi(w, costs)]
+        assert got[d] == (len(ws), len(toks), len(set(toks))), d
+
+
 def test_bigram_lm_bit_surprisal_mirror(spark):
     """The distributed LM score must equal a from-scratch pure-Python
     bigram LM (same bounded sample, same add-V smoothing) computing

@@ -590,6 +590,38 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         hinted_broadcasts=0,
     ),
+    # unigram-LM twin of bpe_token_stats: closure-shipped piece costs,
+    # map-only Arrow encode — no join, no exchange below the stats agg
+    "unigram_token_stats": dict(
+        must=[r"MapInPandas"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
+    # driver-built model table (bounded <= UNIGRAM_VOCAB rows) — the
+    # artifact query; nothing to shuffle
+    "unigram_vocab": dict(
+        must=[],
+        must_not=[r"CartesianProduct", r"Exchange"],
+        hinted_broadcasts=0,
+    ),
+    # fertility envelope: parent mapInPandas encode + the documents
+    # equi-join + |langs|-row aggregate, flags are projections
+    "tokenizer_fertility_envelope": dict(
+        must=[r"MapInPandas", r"partial_"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # PQ recall envelope: parent (PQ + brute GEMM sides) + the
+    # truth aggregate join; the brute side's packed-query BNLJ is its
+    # documented 1-row broadcast, so only cartesian is banned.  Three
+    # hints total, all constant-size: the parent's brute 1-row query
+    # pack + the PQ probe pack, plus the envelope's own brute truth
+    # run (a second 1-row query pack — the plans are separate
+    # subtrees, so the exchange is not shared)
+    "ann_pq_recall_envelope": dict(
+        must=[r"MapInPandas", r"HashAggregate"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=3,
+    ),
     # bigram LM scoring: model frames are sample-bounded (safe to hint
     # broadcast at any sf); bigrams built in-array (no Window shuffle);
     # the TakeOrdered cap bounds the training sample without a global

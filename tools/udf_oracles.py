@@ -197,6 +197,151 @@ def _bpe_stats(text: str) -> list:
 
 
 
+# --- unigram-LM tokenizer (unigram_token_stats / unigram_vocab) -------
+
+#: (sf_dir) -> (pieces, counts, costs); independent reimplementation
+#: of mr_python_spark.functions.unigram (Counter-based seeding, a
+#: descending-i Viterbi with <=-replacement — same total orders:
+#: (count DESC, piece ASC) selection, longest-last-piece ties)
+_UNIGRAM_ORACLE_MODELS: dict[str, tuple] = {}
+
+
+def _unigram_oracle_viterbi(word: str, costs: dict) -> list:
+    from mr_python_spark.functions.unigram import (
+        UNIGRAM_MAX_PIECE,
+        UNIGRAM_UNK_COST,
+    )
+
+    n = len(word)
+    dp = {0: 0}
+    back = {}
+    for j in range(1, n + 1):
+        # descending i = shortest candidate first; <= replacement means
+        # the last accepted (smallest i, longest piece) wins cost ties —
+        # the same winner as the engine's ascending-i strict-< loop
+        for i in range(j - 1, max(0, j - UNIGRAM_MAX_PIECE) - 1, -1):
+            piece = word[i:j]
+            c = costs.get(piece)
+            if c is None:
+                if len(piece) != 1:
+                    continue
+                c = UNIGRAM_UNK_COST
+            cand = dp[i] + c
+            if j not in dp or cand <= dp[j]:
+                dp[j], back[j] = cand, i
+    toks = []
+    j = n
+    while j:
+        i = back[j]
+        toks.append(word[i:j])
+        j = i
+    toks.reverse()
+    return toks
+
+
+def _unigram_oracle_model() -> tuple:
+    sf_dir = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
+    model = _UNIGRAM_ORACLE_MODELS.get(sf_dir)
+    if model is None:
+        import re as _re
+        from collections import Counter
+
+        import duckdb
+
+        from mr_python_spark.functions.unigram import (
+            UNIGRAM_EM_ITERS,
+            UNIGRAM_MAX_PIECE,
+            UNIGRAM_SEED_MULTI,
+            UNIGRAM_VOCAB,
+        )
+
+        rows = duckdb.sql(
+            f"""
+            SELECT lower(text) FROM '{sf_dir}/documents.parquet'
+            WHERE doc_id % {BPE_SAMPLE_STRIDE_I()} = 0
+            ORDER BY doc_id LIMIT {BPE_SAMPLE_CAP_I()}
+            """
+        ).fetchall()
+        wf: Counter = Counter()
+        for (t,) in rows:
+            for w in _re.split(r"\s+", t):
+                if w:
+                    wf[w] += 1
+
+        seed: Counter = Counter()
+        for w, f in wf.items():
+            for i in range(len(w)):
+                for ln in range(1, UNIGRAM_MAX_PIECE + 1):
+                    if i + ln > len(w):
+                        break
+                    seed[w[i : i + ln]] += f
+        chars = sorted(s for s in seed if len(s) == 1)
+        multi = sorted(
+            (s for s in seed if len(s) > 1), key=lambda s: (-seed[s], s)
+        )[:UNIGRAM_SEED_MULTI]
+        vocab = chars + multi
+        counts = Counter({s: seed[s] for s in vocab})
+
+        def cost_of(c, total, v):
+            return ((total + v) // (c + 1)).bit_length()
+
+        def em_pass(costs):
+            nxt = Counter(dict.fromkeys(vocab, 0))
+            for w, f in wf.items():
+                for p in _unigram_oracle_viterbi(w, costs):
+                    if p in nxt:
+                        nxt[p] += f
+            return nxt
+
+        for _ in range(UNIGRAM_EM_ITERS):
+            total, v = sum(counts.values()), len(vocab)
+            counts = em_pass({s: cost_of(counts[s], total, v) for s in vocab})
+
+        keep = sorted(
+            (s for s in vocab if len(s) > 1), key=lambda s: (-counts[s], s)
+        )[: max(0, UNIGRAM_VOCAB - len(chars))]
+        vocab = chars + keep
+        counts = Counter({s: counts[s] for s in vocab})
+        total, v = sum(counts.values()), len(vocab)
+        counts = em_pass({s: cost_of(counts[s], total, v) for s in vocab})
+        total = sum(counts.values())
+        costs = {s: cost_of(counts[s], total, v) for s in vocab}
+        pieces = sorted(vocab, key=lambda s: (-counts[s], s))
+        model = (pieces, dict(counts), costs)
+        _UNIGRAM_ORACLE_MODELS[sf_dir] = model
+    return model
+
+
+def BPE_SAMPLE_STRIDE_I() -> int:
+    from mr_python_spark.functions.bpe import BPE_SAMPLE_STRIDE
+
+    return BPE_SAMPLE_STRIDE
+
+
+def BPE_SAMPLE_CAP_I() -> int:
+    from mr_python_spark.functions.bpe import BPE_SAMPLE_CAP
+
+    return BPE_SAMPLE_CAP
+
+
+def _unigram_vocab_rows(dummy: int) -> list:
+    pieces, counts, costs = _unigram_oracle_model()
+    return [
+        f"{i}\t{s}\t{counts[s]}\t{costs[s]}" for i, s in enumerate(pieces)
+    ]
+
+
+def _unigram_stats(text: str) -> list:
+    import re as _re
+
+    _, _, costs = _unigram_oracle_model()
+    words = [w for w in _re.split(r"\s+", text.lower()) if w]
+    toks: list = []
+    for w in words:
+        toks.extend(_unigram_oracle_viterbi(w, costs))
+    return [len(words), len(toks), len(set(toks))]
+
+
 def register_udfs(con) -> None:
     """Register the oracle UDFs on a DuckDB connection (idempotent)."""
     import duckdb
@@ -266,6 +411,15 @@ def register_udfs(con) -> None:
         )
         con.create_function(
             "bpe_merges", _bpe_merge_strs, [INTEGER], duckdb.list_type(VARCHAR)
+        )
+        con.create_function(
+            "unigram_stats", _unigram_stats, [VARCHAR], duckdb.list_type(INTEGER)
+        )
+        con.create_function(
+            "unigram_vocab_rows",
+            _unigram_vocab_rows,
+            [INTEGER],
+            duckdb.list_type(VARCHAR),
         )
     except Exception as e:  # already registered on this connection
         if "already" not in str(e).lower():
@@ -977,6 +1131,26 @@ FROM (SELECT unnest(bpe_merges(1)) AS s)
 """
 
 
+def _unigram_stats_sql() -> str:
+    return """
+SELECT doc_id,
+       s[1] AS n_words,
+       s[2] AS n_unigram_tokens,
+       s[3] AS n_unique_pieces
+FROM (SELECT doc_id, unigram_stats(text) AS s FROM documents)
+"""
+
+
+def _unigram_vocab_sql() -> str:
+    return """
+SELECT CAST(string_split(s, chr(9))[1] AS INTEGER) AS rank,
+       string_split(s, chr(9))[2] AS piece,
+       CAST(string_split(s, chr(9))[3] AS BIGINT) AS count,
+       CAST(string_split(s, chr(9))[4] AS INTEGER) AS cost_bits
+FROM (SELECT unnest(unigram_vocab_rows(1)) AS s)
+"""
+
+
 def _bpe_fertility_sql() -> str:
     return """
 WITH s AS (
@@ -1009,6 +1183,8 @@ def udf_oracles() -> dict[str, str]:
         "bpe_token_stats": _bpe_stats_sql(),
         "bpe_vocab_merges": _bpe_merges_sql(),
         "tokenizer_fertility_report": _bpe_fertility_sql(),
+        "unigram_token_stats": _unigram_stats_sql(),
+        "unigram_vocab": _unigram_vocab_sql(),
         "dedup_semantic": _sem_dedup_sql(),
         "dedup_semantic_within_lang": _sem_lang_sql(),
         "dedup_lsh_eval_report": _lsh_eval_sql(),

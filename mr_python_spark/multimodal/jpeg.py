@@ -262,9 +262,11 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """Baseline-sequential JPEG → (width, height, channels, raster) or
-    None for anything malformed or out of scope (progressive,
-    arithmetic, 12-bit, >3 components, sampling factors > 2)."""
+    """Baseline-sequential (SOF0) or progressive (SOF2: spectral
+    selection + successive approximation, T.81 Annex G) JPEG →
+    (width, height, channels, raster) or None for anything malformed
+    or out of scope (arithmetic coding, hierarchical/lossless
+    processes, 12-bit, >3 components, sampling factors > 2)."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8" or len(payload) < 20:
@@ -274,15 +276,20 @@ def decode_jpeg_pixels(payload: bytes):
         huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
         frame = None
         restart_interval = 0
+        coef = None  # progressive: comp id -> (by, bx, 64) zigzag store
         pos = 2
-        while pos + 4 <= len(payload):
+        while pos + 2 <= len(payload):
             if payload[pos] != 0xFF:
                 return None
             marker = payload[pos + 1]
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
-            if marker == 0xD9:  # EOI before SOS
+            if marker == 0xD9:  # EOI
+                if frame is not None and frame.get("prog") and coef:
+                    return _reconstruct_progressive(frame, coef, qt, np)
+                return None  # baseline: EOI before SOS
+            if pos + 4 > len(payload):
                 return None
             (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
             seg = payload[pos + 4 : pos + 2 + seg_len]
@@ -318,7 +325,7 @@ def decode_jpeg_pixels(payload: bytes):
                     i += 17 + nsym
                 if i != len(seg):
                     return None
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                 prec, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
                 if prec != 8 or nf not in (1, 3) or w == 0 or h == 0:
                     return None
@@ -331,26 +338,52 @@ def decode_jpeg_pixels(payload: bytes):
                     if not (1 <= hi <= 2 and 1 <= vi <= 2):
                         return None
                     comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-                frame = {"w": w, "h": h, "comps": comps}
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                frame = {"w": w, "h": h, "comps": comps, "prog": marker == 0xC2}
+                if frame["prog"]:
+                    hmax = max(c["h"] for c in comps)
+                    vmax = max(c["v"] for c in comps)
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    frame["mcux"], frame["mcuy"] = mcux, mcuy
+                    coef = {
+                        c["id"]: np.zeros(
+                            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                        )
+                        for c in comps
+                    }
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline process: out of scope
+                return None  # non-baseline/-progressive process: out of scope
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack_from(">H", seg, 0)
             elif marker == 0xDA:  # SOS: entropy-coded data follows
                 if frame is None:
                     return None
                 ns = seg[0]
-                if ns != len(frame["comps"]):
-                    return None
                 scan = {}
+                order = []
                 for c in range(ns):
                     cs, td_ta = struct.unpack_from(">BB", seg, 1 + 2 * c)
                     scan[cs] = (td_ta >> 4, td_ta & 0x0F)
-                return _decode_scan(
-                    payload, pos + 2 + seg_len, frame, scan, qt, huff,
-                    restart_interval, np,
+                    order.append(cs)
+                if not frame["prog"]:
+                    if ns != len(frame["comps"]):
+                        return None
+                    return _decode_scan(
+                        payload, pos + 2 + seg_len, frame, scan, qt, huff,
+                        restart_interval, np,
+                    )
+                ss, se, ah_al = struct.unpack_from(
+                    ">BBB", seg, 1 + 2 * ns
                 )
+                ah, al = ah_al >> 4, ah_al & 0x0F
+                pos = _decode_progressive_scan(
+                    payload, pos + 2 + seg_len, frame, order, scan,
+                    ss, se, ah, al, huff, restart_interval, coef, np,
+                )
+                if pos is None:
+                    return None
+                continue
             pos += 2 + seg_len
         return None
     except (struct.error, IndexError, KeyError, ValueError):
@@ -441,6 +474,253 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval, np):
     return (w, h, 3, raster.tobytes())
 
 
+def _decode_progressive_scan(
+    payload, pos, frame, order, scan, ss, se, ah, al,
+    huff, restart_interval, coef, np,
+):
+    """One progressive scan (T.81 Annex G.2) into the zigzag
+    coefficient store; returns the payload position of the marker that
+    ended the scan, or None on malformed data.
+
+    DC scans (ss == 0) may be interleaved (MCU order, all frame
+    components) or single-component; AC scans (ss >= 1) are always
+    single-component, traversed in the component's own block raster.
+    ``ah == 0`` is a first pass (huffman magnitudes, values << al);
+    ``ah > 0`` is a successive-approximation refinement (one
+    correction bit per already-nonzero coefficient, new coefficients
+    appear as ±1 << al).  EOB runs (s == 0, r < 15) span blocks; DRI
+    restart boundaries reset DC predictors AND the pending EOB run.
+    """
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
+    br = _BitReader(payload, pos)
+
+    if ss == 0:  # ---- DC scan ----
+        if se != 0:
+            return None
+        dc_tab = {}
+        for cid in order:
+            td, _ = scan[cid]
+            if ah == 0 and (0, td) not in huff:
+                return None
+            dc_tab[cid] = huff.get((0, td))
+        pred = dict.fromkeys(order, 0)
+        # unit list: (cid, by, bx) per MCU in scan order
+        if len(order) > 1:  # interleaved MCU traversal
+            units_per_mcu = [
+                (cid, by, bx)
+                for cid in order
+                for by in range(by_id[cid]["v"])
+                for bx in range(by_id[cid]["h"])
+            ]
+            n_mcu = mcux * mcuy
+        else:
+            cid = order[0]
+            c = by_id[cid]
+            n_mcu = (-(-frame["w"] * c["h"] // (8 * hmax))) * (
+                -(-frame["h"] * c["v"] // (8 * vmax))
+            )
+        mcu_count = 0
+        for m in range(n_mcu):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                if not br.restart():
+                    return None
+                pred = dict.fromkeys(order, 0)
+            mcu_count += 1
+            if len(order) > 1:
+                my, mx = divmod(m, mcux)
+                blocks = [
+                    (cid, my * by_id[cid]["v"] + by, mx * by_id[cid]["h"] + bx)
+                    for cid, by, bx in units_per_mcu
+                ]
+            else:
+                c = by_id[order[0]]
+                bw_ = -(-frame["w"] * c["h"] // (8 * hmax))
+                blocks = [(order[0], m // bw_, m % bw_)]
+            for cid, by, bx in blocks:
+                if ah == 0:
+                    s = _decode_huff_symbol(br, dc_tab[cid])
+                    if s is None or s > 11:
+                        return None
+                    diff = 0
+                    if s:
+                        v = br.read_bits(s)
+                        if v is None:
+                            return None
+                        diff = _extend(v, s)
+                    pred[cid] += diff
+                    coef[cid][by, bx, 0] = pred[cid] << al
+                else:
+                    b = br.read_bit()
+                    if b is None:
+                        return None
+                    if b:
+                        coef[cid][by, bx, 0] = int(coef[cid][by, bx, 0]) | (
+                            1 << al
+                        )
+    else:  # ---- AC scan: single component, band ss..se ----
+        if len(order) != 1 or se > 63 or ss > se:
+            return None
+        cid = order[0]
+        c = by_id[cid]
+        _, ta = scan[cid]
+        if (1, ta) not in huff:
+            return None
+        ac_tab = huff[(1, ta)]
+        store = coef[cid]
+        bw_ = -(-frame["w"] * c["h"] // (8 * hmax))
+        bh_ = -(-frame["h"] * c["v"] // (8 * vmax))
+        eobrun = 0
+        p1, m1 = 1 << al, -1 << al
+        mcu_count = 0
+        for m in range(bw_ * bh_):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                if not br.restart():
+                    return None
+                eobrun = 0
+            mcu_count += 1
+            blk = store[m // bw_, m % bw_]
+            if ah == 0:  # first pass
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _decode_huff_symbol(br, ac_tab)
+                    if rs is None:
+                        return None
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            v = br.read_bits(r)
+                            if v is None:
+                                return None
+                            eobrun += v
+                        break
+                    k += r
+                    if k > se:
+                        return None
+                    v = br.read_bits(s)
+                    if v is None:
+                        return None
+                    blk[k] = _extend(v, s) << al
+                    k += 1
+            else:  # refinement pass (libjpeg decode_mcu_AC_refine shape)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _decode_huff_symbol(br, ac_tab)
+                        if rs is None:
+                            return None
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    v = br.read_bits(r)
+                                    if v is None:
+                                        return None
+                                    eobrun += v
+                                break
+                            # r == 15: ZRL — skip 16 zero-history slots
+                            newval = 0
+                        else:
+                            if s != 1:
+                                return None
+                            b = br.read_bit()
+                            if b is None:
+                                return None
+                            newval = p1 if b else m1
+                        while k <= se:
+                            cur = int(blk[k])
+                            if cur != 0:
+                                b = br.read_bit()
+                                if b is None:
+                                    return None
+                                if b and (cur & p1) == 0:
+                                    blk[k] = cur + (p1 if cur >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        cur = int(blk[k])
+                        if cur != 0:
+                            b = br.read_bit()
+                            if b is None:
+                                return None
+                            if b and (cur & p1) == 0:
+                                blk[k] = cur + (p1 if cur >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+    # scan ends at the next real marker: drain pad bits, return the
+    # marker position (br.pos sits ON the 0xFF once _fill saw it)
+    br.acc, br.nbits = 0, 0
+    if br.marker is None:
+        br._fill()
+    if br.marker is None:
+        return None
+    if 0xD0 <= br.marker <= 0xD7:  # trailing restart before next marker
+        br.marker = None
+        br._fill()
+        if br.marker is None:
+            return None
+    return br.pos
+
+
+def _reconstruct_progressive(frame, coef, qt, np):
+    """Dequantize + IDCT + upsample the accumulated progressive
+    coefficient store — the identical float tail to the baseline
+    path (orthonormal DCT matrix, nearest upsample, BT.601)."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    T = _dct_matrix()
+    full = []
+    for c in comps:
+        if c["tq"] not in qt:
+            return None
+        q = qt[c["tq"]].astype(np.float64)
+        store = coef[c["id"]]
+        by_n, bx_n = store.shape[0], store.shape[1]
+        plane = np.zeros((by_n * 8, bx_n * 8), dtype=np.float64)
+        nat = np.zeros(64, dtype=np.float64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                nat[ZIGZAG] = store[by, bx]
+                block = nat.reshape(8, 8) * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    T.T @ block @ T + 128.0
+                )
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(plane[:h, :w])
+    if len(comps) == 1:
+        raster = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return (w, h, 1, raster.tobytes())
+    Y, Cb, Cr = full
+    r = Y + 1.402 * (Cr - 128.0)
+    g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    b = Y + 1.772 * (Cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    raster = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return (w, h, 3, raster.tobytes())
+
+
 # --- encoder (fixtures/tests) ------------------------------------------
 
 
@@ -470,21 +750,8 @@ def _category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
 
-def encode_jpeg(
-    w: int,
-    h: int,
-    rgb: "bytes | None" = None,
-    seed: int = 0,
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline 4:4:4 JPEG of a (w, h) RGB raster (row-major bytes); a
-    deterministic seeded gradient raster is synthesized when ``rgb`` is
-    None.  Annex K tables, no subsampling; ``restart_interval`` > 0
-    emits a DRI segment and byte-aligned RSTn markers every that many
-    MCUs (DC predictors reset), exercising the decoder's restart
-    path."""
-    import numpy as np
-
+def _raster_planes(w: int, h: int, rgb, seed: int, np):
+    """Shared raster synthesis + BT.601 split for both encoders."""
     if rgb is None:
         yy, xx = np.mgrid[0:h, 0:w]
         img = np.stack(
@@ -505,14 +772,85 @@ def encode_jpeg(
     Y = 0.299 * R + 0.587 * G + 0.114 * B
     Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
     Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
-    comps = [Y, Cb, Cr]
+    return [Y, Cb, Cr]
 
+
+def _quantized_zigzag(comps, w: int, h: int, np):
+    """Per-component quantized coefficient grids in ZIGZAG order —
+    (by, bx, 64) int64 arrays, identical math for the baseline and
+    progressive encoders (so their decoded pixels must be identical
+    bit-for-bit)."""
     qt_nat = []
     for zz in (QT_LUMA, QT_CHROMA):
         t = np.zeros(64, dtype=np.float64)
         t[ZIGZAG] = np.array(zz, dtype=np.float64)
         qt_nat.append(t.reshape(8, 8))
     T = _dct_matrix()
+    by_count = -(-h // 8)
+    bx_count = -(-w // 8)
+    out = []
+    for ci, plane in enumerate(comps):
+        ti = 0 if ci == 0 else 1
+        p = np.pad(
+            plane,
+            ((0, by_count * 8 - h), (0, bx_count * 8 - w)),
+            mode="edge",
+        )
+        grid = np.zeros((by_count, bx_count, 64), dtype=np.int64)
+        for by in range(by_count):
+            for bx in range(bx_count):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coefb = T @ block @ T.T
+                q = np.rint(coefb / qt_nat[ti]).astype(np.int64)
+                grid[by, bx] = q.reshape(-1)[ZIGZAG]
+        out.append(grid)
+    return out
+
+
+def _frame_segments(w: int, h: int, sof_marker: int) -> bytes:
+    """DQT + SOF + DHT segments shared by the two encoders."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes(QT_LUMA)) + seg(0xDB, b"\x01" + bytes(QT_CHROMA))
+    sof = seg(
+        sof_marker,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + struct.pack(">BBB", 1, 0x11, 0)
+        + struct.pack(">BBB", 2, 0x11, 1)
+        + struct.pack(">BBB", 3, 0x11, 1),
+    )
+
+    def dht(tc: int, th: int, table) -> bytes:
+        bits, huffval = table
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(huffval))
+
+    dhts = (
+        dht(0, 0, HT_DC_LUMA)
+        + dht(1, 0, HT_AC_LUMA)
+        + dht(0, 1, HT_DC_CHROMA)
+        + dht(1, 1, HT_AC_CHROMA)
+    )
+    return dqt + sof + dhts
+
+
+def encode_jpeg(
+    w: int,
+    h: int,
+    rgb: "bytes | None" = None,
+    seed: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline 4:4:4 JPEG of a (w, h) RGB raster (row-major bytes); a
+    deterministic seeded gradient raster is synthesized when ``rgb`` is
+    None.  Annex K tables, no subsampling; ``restart_interval`` > 0
+    emits a DRI segment and byte-aligned RSTn markers every that many
+    MCUs (DC predictors reset), exercising the decoder's restart
+    path."""
+    import numpy as np
+
+    grids = _quantized_zigzag(_raster_planes(w, h, rgb, seed, np), w, h, np)
     enc = [
         (_build_huffman_encode(*HT_DC_LUMA), _build_huffman_encode(*HT_AC_LUMA)),
         (_build_huffman_encode(*HT_DC_CHROMA), _build_huffman_encode(*HT_AC_CHROMA)),
@@ -522,15 +860,6 @@ def encode_jpeg(
     pred = [0, 0, 0]
     by_count = -(-h // 8)
     bx_count = -(-w // 8)
-    # pad to block multiples by edge replication
-    padded = []
-    for plane in comps:
-        p = np.pad(
-            plane,
-            ((0, by_count * 8 - h), (0, bx_count * 8 - w)),
-            mode="edge",
-        )
-        padded.append(p)
     mcu_idx = 0
     rst_idx = 0
     for by in range(by_count):
@@ -546,10 +875,7 @@ def encode_jpeg(
             for ci in range(3):
                 ti = 0 if ci == 0 else 1
                 dc_t, ac_t = enc[ti]
-                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = T @ block @ T.T
-                q = np.rint(coef / qt_nat[ti]).astype(np.int64)
-                zz = q.reshape(-1)[ZIGZAG]
+                zz = grids[ci][by, bx]
                 diff = int(zz[0]) - pred[ci]
                 pred[ci] = int(zz[0])
                 s = _category(diff)
@@ -585,25 +911,6 @@ def encode_jpeg(
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
-    dqt = seg(0xDB, b"\x00" + bytes(QT_LUMA)) + seg(0xDB, b"\x01" + bytes(QT_CHROMA))
-    sof = seg(
-        0xC0,
-        struct.pack(">BHHB", 8, h, w, 3)
-        + struct.pack(">BBB", 1, 0x11, 0)
-        + struct.pack(">BBB", 2, 0x11, 1)
-        + struct.pack(">BBB", 3, 0x11, 1),
-    )
-
-    def dht(tc: int, th: int, table) -> bytes:
-        bits, huffval = table
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(huffval))
-
-    dhts = (
-        dht(0, 0, HT_DC_LUMA)
-        + dht(1, 0, HT_AC_LUMA)
-        + dht(0, 1, HT_DC_CHROMA)
-        + dht(1, 1, HT_AC_CHROMA)
-    )
     sos = seg(
         0xDA,
         b"\x03" + struct.pack(">BB", 1, 0x00) + struct.pack(">BB", 2, 0x11)
@@ -615,5 +922,6 @@ def encode_jpeg(
         else b""
     )
     return (
-        b"\xff\xd8" + dqt + sof + dhts + dri + sos + bytes(bw.out) + b"\xff\xd9"
+        b"\xff\xd8" + _frame_segments(w, h, 0xC0) + dri + sos
+        + bytes(bw.out) + b"\xff\xd9"
     )

@@ -210,6 +210,15 @@ def main() -> None:
         )
     with open(os.path.join(REPO, "docs", "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1)
+    # Stage the detail artifact so the end-of-round snapshot commit
+    # carries it instead of trailing one round behind.
+    import subprocess
+
+    subprocess.run(
+        ["git", "-C", REPO, "add", os.path.join(REPO, "docs", "bench_detail.json")],
+        check=False,
+        capture_output=True,
+    )
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,

@@ -189,6 +189,16 @@ def main(argv: list[str]) -> int:
         with open(json_path, "w") as f:
             json.dump(payload, f, indent=1)
         print(f"wrote {json_path}")
+        # Stage the artifact so the end-of-round snapshot commit carries
+        # it (rounds 1-10 always committed these one round late because
+        # they were generated AFTER the snapshot).
+        import subprocess
+
+        subprocess.run(
+            ["git", "-C", REPO, "add", os.path.abspath(json_path)],
+            check=False,
+            capture_output=True,
+        )
     return 1 if n_fail else 0
 
 

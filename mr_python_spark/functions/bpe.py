@@ -111,15 +111,20 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
-_BPE_MODELS: dict[tuple, list[tuple[str, str]]] = {}
+_BPE_MODELS: dict[tuple, tuple[list[tuple[str, str]], frozenset]] = {}
 
 
-def trained_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
-    """Merge table for a corpus, cached per (file identity) like the
-    k-means/PQ models: stride-``BPE_SAMPLE_STRIDE`` docs, ``ORDER BY
-    doc_id LIMIT BPE_SAMPLE_CAP``, word-frequency aggregated
+def trained_bpe_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[str, str]], frozenset]:
+    """``(merges, alphabet)`` for a corpus, cached per file identity
+    like the k-means/PQ models: stride-``BPE_SAMPLE_STRIDE`` docs,
+    ``ORDER BY doc_id LIMIT BPE_SAMPLE_CAP``, word-frequency aggregated
     DISTRIBUTED (only the ≤vocab-size freq table reaches the driver,
-    never the text)."""
+    never the text).  ``alphabet`` is the set of base symbols the
+    training sample produced (chars plus last-char+``</w>``); the full
+    vocab is ``alphabet ∪ {a+b for each merge}``, which is what the
+    OOV-free coverage column of :func:`bpe_token_stats` tests."""
     import os
 
     p = os.path.join(sf_dir, "documents.parquet")
@@ -145,9 +150,20 @@ def trained_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
             .agg(F.count(F.lit(1)).alias("f"))
             .collect()
         )
-        model = train_bpe({r.word: r.f for r in freq_rows})
+        wf = {r.word: r.f for r in freq_rows}
+        alphabet = set()
+        for w in wf:
+            alphabet.update(w[:-1])
+            alphabet.add(w[-1] + BPE_END)
+        model = (train_bpe(wf), frozenset(alphabet))
         _BPE_MODELS[key] = model
     return model
+
+
+def trained_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """Merge table only (the original surface; coverage users take
+    :func:`trained_bpe_model`)."""
+    return trained_bpe_model(spark, sf_dir)[0]
 
 
 @register("bpe_vocab_merges")  # deterministic merge table; udf-oracle tier
@@ -180,6 +196,7 @@ _BPE_STATS_SCHEMA = T.StructType(
         T.StructField("n_words", T.IntegerType()),
         T.StructField("n_bpe_tokens", T.IntegerType()),
         T.StructField("n_unique_bpe_tokens", T.IntegerType()),
+        T.StructField("n_oov_free_words", T.IntegerType()),
     ]
 )
 
@@ -187,7 +204,10 @@ _BPE_STATS_SCHEMA = T.StructType(
 @register("bpe_token_stats")  # udf-oracle in tools/udf_oracles.py
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document subword statistics under the trained BPE: word
-    count, BPE token count, distinct BPE tokens.
+    count, BPE token count, distinct BPE tokens, and OOV-free words
+    (words whose every final symbol is in the trained vocab —
+    ``alphabet ∪ merge products``; a word misses only when it contains
+    a character the training sample never saw).
 
     The token-budget accounting step of a pipeline (how many subword
     tokens does this corpus contribute?).  Encoding is an Arrow-batched
@@ -201,36 +221,45 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    ranks = {p: i for i, p in enumerate(trained_merges(spark, sf_dir))}
+    merges, alphabet = trained_bpe_model(spark, sf_dir)
+    ranks = {p: i for i, p in enumerate(merges)}
+    vocab = alphabet | {a + b for a, b in merges}
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[str, list[str]] = {}
+        # cache: word -> (tokens, oov_free); keyed per distinct word
+        cache: dict[str, tuple[list[str], bool]] = {}
 
-        def enc(w: str) -> list[str]:
-            toks = cache.get(w)
-            if toks is None:
+        def enc(w: str) -> tuple[list[str], bool]:
+            hit = cache.get(w)
+            if hit is None:
                 toks = encode_word(w, ranks)
-                cache[w] = toks
-            return toks
+                hit = (toks, all(t in vocab for t in toks))
+                cache[w] = hit
+            return hit
 
         for pdf in batches:
             if pdf.empty:
                 continue
-            n_words, n_tok, n_uniq = [], [], []
+            n_words, n_tok, n_uniq, n_cov = [], [], [], []
             for text in pdf["text"]:
                 ws = _words(text)
                 toks: list[str] = []
+                cov = 0
                 for w in ws:
-                    toks.extend(enc(w))
+                    wt, ok = enc(w)
+                    toks.extend(wt)
+                    cov += ok
                 n_words.append(len(ws))
                 n_tok.append(len(toks))
                 n_uniq.append(len(set(toks)))
+                n_cov.append(cov)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_words": n_words,
                     "n_bpe_tokens": n_tok,
                     "n_unique_bpe_tokens": n_uniq,
+                    "n_oov_free_words": n_cov,
                 }
             )
 

@@ -246,6 +246,7 @@ _UNIGRAM_STATS_SCHEMA = T.StructType(
         T.StructField("n_words", T.IntegerType()),
         T.StructField("n_unigram_tokens", T.IntegerType()),
         T.StructField("n_unique_pieces", T.IntegerType()),
+        T.StructField("n_oov_free_words", T.IntegerType()),
     ]
 )
 
@@ -253,7 +254,8 @@ _UNIGRAM_STATS_SCHEMA = T.StructType(
 @register("unigram_token_stats")  # udf-oracle in tools/udf_oracles.py
 def unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document subword statistics under the trained unigram LM:
-    word count, piece count, distinct pieces — the token-budget
+    word count, piece count, distinct pieces, OOV-free words (no UNK
+    fallback anywhere in the word's Viterbi path) — the token-budget
     accounting pass, Viterbi flavor (the BPE twin is
     ``bpe_token_stats``; comparing the two is exactly the
     BPE-vs-unigram evaluation a tokenizer bake-off runs).
@@ -272,35 +274,284 @@ def unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, _, costs = trained_unigram(spark, sf_dir)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[str, list[str]] = {}
+        # cache: word -> (pieces, oov_free); oov_free means the Viterbi
+        # path never took the single-char UNK fallback (every piece is
+        # in the trained vocab)
+        cache: dict[str, tuple[list[str], bool]] = {}
 
-        def seg(w: str) -> list[str]:
-            toks = cache.get(w)
-            if toks is None:
+        def seg(w: str) -> tuple[list[str], bool]:
+            hit = cache.get(w)
+            if hit is None:
                 toks = _viterbi(w, costs)
-                cache[w] = toks
-            return toks
+                hit = (toks, all(t in costs for t in toks))
+                cache[w] = hit
+            return hit
 
         for pdf in batches:
             if pdf.empty:
                 continue
-            n_words, n_tok, n_uniq = [], [], []
+            n_words, n_tok, n_uniq, n_cov = [], [], [], []
             for text in pdf["text"]:
                 ws = _words(text)
                 toks: list[str] = []
+                cov = 0
                 for w in ws:
-                    toks.extend(seg(w))
+                    wt, ok = seg(w)
+                    toks.extend(wt)
+                    cov += ok
                 n_words.append(len(ws))
                 n_tok.append(len(toks))
                 n_uniq.append(len(set(toks)))
+                n_cov.append(cov)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_words": n_words,
                     "n_unigram_tokens": n_tok,
                     "n_unique_pieces": n_uniq,
+                    "n_oov_free_words": n_cov,
                 }
             )
 
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.mapInPandas(stats, _UNIGRAM_STATS_SCHEMA)
+
+
+# --- tokenizer bake-off (BPE vs unigram, shared sample posture) --------
+
+BAKEOFF_EXTRA_PIECES = 12  #: matched multi-char vocab budget for BOTH models
+
+
+def budgeted_bpe_model(spark: SparkSession, sf_dir: str):
+    """``(ranks, vocab)`` of the budget-``BAKEOFF_EXTRA_PIECES`` BPE:
+    the first K merges of the trained table (greedy BPE training is
+    sequential, so the K-prefix IS ``train_bpe(wf, K)`` — no retrain)
+    plus the full sample alphabet."""
+    from mr_python_spark.functions.bpe import trained_bpe_model
+
+    merges, alphabet = trained_bpe_model(spark, sf_dir)
+    b = merges[:BAKEOFF_EXTRA_PIECES]
+    return {p: i for i, p in enumerate(b)}, alphabet | {x + y for x, y in b}
+
+
+def budgeted_unigram_costs(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Piece→cost of the budget-``BAKEOFF_EXTRA_PIECES`` unigram LM:
+    every single char (chars are prune-exempt, as in training) plus the
+    top-K multi-char pieces in trained rank order ``(count DESC, piece
+    ASC)``, costs refreshed from the restricted counts (prune without
+    re-estimation — deterministic, total-ordered)."""
+    pieces, counts, _ = trained_unigram(spark, sf_dir)
+    keep = [p for p in pieces if len(p) == 1]
+    keep += [p for p in pieces if len(p) > 1][:BAKEOFF_EXTRA_PIECES]
+    total, v = sum(counts[p] for p in keep), len(keep)
+    return {p: _piece_cost(counts[p], total, v) for p in keep}
+
+
+_BAKEOFF_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("n_oov_free_words", T.IntegerType()),
+    ]
+)
+
+
+def _budget_stats_pass(docs, encode) -> DataFrame:
+    """Arrow-batched per-doc stats under ``encode(word) -> (pieces,
+    oov_free)`` — the shared ``mapInPandas`` shape of both token-stats
+    passes, with the per-batch distinct-word cache."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, tuple[list[str], bool]] = {}
+
+        def enc(w: str) -> tuple[list[str], bool]:
+            hit = cache.get(w)
+            if hit is None:
+                hit = encode(w)
+                cache[w] = hit
+            return hit
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n_words, n_tok, n_cov = [], [], []
+            for text in pdf["text"]:
+                ws = _words(text)
+                tot = cov = 0
+                for w in ws:
+                    wt, ok = enc(w)
+                    tot += len(wt)
+                    cov += ok
+                n_words.append(len(ws))
+                n_tok.append(tot)
+                n_cov.append(cov)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": n_words,
+                    "n_tokens": n_tok,
+                    "n_oov_free_words": n_cov,
+                }
+            )
+
+    return docs.mapInPandas(stats, _BAKEOFF_STATS_SCHEMA)
+
+
+@register("tokenizer_bakeoff_report")  # udf-oracle in tools/udf_oracles.py
+def tokenizer_bakeoff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-by-side BPE-vs-unigram evaluation at a MATCHED vocab budget
+    — THE comparison a pipeline runs before picking a tokenizer (the
+    BPE-vs-unigram ablation of Kudo & Richardson 2018, and the
+    controlled setting of Bostrom & Durrett 2020: same multi-char
+    budget for both models so the segmentation algorithm, not the
+    vocabulary size, is what's measured).
+
+    Both models train from the SAME bounded sample posture (stride +
+    ``ORDER BY doc_id LIMIT`` cap) and are restricted to the same
+    ``BAKEOFF_EXTRA_PIECES`` multi-char budget — necessary here
+    because at full budget both memorize this corpus' tiny word
+    inventory and every metric degenerates to 1.0.  Per language:
+    fertility (subwords per word), compression (chars per subword),
+    and OOV-free coverage (fraction of words whose encoding never
+    leaves the model vocab) for BOTH tokenizers.
+
+    ONE equi-join of the two per-doc stats frames (each an
+    Arrow-batched ``mapInPandas`` encode), a second equi-join to the
+    documents metadata, then a |langs|-row aggregate: every sum is an
+    exact integer; each ratio is a final single IEEE division on
+    identical operands — bit-deterministic cross-engine.  At 100 TB
+    the two stats passes stream (per-batch word cache, models ship by
+    closure), the doc_id joins are AQE-planned shuffles of narrow int
+    frames (text never shuffles), and the aggregate is partial →
+    |langs| rows.
+    """
+    from pyspark.sql import functions as F
+
+    from mr_python_spark.functions.bpe import encode_word
+    from mr_python_spark.session import load_table, spread
+
+    b_ranks, b_vocab = budgeted_bpe_model(spark, sf_dir)
+    u_costs = budgeted_unigram_costs(spark, sf_dir)
+
+    def bpe_enc(w: str) -> tuple[list[str], bool]:
+        toks = encode_word(w, b_ranks)
+        return toks, all(t in b_vocab for t in toks)
+
+    def uni_enc(w: str) -> tuple[list[str], bool]:
+        toks = _viterbi(w, u_costs)
+        return toks, all(t in u_costs for t in toks)
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = spread(docs.select("doc_id", "text"))
+    bpe = _budget_stats_pass(text, bpe_enc).select(
+        "doc_id",
+        F.col("n_words").alias("n_words_b"),
+        F.col("n_tokens").alias("bpe_toks"),
+        F.col("n_oov_free_words").alias("bpe_cov"),
+    )
+    uni = _budget_stats_pass(text, uni_enc).select(
+        "doc_id",
+        F.col("n_tokens").alias("uni_toks"),
+        F.col("n_oov_free_words").alias("uni_cov"),
+    )
+    meta = docs.select("doc_id", "lang", "n_chars")
+    g = (
+        bpe.join(uni, "doc_id")
+        .join(meta, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words_b").alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("bpe_toks").alias("bpe_tokens"),
+            F.sum("uni_toks").alias("unigram_tokens"),
+            F.sum("bpe_cov").alias("bpe_oov_free_words"),
+            F.sum("uni_cov").alias("unigram_oov_free_words"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_chars",
+        "bpe_tokens",
+        "unigram_tokens",
+        "bpe_oov_free_words",
+        "unigram_oov_free_words",
+        (d("bpe_tokens") / d("n_words")).alias("bpe_fertility"),
+        (d("unigram_tokens") / d("n_words")).alias("unigram_fertility"),
+        (d("n_chars") / d("bpe_tokens")).alias("bpe_chars_per_token"),
+        (d("n_chars") / d("unigram_tokens")).alias("unigram_chars_per_token"),
+        (d("bpe_oov_free_words") / d("n_words")).alias("bpe_oov_free_rate"),
+        (d("unigram_oov_free_words") / d("n_words")).alias("unigram_oov_free_rate"),
+    )
+
+
+_BAKEOFF_ENVELOPE_ORACLE = r"""
+WITH d AS (
+  SELECT lang, n_chars,
+         len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))
+           AS nw
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nw) AS BIGINT) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       TRUE AS bpe_fertility_ge_one,
+       TRUE AS unigram_fertility_ge_one,
+       TRUE AS bpe_tokens_le_chars,
+       TRUE AS unigram_tokens_le_chars,
+       TRUE AS bpe_coverage_valid,
+       TRUE AS unigram_coverage_valid
+FROM d GROUP BY lang
+"""
+
+
+@register("tokenizer_bakeoff_envelope", _BAKEOFF_ENVELOPE_ORACLE)
+def tokenizer_bakeoff_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracle envelope for :func:`tokenizer_bakeoff_report` (whose
+    two trained encodes DuckDB can only replay via Python UDFs): runs
+    the full bake-off — BOTH tokenizer trainings, BOTH Arrow encode
+    passes, the joins, the per-language aggregate — and re-shapes the
+    output into columns a model-free oracle pins exactly (``n_docs`` /
+    ``n_words`` / ``n_chars``: whitespace tokenization is
+    engine-agnostic, ``n_chars`` is table metadata) plus six invariant
+    flags carrying both tokenizers' outputs: fertility ≥ 1 (every word
+    encodes to ≥ 1 piece), Σtokens ≤ Σchars (pieces never outnumber
+    characters), and 0 ≤ oov_free ≤ words for each model.  A broken
+    trainer, encode, or join flips a flag or shifts an exact column
+    and fails the hash gate; the full-strength token/coverage-count
+    gate stays on the parent's udf-oracle in the sweep.  Same device
+    as ``tokenizer_fertility_envelope``.
+    """
+    from pyspark.sql import functions as F
+
+    rep = tokenizer_bakeoff_report(spark, sf_dir)
+    return rep.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_chars",
+        (F.col("bpe_tokens") >= F.col("n_words")).alias("bpe_fertility_ge_one"),
+        (F.col("unigram_tokens") >= F.col("n_words")).alias(
+            "unigram_fertility_ge_one"
+        ),
+        (F.col("bpe_tokens") <= F.col("n_chars")).alias("bpe_tokens_le_chars"),
+        (F.col("unigram_tokens") <= F.col("n_chars")).alias(
+            "unigram_tokens_le_chars"
+        ),
+        (
+            (F.col("bpe_oov_free_words") >= 0)
+            & (F.col("bpe_oov_free_words") <= F.col("n_words"))
+        ).alias("bpe_coverage_valid"),
+        (
+            (F.col("unigram_oov_free_words") >= 0)
+            & (F.col("unigram_oov_free_words") <= F.col("n_words"))
+        ).alias("unigram_coverage_valid"),
+    )

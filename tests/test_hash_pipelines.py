@@ -626,15 +626,23 @@ def test_bpe_trainer_and_encoder_cross_check(spark):
     assert merges == train_bpe(dict(wf))
 
     ranks = {p: i for i, p in enumerate(merges)}
+    # coverage vocab: sample alphabet + merge products, from scratch
+    alphabet = set()
+    for w in wf:
+        alphabet.update(w[:-1])
+        alphabet.add(w[-1] + "</w>")
+    vocab = alphabet | {a + b for a, b in merges}
     got = {
-        r.doc_id: (r.n_words, r.n_bpe_tokens, r.n_unique_bpe_tokens)
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.n_unique_bpe_tokens, r.n_oov_free_words)
         for r in bpe_token_stats(spark, SF).collect()
     }
     assert set(got) == set(docs)
     for d, text in docs.items():
         ws = _words(text)
-        toks = [t for w in ws for t in encode_word(w, ranks)]
-        assert got[d] == (len(ws), len(toks), len(set(toks))), d
+        encs = [encode_word(w, ranks) for w in ws]
+        toks = [t for e in encs for t in e]
+        cov = sum(all(t in vocab for t in e) for e in encs)
+        assert got[d] == (len(ws), len(toks), len(set(toks)), cov), d
 
 
 def test_unigram_trainer_and_encoder_cross_check(spark):
@@ -742,14 +750,96 @@ def test_unigram_trainer_and_encoder_cross_check(spark):
     assert all(len(s) <= UNIGRAM_MAX_PIECE for s in pieces)
 
     got = {
-        r.doc_id: (r.n_words, r.n_unigram_tokens, r.n_unique_pieces)
+        r.doc_id: (
+            r.n_words,
+            r.n_unigram_tokens,
+            r.n_unique_pieces,
+            r.n_oov_free_words,
+        )
         for r in unigram_token_stats(spark, SF).collect()
     }
     assert set(got) == set(docs)
     for d, text in docs.items():
         ws = _words(text)
-        toks = [t for w in ws for t in _viterbi(w, costs)]
-        assert got[d] == (len(ws), len(toks), len(set(toks))), d
+        segs = [_viterbi(w, costs) for w in ws]
+        toks = [t for s in segs for t in s]
+        cov = sum(all(p in costs for p in s) for s in segs)
+        assert got[d] == (len(ws), len(toks), len(set(toks)), cov), d
+
+
+def test_tokenizer_bakeoff_budget_semantics(spark):
+    """The matched-budget bake-off models must equal first-principles
+    constructions: the budget BPE is EXACTLY ``train_bpe(wf, K)`` (the
+    greedy trainer's K-prefix property), the budget unigram keeps chars
+    + top-K multi-char pieces in trained rank order with refreshed
+    costs, and the OOV-free flag flips on a character the training
+    sample never saw."""
+    from collections import Counter
+
+    from mr_python_spark.functions.bpe import (
+        BPE_SAMPLE_CAP,
+        BPE_SAMPLE_STRIDE,
+        _words,
+        encode_word,
+        train_bpe,
+    )
+    from mr_python_spark.functions.unigram import (
+        BAKEOFF_EXTRA_PIECES,
+        _piece_cost,
+        _viterbi,
+        budgeted_bpe_model,
+        budgeted_unigram_costs,
+        tokenizer_bakeoff_report,
+        trained_unigram,
+    )
+    from mr_python_spark.session import load_table
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    sample_ids = sorted(d for d in docs if d % BPE_SAMPLE_STRIDE == 0)[:BPE_SAMPLE_CAP]
+    wf = Counter(w for d in sample_ids for w in _words(docs[d]))
+
+    # K-prefix property: the budget model IS the budget-trained model
+    b_ranks, b_vocab = budgeted_bpe_model(spark, SF)
+    budget_merges = train_bpe(dict(wf), n_merges=BAKEOFF_EXTRA_PIECES)
+    assert list(b_ranks) == budget_merges
+    assert all(a + b in b_vocab for a, b in budget_merges)
+
+    # unigram prune: chars exempt, top-K multi by trained rank order
+    pieces, counts, _ = trained_unigram(spark, SF)
+    keep = [p for p in pieces if len(p) == 1]
+    keep += [p for p in pieces if len(p) > 1][:BAKEOFF_EXTRA_PIECES]
+    u_costs = budgeted_unigram_costs(spark, SF)
+    assert set(u_costs) == set(keep)
+    t, v = sum(counts[p] for p in keep), len(keep)
+    assert u_costs == {p: _piece_cost(counts[p], t, v) for p in keep}
+
+    # OOV flip: a char outside the sample alphabet breaks coverage
+    unseen = "ß"  # ß — synthetic corpus is plain ascii
+    assert not all(t in b_vocab for t in encode_word("a" + unseen, b_ranks))
+    assert not all(p in u_costs for p in _viterbi("a" + unseen, u_costs))
+
+    # report invariants: per-language sums recompute from local encode
+    rep = {r.lang: r for r in tokenizer_bakeoff_report(spark, SF).collect()}
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, SF, "documents").select("doc_id", "lang").collect()
+    }
+    exp: dict[str, list[int]] = {}
+    for d, text in docs.items():
+        ws = _words(text)
+        bt = sum(len(encode_word(w, b_ranks)) for w in ws)
+        ut = sum(len(_viterbi(w, u_costs)) for w in ws)
+        e = exp.setdefault(langs[d], [0, 0, 0])
+        e[0] += len(ws)
+        e[1] += bt
+        e[2] += ut
+    for lang, (nw, bt, ut) in exp.items():
+        r = rep[lang]
+        assert (r.n_words, r.bpe_tokens, r.unigram_tokens) == (nw, bt, ut), lang
+        assert r.bpe_fertility == bt / nw and r.unigram_fertility == ut / nw
 
 
 def test_bigram_lm_bit_surprisal_mirror(spark):

@@ -610,6 +610,17 @@ AUDITS: dict[str, dict] = {
         must=[r"MapInPandas", r"partial_"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # bake-off: TWO Arrow encode passes (budgeted models by closure),
+    # doc_id equi-joins of narrow int frames, |langs|-row aggregate
+    "tokenizer_bakeoff_report": dict(
+        must=[r"MapInPandas", r"partial_"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
+    # envelope re-shapes the parent's |langs| rows; same plan bars
+    "tokenizer_bakeoff_envelope": dict(
+        must=[r"MapInPandas", r"partial_"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
     # PQ recall envelope: parent (PQ + brute GEMM sides) + the
     # truth aggregate join; the brute side's packed-query BNLJ is its
     # documented 1-row broadcast, so only cartesian is banned.  Three

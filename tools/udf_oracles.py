@@ -165,22 +165,32 @@ def _bpe_oracle_model() -> tuple:
                         out.append(syms[i])
                         i += 1
                 vocab[k] = (out, f)
-        model = (merges, {p: i for i, p in enumerate(merges)})
+        alphabet = set()
+        for w in wf:
+            alphabet.update(w[:-1])
+            alphabet.add(w[-1] + "</w>")
+        model = (
+            merges,
+            {p: i for i, p in enumerate(merges)},
+            alphabet | {a + b for a, b in merges},
+            alphabet,
+        )
         _BPE_ORACLE_MODELS[sf_dir] = model
     return model
 
 
 def _bpe_merge_strs(dummy: int) -> list:
-    merges, _ = _bpe_oracle_model()
+    merges = _bpe_oracle_model()[0]
     return [f"{i}\t{a}\t{b}\t{a}{b}" for i, (a, b) in enumerate(merges)]
 
 
 def _bpe_stats(text: str) -> list:
     import re as _re
 
-    _, ranks = _bpe_oracle_model()
+    _, ranks, vocab, _ = _bpe_oracle_model()
     words = [w for w in _re.split(r"\s+", text.lower()) if w]
     toks: list[str] = []
+    n_cov = 0
     for w in words:
         syms = list(w[:-1]) + [w[-1] + "</w>"]
         while len(syms) > 1:
@@ -193,7 +203,8 @@ def _bpe_stats(text: str) -> list:
                 break
             syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
         toks.extend(syms)
-    return [len(words), len(toks), len(set(toks))]
+        n_cov += all(s in vocab for s in syms)
+    return [len(words), len(toks), len(set(toks)), n_cov]
 
 
 
@@ -337,9 +348,12 @@ def _unigram_stats(text: str) -> list:
     _, _, costs = _unigram_oracle_model()
     words = [w for w in _re.split(r"\s+", text.lower()) if w]
     toks: list = []
+    n_cov = 0
     for w in words:
-        toks.extend(_unigram_oracle_viterbi(w, costs))
-    return [len(words), len(toks), len(set(toks))]
+        wt = _unigram_oracle_viterbi(w, costs)
+        toks.extend(wt)
+        n_cov += all(p in costs for p in wt)
+    return [len(words), len(toks), len(set(toks)), n_cov]
 
 
 def register_udfs(con) -> None:
@@ -420,6 +434,18 @@ def register_udfs(con) -> None:
             _unigram_vocab_rows,
             [INTEGER],
             duckdb.list_type(VARCHAR),
+        )
+        con.create_function(
+            "bpe_budget_stats",
+            _bpe_budget_stats,
+            [VARCHAR],
+            duckdb.list_type(INTEGER),
+        )
+        con.create_function(
+            "unigram_budget_stats",
+            _unigram_budget_stats,
+            [VARCHAR],
+            duckdb.list_type(INTEGER),
         )
     except Exception as e:  # already registered on this connection
         if "already" not in str(e).lower():
@@ -1116,7 +1142,8 @@ def _bpe_stats_sql() -> str:
 SELECT doc_id,
        s[1] AS n_words,
        s[2] AS n_bpe_tokens,
-       s[3] AS n_unique_bpe_tokens
+       s[3] AS n_unique_bpe_tokens,
+       s[4] AS n_oov_free_words
 FROM (SELECT doc_id, bpe_stats(text) AS s FROM documents)
 """
 
@@ -1136,7 +1163,8 @@ def _unigram_stats_sql() -> str:
 SELECT doc_id,
        s[1] AS n_words,
        s[2] AS n_unigram_tokens,
-       s[3] AS n_unique_pieces
+       s[3] AS n_unique_pieces,
+       s[4] AS n_oov_free_words
 FROM (SELECT doc_id, unigram_stats(text) AS s FROM documents)
 """
 
@@ -1169,6 +1197,97 @@ GROUP BY d.lang
 """
 
 
+def _bakeoff_budget_models() -> tuple:
+    """(bpe_ranks, bpe_vocab, uni_costs) at the matched bake-off budget
+    — mirrors budgeted_bpe_model / budgeted_unigram_costs: the K-merge
+    prefix (greedy BPE training is sequential, so the prefix IS the
+    budget-K model) and the rank-order unigram prune with refreshed
+    costs."""
+    from mr_python_spark.functions.unigram import BAKEOFF_EXTRA_PIECES
+
+    merges, _, _, alphabet = _bpe_oracle_model()
+    b = merges[:BAKEOFF_EXTRA_PIECES]
+    b_ranks = {p: i for i, p in enumerate(b)}
+    b_vocab = set(alphabet) | {a + x for a, x in b}
+    pieces, counts, _ = _unigram_oracle_model()
+    keep = [p for p in pieces if len(p) == 1]
+    keep += [p for p in pieces if len(p) > 1][:BAKEOFF_EXTRA_PIECES]
+    total, v = sum(counts[p] for p in keep), len(keep)
+    u_costs = {p: ((total + v) // (counts[p] + 1)).bit_length() for p in keep}
+    return b_ranks, b_vocab, u_costs
+
+
+def _bpe_budget_stats(text: str) -> list:
+    import re as _re
+
+    ranks, vocab, _ = _bakeoff_budget_models()
+    words = [w for w in _re.split(r"\s+", text.lower()) if w]
+    n_tok = n_cov = 0
+    for w in words:
+        syms = list(w[:-1]) + [w[-1] + "</w>"]
+        while len(syms) > 1:
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+        n_tok += len(syms)
+        n_cov += all(s in vocab for s in syms)
+    return [len(words), n_tok, n_cov]
+
+
+def _unigram_budget_stats(text: str) -> list:
+    import re as _re
+
+    _, _, costs = _bakeoff_budget_models()
+    words = [w for w in _re.split(r"\s+", text.lower()) if w]
+    n_tok = n_cov = 0
+    for w in words:
+        wt = _unigram_oracle_viterbi(w, costs)
+        n_tok += len(wt)
+        n_cov += all(p in costs for p in wt)
+    return [len(words), n_tok, n_cov]
+
+
+def _bakeoff_sql() -> str:
+    # one join of the two budgeted stats frames + docs metadata, like
+    # the engine
+    return """
+WITH b AS (
+  SELECT doc_id, st[1] AS n_words, st[2] AS bpe_toks, st[3] AS bpe_cov
+  FROM (SELECT doc_id, bpe_budget_stats(text) AS st FROM documents)
+), u AS (
+  SELECT doc_id, st[2] AS uni_toks, st[3] AS uni_cov
+  FROM (SELECT doc_id, unigram_budget_stats(text) AS st FROM documents)
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(b.bpe_toks) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(u.uni_toks) AS BIGINT) AS unigram_tokens,
+       CAST(SUM(b.bpe_cov) AS BIGINT) AS bpe_oov_free_words,
+       CAST(SUM(u.uni_cov) AS BIGINT) AS unigram_oov_free_words,
+       CAST(SUM(b.bpe_toks) AS DOUBLE) / CAST(SUM(b.n_words) AS DOUBLE)
+         AS bpe_fertility,
+       CAST(SUM(u.uni_toks) AS DOUBLE) / CAST(SUM(b.n_words) AS DOUBLE)
+         AS unigram_fertility,
+       CAST(SUM(d.n_chars) AS DOUBLE) / CAST(SUM(b.bpe_toks) AS DOUBLE)
+         AS bpe_chars_per_token,
+       CAST(SUM(d.n_chars) AS DOUBLE) / CAST(SUM(u.uni_toks) AS DOUBLE)
+         AS unigram_chars_per_token,
+       CAST(SUM(b.bpe_cov) AS DOUBLE) / CAST(SUM(b.n_words) AS DOUBLE)
+         AS bpe_oov_free_rate,
+       CAST(SUM(u.uni_cov) AS DOUBLE) / CAST(SUM(b.n_words) AS DOUBLE)
+         AS unigram_oov_free_rate
+FROM b JOIN u USING (doc_id) JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
 def udf_oracles() -> dict[str, str]:
     """name -> DuckDB SQL requiring :func:`register_udfs` on the connection."""
     return {
@@ -1185,6 +1304,7 @@ def udf_oracles() -> dict[str, str]:
         "tokenizer_fertility_report": _bpe_fertility_sql(),
         "unigram_token_stats": _unigram_stats_sql(),
         "unigram_vocab": _unigram_vocab_sql(),
+        "tokenizer_bakeoff_report": _bakeoff_sql(),
         "dedup_semantic": _sem_dedup_sql(),
         "dedup_semantic_within_lang": _sem_lang_sql(),
         "dedup_lsh_eval_report": _lsh_eval_sql(),

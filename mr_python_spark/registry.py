@@ -43,6 +43,19 @@ ORACLES: dict[str, str] = {}
 #: Python Data Source stream+sink, behavioral analytics, and newer
 #: dedup strategies — those stay.)
 #:
+#: Round-11 rotation (judge order #4): THIRTEEN entries that had never
+#: had a CORRECTNESS_r*.json row in rounds 1–10 (computed from the
+#: artifacts) take the slots of thirteen repeatedly-graded entries,
+#: oldest graded first, every swap leaving same-category kin in-window
+#: and every rotated-out entry hash-gated in the full sweep — see the
+#: inline comments below for each pairing.  First-time entries:
+#: q13_customer_distribution, join_salted_skew, window_moving_avg,
+#: setop_except_all, topk_orders, cube_grouping_id,
+#: not_in_subquery_customers, schema_evolution_read,
+#: sink_dynamic_partition_overwrite, tokenizer_bakeoff_envelope,
+#: dedup_winnow, dedup_lexical_semantic_agreement,
+#: pagerank_dedup_graph.
+#:
 #: Round-10 rotation: the ten round-9 wave-3–6 entries that were green
 #: in both full sweeps but never driver-graded take the window slots
 #: of ten r9-graded entries, each of which leaves same-category kin
@@ -71,28 +84,35 @@ PRIORITY: list[str] = [
     "q1_pricing_summary",
     "ann_filtered_topk",  # filtered ANN, predicate below the GEMM (round-9)
     "pipeline_rekey_bands",
-    # join shapes
-    "join_left_outer_agg",
-    "join_range_tiers",
+    # join shapes (round-11 rotation: the left-outer agg slot goes to
+    # the TPC-H q13 customer-distribution composite — the same outer
+    # join shape plus the histogram agg on top — and the range-join
+    # slot to the salted skew join, the 100 TB-relevant shape that had
+    # never been driver-graded; both rotated-out entries stay
+    # hash-gated in the full sweep)
+    "q13_customer_distribution",
+    "join_salted_skew",
     "join_asof_events",
     "vocab_growth_report",  # Heaps-law vocab curve (round-9)
-    # window functions (running-frame shape also covered by the
-    # gap-fill's ignore-nulls running window)
-    "window_rank_dense",
-    # (timeseries_gapfill rotated out for the round-9 second wave —
-    # running/ignore-nulls frames keep window_rank_dense + the
-    # behavioral entries as in-window kin; gapfill stays in the sweep)
+    # window functions (round-11: the running ROWS-frame moving
+    # average — never driver-graded — takes the rank slot; rank stays
+    # in the sweep and the behavioral entries keep ranking kin)
+    "window_moving_avg",
     "search_phrase_topk",  # positional-index phrase retrieval (round-9)
     # timeseries / behavioral analytics (round-5)
     "funnel_stages_events",
     "incremental_oov_report",  # trigram OOV drift gauge (round-9)
-    # set ops
-    "setop_intersect",
-    # sorts / limits
-    "multisort_limit_lineitem",
-    # grouping sets + subqueries
-    "grouping_sets_lineitem",
-    "correlated_subquery_orders",
+    # set ops (round-11: the ALL-bag variant — never driver-graded —
+    # takes the distinct-intersect slot; intersect stays in the sweep)
+    "setop_except_all",
+    # sorts / limits (round-11: topk_orders' TakeOrderedAndProject —
+    # never driver-graded — takes the multisort slot)
+    "topk_orders",
+    # grouping sets + subqueries (round-11: cube + grouping_id and the
+    # null-aware NOT IN — never driver-graded — take the family slots;
+    # grouping_sets and the correlated EXISTS stay in the sweep)
+    "cube_grouping_id",
+    "not_in_subquery_customers",
     # scalar function families + typed surfaces (variant/decimal/interval, r6)
     "array_funcs_embeddings",
     "variant_props_events",
@@ -104,62 +124,51 @@ PRIORITY: list[str] = [
     # projection/filter + distinct
     "filter_project_lineitem",
     "distinct_users_per_event",
-    # sources + sinks (incl. Spark 4 Python Data Source stream + sink)
+    # sources + sinks (incl. Spark 4 Python Data Source stream + sink;
+    # round-11: schema-evolution read takes the pruned-scan slot and
+    # dynamic-partition overwrite the parquet-sink slot — both
+    # never driver-graded; the rotated-out pair stays in the sweep)
     "csv_corrupt_records_permissive",  # PERMISSIVE corrupt-record ingest (round-6)
-    "partition_pruned_read",
-    "parquet_sink_roundtrip",
+    "schema_evolution_read",
+    "sink_dynamic_partition_overwrite",
     "pyds_stream_ticks",
     "pyds_sink_roundtrip",
     # streaming (batch window op + live stateful)
     "tumbling_window_events",
     "streaming_stateful_sessions",
     "streaming_join_outer_live",  # stream-stream join matrix rep (round-6)
-    # UDF / UDTF / UDAF surface
-    "tokenizer_fertility_envelope",  # BPE fertility, SQL-oracle envelope (round-10)
+    # UDF / UDTF / UDAF surface — round-11: the tokenizer BAKE-OFF
+    # envelope (runs BOTH the BPE and unigram trainings + Arrow encode
+    # passes at a matched vocab budget, then pins exact per-language
+    # word/char totals + six invariant flags) supersedes the
+    # fertility envelope, which stays hash-gated in the sweep; this is
+    # also how the never-windowed unigram family enters the window
+    "tokenizer_bakeoff_envelope",
     "udtf_word_explode",
     "pandas_udaf_weighted_avg",
     # LLM-pipeline families: dedup, ANN, multimodal, vectors,
     # cleaning passes
-    # (dedup_exact rotated out round-9 second wave — the family keeps
-    # three in-window reps below and exact stays gated in the sweep)
     "mixture_temperature_weights",  # T5/PaLM temperature mixture (round-9)
-    # round-9 fourth wave: the provenance matrix RUNS dedup_ngram_jaccard
-    # end-to-end (pair mining + exact verification) and then attributes
-    # every pair to its source cell — a strictly stronger gate, so it
-    # takes the family slot; ngram_jaccard itself stays in the sweep
     "dedup_cross_source_matrix",
     "shard_balance_report",  # shard token-mass balance (round-9)
-    # round-9: the two udf-oracle pipelines now enter the window via
-    # their SQL-oracle ENVELOPE companions (each runs the parent pass
-    # end-to-end AND adds a DuckDB-checkable invariant), so the
-    # official artifact shows 0 no_oracle rows
-    "dedup_incremental_minhash_envelope",  # production ingest shape (round-5)
-    "dedup_semantic_envelope",  # SemDeDup (round-5)
-    # (ann_ivf_label rotated out round-9 sixth wave: ann_recall_report
-    # RUNS it end-to-end as the approx side, a strictly stronger gate;
-    # the label index stays hash-gated in the full sweep)
+    # round-11 rotation: the two envelope entries graded every round
+    # since r5 hand their slots to the two never-driver-graded dedup
+    # tiers the round-10 judge named — the winnowing fingerprint dedup
+    # and the lexical-vs-semantic agreement audit (which runs both
+    # exact pair tiers end-to-end); the envelopes stay in the sweep
+    "dedup_winnow",
+    "dedup_lexical_semantic_agreement",
     "ann_pq_recall_envelope",  # PQ recall, SQL-oracle envelope (round-10)
     "multimodal_decode_real",  # real BMP/PNG/JPEG decode (round-7/9)
-    # (vector_norms rotated out round-9 second wave for the stronger
-    # embedding-space rep; it stays gated in the full sweep)
     "hard_negative_mining",  # contrastive-negative mining (round-9)
     "bitext_margin_mining",  # CCMatrix margin-based mining (round-9)
-    # (gopher_quality_rules rotated out round-9 sixth wave: the quality
-    # family keeps nb_quality_classifier + the ablation curve, which
-    # runs the quality scorer AND the bigram LM AND the exact-dup key
-    # end-to-end; gopher stays hash-gated in the full sweep)
     "quality_ablation_curve",  # FineWeb-style decile ablation (round-9)
-    # round-9 trained-model scorers (swap in for doc_rarity_score —
-    # the bigram LM supersedes rarity as the perplexity-family rep —
-    # and multimodal_frame_sample, whose family keeps decode_real;
-    # both rotated-out entries stay hash-gated in the full sweep)
-    # (fourth wave: the CCNet tercile bucketer runs the bigram LM
-    # end-to-end and then gates the per-language NTILE split on top —
-    # it takes the perplexity-family slot; the LM entry stays in the
-    # sweep and the bench)
     "ccnet_perplexity_buckets",  # CCNet head/middle/tail (round-9)
     "nb_quality_classifier",  # closed-form NB quality scorer (round-9)
-    "reach_flagged_neighborhood",  # WITH RECURSIVE reach (round-7)
+    # round-11: integer PageRank over the dedup graph — never
+    # driver-graded — takes the recursive-reach slot (same iterative
+    # graph family; reach stays hash-gated in the sweep)
+    "pagerank_dedup_graph",
     "pipeline_curate_report",  # capstone composed pipeline (round-5)
 ]
 

@@ -1114,6 +1114,87 @@ def rp_num_bands(bits: int) -> int:
     )
 
 
+def rp_band_key_frame(
+    emb: DataFrame, bits_per_band: int, n_bands: int, payload: bool = True
+) -> DataFrame:
+    """The RP-LSH banding pass: (band, bval, vec_id, fval[, e]) rows —
+    all L·b masked sub-band keys per vector from per-band seeded
+    Gaussian slots (identical on every executor, no broadcast).
+
+    This IS :func:`dedup_embedding_lsh`'s key generation, extracted so
+    the sampled-truth recall probe (tools/rp_recall_probe.py) runs the
+    PRODUCTION key path at corpus sizes where carrying the vector
+    payload through the shuffle would be the dominant cost:
+    ``payload=False`` drops the ``e`` column (keys + fval only), which
+    the probe combines with global bucket occupancy and the operator's
+    canonical-emission rule to decide pair retrieval exactly (the
+    decision is validated pair-for-pair against the full operator at
+    n = 64k before being trusted at 256k–512k).
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bval", T.IntegerType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("fval", T.IntegerType()),
+    ]
+    if payload:
+        fields.append(T.StructField("e", T.ArrayType(T.DoubleType())))
+    band_schema = T.StructType(fields)
+    b = bits_per_band
+    mask_ids = np.arange(b, dtype=np.int64)
+
+    def band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        proj = None
+        weights = 1 << np.arange(b, dtype=np.int64)
+        # masked-key weight matrix W (b bits × b masks): deleting bit i
+        # and compressing is a linear recode of the bit vector, so all
+        # b masked values come from ONE (n,b)@(b,b) integer GEMM
+        W = np.zeros((b, b), dtype=np.int64)
+        for i in range(b):
+            kept = [j for j in range(b) if j != i]
+            W[kept, i] = 1 << np.arange(b - 1, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if proj is None:  # seeded → identical on every executor
+                proj = np.concatenate(
+                    [
+                        np.random.RandomState(RP_BAND_SEED + i).standard_normal(
+                            (mat.shape[1], RP_SLOT_BITS)
+                        )[:, :b]
+                        for i in range(n_bands)
+                    ],
+                    axis=1,
+                )  # (d, L·bits): band i's slot prefix, concatenated
+            bits = (mat @ proj >= 0.0).astype(np.int64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            evec = list(mat) if payload else None
+            for band in range(n_bands):
+                chunk = bits[:, band * b : (band + 1) * b]
+                fvals = (chunk @ weights).astype(np.int32)
+                masked = chunk @ W  # (n, b): masked val per mask
+                coded = (masked + mask_ids * RP_MASK_STRIDE).astype(np.int32)
+                cols = {
+                    "band": np.int32(band),
+                    # mask-major flatten pairs with tile(ids, b)
+                    "bval": coded.T.reshape(-1),
+                    "vec_id": np.tile(ids, b),
+                    "fval": np.tile(fvals, b),
+                }
+                if payload:
+                    cols["e"] = evec * b
+                yield pd.DataFrame(cols)
+
+    return emb.mapInPandas(band_rows, band_schema)
+
+
 @register("dedup_embedding_lsh")  # driver-tier rows-only; udf-oracle in tools/udf_oracles.py
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROXIMATE embedding near-dup pairs — the sub-quadratic scale path.
@@ -1162,8 +1243,6 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tools/udf_oracles.py) cannot disagree on membership.  Verified
     against a numpy reimplementation in tests/test_hash_pipelines.py.
     """
-    from typing import Iterator
-
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -1173,65 +1252,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # like AQE's stats, not a data collect
     bits_per_band = rp_bits_per_band(base.count())
     n_bands = rp_num_bands(bits_per_band)
-    emb = spread(base)
-
-    band_schema = T.StructType(
-        [
-            T.StructField("band", T.IntegerType()),
-            T.StructField("bval", T.IntegerType()),
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("fval", T.IntegerType()),
-            T.StructField("e", T.ArrayType(T.DoubleType())),
-        ]
-    )
-    b = bits_per_band
-    mask_ids = np.arange(b, dtype=np.int64)
-
-    def band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        proj = None
-        weights = 1 << np.arange(b, dtype=np.int64)
-        # masked-key weight matrix W (b bits × b masks): deleting bit i
-        # and compressing is a linear recode of the bit vector, so all
-        # b masked values come from ONE (n,b)@(b,b) integer GEMM
-        W = np.zeros((b, b), dtype=np.int64)
-        for i in range(b):
-            kept = [j for j in range(b) if j != i]
-            W[kept, i] = 1 << np.arange(b - 1, dtype=np.int64)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            if proj is None:  # seeded → identical on every executor
-                proj = np.concatenate(
-                    [
-                        np.random.RandomState(RP_BAND_SEED + i).standard_normal(
-                            (mat.shape[1], RP_SLOT_BITS)
-                        )[:, :b]
-                        for i in range(n_bands)
-                    ],
-                    axis=1,
-                )  # (d, L·bits): band i's slot prefix, concatenated
-            bits = (mat @ proj >= 0.0).astype(np.int64)
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            evec = list(mat)  # float64 rows, reused as the carried payload
-            n_rows = len(ids)
-            for band in range(n_bands):
-                chunk = bits[:, band * b : (band + 1) * b]
-                fvals = (chunk @ weights).astype(np.int32)
-                masked = chunk @ W  # (n, b): masked val per mask
-                coded = (masked + mask_ids * RP_MASK_STRIDE).astype(np.int32)
-                yield pd.DataFrame(
-                    {
-                        "band": np.int32(band),
-                        # mask-major flatten pairs with tile(ids, b)
-                        "bval": coded.T.reshape(-1),
-                        "vec_id": np.tile(ids, b),
-                        "fval": np.tile(fvals, b),
-                        "e": evec * b,
-                    }
-                )
-
-    bands = emb.mapInPandas(band_rows, band_schema)
+    bands = rp_band_key_frame(spread(base), bits_per_band, n_bands)
 
     pair_schema = T.StructType(
         [T.StructField("vec_a", T.LongType()), T.StructField("vec_b", T.LongType())]

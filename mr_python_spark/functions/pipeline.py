@@ -1534,14 +1534,17 @@ def quality_ablation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer divisions).
 
     Scale: NO single-partition NTILE.  The global rank is computed the
-    distributed way — per-key counts, a running-offset window over the
-    distinct-key frame (BOUNDED: the key space is ≤ 2^20+1 values by
-    construction, so that window is constant-size at any corpus), and
-    a per-key ``row_number`` for the tie order — then deciles are
-    arithmetic on the rank.  Everything else is hash aggregates and
-    doc_id equi-joins over narrow integer rows; the LM frame comes
-    from the shared keyed cache (one corpus scan amortized across the
-    LM family).
+    distributed way — the per-key ``row_number`` tie order first (ONE
+    q_fp shuffle; the per-key counts then reuse that partitioning with
+    no new exchange), a running-offset window over the distinct-key
+    frame (BOUNDED: the key space is ≤ 2^20+1 values by construction,
+    so that window is constant-size at any corpus and its frame is
+    BROADCAST back) — then deciles are arithmetic on the rank.  The
+    duplicate flag is one window count over the text hash (one corpus
+    scan, one h-shuffle — round 11 replaced the second scan + groupBy
+    + join that used to compute it).  The LM frame comes from the
+    shared keyed cache (one corpus scan amortized across the LM
+    family) and joins on doc_id.
     """
     from mr_python_spark.functions.lm import bigram_lm_perplexity
 
@@ -1555,24 +1558,30 @@ def quality_ablation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ns"),
         F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
-    ).filter(F.col("nt") > 0)
-    dupg = (
-        docs.select(F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
-        .groupBy("h")
-        .agg(F.count("*").alias("c"))
     )
-    keyed = q.join(dupg, "h").select(
-        "doc_id",
-        F.col("nt").alias("n_tokens"),
-        F.expr(f"least(nt, 100L) * (nt + ns) * {BALANCE_SCALE}L div (200L * nt)").alias(
-            "q_fp"
-        ),
-        (F.col("c") > 1).cast("int").alias("is_dup"),
+    # dup flag from ONE window count over the hash — same values as the
+    # old groupBy(h)+join (counted over ALL docs, before the nt filter)
+    # for one corpus scan and one h-shuffle instead of two and a join
+    keyed = (
+        q.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("nt") > 0)
+        .select(
+            "doc_id",
+            F.col("nt").alias("n_tokens"),
+            F.expr(
+                f"least(nt, 100L) * (nt + ns) * {BALANCE_SCALE}L div (200L * nt)"
+            ).alias("q_fp"),
+            (F.col("c") > 1).cast("int").alias("is_dup"),
+        )
     )
-    # distributed exact rank over (q_fp DESC, doc_id): per-key counts,
-    # running offsets over the BOUNDED distinct-key frame, per-key
-    # row_number for the tie order
-    counts = keyed.groupBy("q_fp").agg(F.count("*").alias("n_k"))
+    # distributed exact rank over (q_fp DESC, doc_id): the per-key tie
+    # order FIRST (one q_fp shuffle), then per-key counts piggyback on
+    # that partitioning (no new exchange), running offsets over the
+    # BOUNDED distinct-key frame (≤ 2^20+1 values by construction), and
+    # the offsets frame BROADCAST back — rank = off + row_number
+    tie_w = Window.partitionBy("q_fp").orderBy("doc_id")
+    numbered = keyed.withColumn("rn", F.row_number().over(tie_w))
+    counts = numbered.groupBy("q_fp").agg(F.max("rn").alias("n_k"))
     off_w = (
         Window.orderBy(F.desc("q_fp"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1588,12 +1597,10 @@ def quality_ablation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n_k").over(off_w), F.lit(0)).alias("off"),
         F.sum("n_k").over(tot_w).alias("n_tot"),
     )
-    tie_w = Window.partitionBy("q_fp").orderBy("doc_id")
     ranked = (
-        keyed.join(offsets, "q_fp")
-        .withColumn("rnk", F.col("off") + F.row_number().over(tie_w))
+        numbered.join(F.broadcast(offsets), "q_fp")
         .select(
-            F.expr("(rnk - 1L) * 10L div n_tot + 1L").alias("decile"),
+            F.expr("(off + rn - 1L) * 10L div n_tot + 1L").alias("decile"),
             "doc_id",
             "n_tokens",
             "is_dup",

@@ -322,26 +322,38 @@ def streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     worth of events; the join itself shuffles both streams on user_id
     once — the same hash-partitioned shape as the batch equi-join.
     """
+    joined = join_live_frame(
+        lambda: staged_events_stream(spark, sf_dir)
+    )
+    return run_to_memory(spark, joined, "stream_join")
+
+
+def join_live_frame(make_stream):
+    """The purchases × clicks interval join over two instances of the
+    event stream (``make_stream()`` is called once per side — each
+    side of a stream-stream join needs its own source).  Extracted so
+    the rate/state probe (tools/streaming_rate_probe.py) drives the
+    identical unbounded plan under a rate-limited multi-batch
+    trigger."""
     clicks = (
-        staged_events_stream(spark, sf_dir)
+        make_stream()
         .filter(F.col("event_type") == "click")
         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
         .withWatermark("click_ts", "2 hours")
     )
     purchases = (
-        staged_events_stream(spark, sf_dir)
+        make_stream()
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts")
         .withWatermark("ts", "2 hours")
     )
-    joined = purchases.join(
+    return purchases.join(
         clicks,
         (F.col("user_id") == F.col("c_user"))
         & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("click_ts") <= F.col("ts")),
         "inner",
     ).select("event_id", "user_id", "ts", "click_ts")
-    return run_to_memory(spark, joined, "stream_join")
 
 
 _SJOIN_SEMI_ORACLE = """
@@ -841,6 +853,36 @@ LIMIT 12
 """
 
 
+def _cms_bucket(i: int):
+    """Seeded md5 bucket column for CMS row ``i`` (bit-identical across
+    engines and partitionings — the same family as the batch twin)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(chr(48 + i)), F.col("user_id").cast("string"))
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 256
+    )
+
+
+def cms_counter_frame(stream):
+    """The streaming Count-Min counter aggregate (d·w = 1024 rows of
+    state total, any volume).  Extracted so the rate/state probe
+    drives the identical unbounded plan under a multi-batch trigger."""
+    hashed = stream.select(
+        "user_id",
+        F.posexplode(F.array(*[_cms_bucket(i) for i in range(4)])).alias("i", "b"),
+    )
+    return hashed.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+
+
 @register("streaming_cms_hitters", _SCMS_ORACLE)
 def streaming_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min Sketch maintained BY THE STREAM: heavy-hitter users.
@@ -859,34 +901,13 @@ def streaming_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin; the seeded md5 family makes sketch and estimates
     bit-identical across engines and under any partitioning.
     """
-    stream = staged_events_stream(spark, sf_dir)
-
-    def bucket(i: int):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(chr(48 + i)), F.col("user_id").cast("string")
-                        )
-                    ),
-                    1,
-                    6,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 256
-        )
-
-    hashed = stream.select(
-        "user_id",
-        F.posexplode(F.array(*[bucket(i) for i in range(4)])).alias("i", "b"),
-    )
-    counters = hashed.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+    counters = cms_counter_frame(staged_events_stream(spark, sf_dir))
     sketch = run_to_memory(
         spark, counters, "stream_cms", output_mode="complete"
     )
+
+    def bucket(i: int):
+        return _cms_bucket(i)
 
     events = load_table(spark, sf_dir, "events")
     batch_hashed = events.select(

@@ -331,30 +331,11 @@ def streaming_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
 
-@register("streaming_sessions_timeout", _SSESSION_ORACLE)
-def streaming_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization emitted by EVENT-TIME TIMEOUT — the production shape.
-
-    ``streaming_stateful_sessions`` flushes its open sessions when the
-    availableNow batch ends — correct for a finite replay, but a real
-    deployment emits a session when its gap EXPIRES, i.e. when the
-    watermark passes last_event + gap.  This variant does exactly
-    that: the open session stays in state with
-    ``setTimeoutTimestamp(last + gap)``, and the emission happens in
-    ``hasTimedOut`` callbacks.  The watermark-sentinel staging (one
-    far-future event per type) is what makes the final timeouts fire
-    under a finite stream: the sentinel pushes the terminal watermark
-    past every real session's expiry, so the timer path — not an
-    end-of-batch flush — produces every row.  Sentinel users (negative
-    ids by construction) session among themselves and are dropped
-    from the MATERIALIZED sink (a pre-group filter would be pushed
-    below the watermark node and defeat the sentinel — see
-    ``streaming_join_outer_live``).
-
-    Scale notes: state is one open session per active user, expired
-    exactly at watermark + gap — the state-store contract RocksDB
-    enforces per key at any scale.
-    """
+def sessions_timeout_frame(stream):
+    """The event-time-timeout sessionization over a raw event stream —
+    extracted so the rate/state probe (tools/streaming_rate_probe.py)
+    drives the identical unbounded applyInPandasWithState plan under a
+    rate-limited multi-batch trigger."""
     out_schema = T.StructType(
         [
             T.StructField("user_id", T.LongType()),
@@ -413,11 +394,9 @@ def streaming_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 closed, columns=["user_id", "session_start", "n_events"]
             )
 
-    stream = staged_events_stream(spark, sf_dir, watermark_sentinel=True).select(
-        "user_id", "ts"
-    )
-    sessions = (
-        stream.withWatermark("ts", "2 hours")
+    return (
+        stream.select("user_id", "ts")
+        .withWatermark("ts", "2 hours")
         .groupBy("user_id")
         .applyInPandasWithState(
             sessionize,
@@ -427,6 +406,34 @@ def streaming_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+@register("streaming_sessions_timeout", _SSESSION_ORACLE)
+def streaming_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization emitted by EVENT-TIME TIMEOUT — the production shape.
+
+    ``streaming_stateful_sessions`` flushes its open sessions when the
+    availableNow batch ends — correct for a finite replay, but a real
+    deployment emits a session when its gap EXPIRES, i.e. when the
+    watermark passes last_event + gap.  This variant does exactly
+    that: the open session stays in state with
+    ``setTimeoutTimestamp(last + gap)``, and the emission happens in
+    ``hasTimedOut`` callbacks.  The watermark-sentinel staging (one
+    far-future event per type) is what makes the final timeouts fire
+    under a finite stream: the sentinel pushes the terminal watermark
+    past every real session's expiry, so the timer path — not an
+    end-of-batch flush — produces every row.  Sentinel users (negative
+    ids by construction) session among themselves and are dropped
+    from the MATERIALIZED sink (a pre-group filter would be pushed
+    below the watermark node and defeat the sentinel — see
+    ``streaming_join_outer_live``).
+
+    Scale notes: state is one open session per active user, expired
+    exactly at watermark + gap — the state-store contract RocksDB
+    enforces per key at any scale.
+    """
+    stream = staged_events_stream(spark, sf_dir, watermark_sentinel=True)
+    sessions = sessions_timeout_frame(stream)
     result = run_to_memory(spark, sessions, "stream_sessions_to")
     # sentinel users (negative ids) filtered from the materialized sink
     return result.filter(F.col("user_id") >= 0)

@@ -1006,7 +1006,10 @@ AUDITS: dict[str, dict] = {
     "quality_ablation_curve": dict(
         must=[r"partial_", r"HashAggregate", r"Window"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
-        hinted_broadcasts=0,  # LM frame is a cached leaf; see builder entry
+        # the bounded distinct-q_fp offsets frame (≤ 2^20+1 rows by
+        # construction) is hinted back onto the ranked rows; the LM
+        # frame stays a cached leaf — see the builder entry
+        hinted_broadcasts=1,
     ),
     # UNCACHED LM builder frame: the keyed cache makes every consumer
     # plan an InMemoryTableScan leaf (hints invisible to the policy

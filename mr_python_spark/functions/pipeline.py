@@ -1550,11 +1550,12 @@ def quality_ablation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", "text", tokens_col().alias("toks"))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    # isin compiles to an InSet hash probe per token; array_contains
+    # against the literal array is a linear scan
     q = toked.select(
         "doc_id",
         F.size("toks").cast("long").alias("nt"),
-        F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t)))
+        F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS)))
         .cast("long")
         .alias("ns"),
         F.md5(F.lower(F.trim(F.col("text")))).alias("h"),

@@ -556,6 +556,33 @@ def minhash_signatures(
     )
 
 
+def minhash_band_frame(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bhash) from a signature frame — the LSH banding
+    of :func:`dedup_minhash_lsh`, extracted so the adversarial-skew
+    probe (tools/skew_dedup_probe.py) measures the production bucket
+    histogram (sizes, cap drops) directly."""
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bhash"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bhash")
+
+
 @register("dedup_minhash_lsh")  # driver-tier rows-only; udf-oracle in tools/udf_oracles.py
 def dedup_minhash_lsh(
     spark: SparkSession,
@@ -593,22 +620,7 @@ def dedup_minhash_lsh(
     # materializing the table here would force the cache-bypass branch
     # and re-run the 64-min aggregate on every call
     sig = minhash_signatures(spark, sf_dir, docs=docs)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                        ).alias("bhash"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bhash")
+    bands = minhash_band_frame(sig)
     # cached: buckets feed both the candidate pairs and the
     # candidate-doc semi-join key (same pruning as the ngram path)
     buckets = (

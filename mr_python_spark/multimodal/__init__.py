@@ -3,12 +3,15 @@
 Image/audio/video payloads are ``binary`` columns with a metadata
 struct; decode/resize/frame-sample run as Arrow-batched pandas UDFs
 over ``mapInPandas``.  Image decode is REAL for BMP, binary netpbm,
-8-bit PNG (inflate + unfilter) and — round 9 — baseline-sequential
-JPEG (:mod:`mr_python_spark.multimodal.jpeg`: huffman + dequantize +
-IDCT), all pure stdlib+numpy; Pillow is used instead when importable.
-Only formats beyond those (progressive JPEG, WebP, …) remain
-library-gated behind :func:`decode_image`'s ``NotImplementedError``,
-with :func:`fake_probe` as the deterministic tested stand-in.
+8-bit PNG (inflate + unfilter), baseline-sequential JPEG (round 9:
+:mod:`mr_python_spark.multimodal.jpeg` — huffman + dequantize +
+IDCT) and progressive JPEG (spectral selection + successive
+approximation, Annex G; round 11 closed the roundtrip with a
+spectral-selection ENCODER), all pure stdlib+numpy; Pillow is used
+instead when importable.  Only formats beyond those (arithmetic /
+lossless JPEG, WebP, …) remain library-gated behind
+:func:`decode_image`'s ``NotImplementedError``, with
+:func:`fake_probe` as the deterministic tested stand-in.
 
 Scale notes: payload bytes ride the Arrow batches untouched; metadata
 extraction is per-batch vectorized; a 100 TB corpus partitions by
@@ -500,9 +503,18 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt = doc_id % 4
         if fmt == 0:
             return encode_bmp(w, h)
-        if fmt == 3:  # round 9: REAL baseline JPEG (huffman + IDCT)
-            from mr_python_spark.multimodal.jpeg import encode_jpeg
+        if fmt == 3:  # round 9: REAL baseline JPEG (huffman + IDCT);
+            # round 11: every other JPEG doc is PROGRESSIVE (SOF2
+            # spectral-selection scans), so the Annex G decode path is
+            # driver-gated too.  Same (w, h) law either way — the
+            # oracle is encoding-agnostic.
+            from mr_python_spark.multimodal.jpeg import (
+                encode_jpeg,
+                encode_jpeg_progressive,
+            )
 
+            if doc_id % 8 == 7:
+                return encode_jpeg_progressive(w, h, seed=doc_id % 97)
             return encode_jpeg(w, h, seed=doc_id % 97)
         return _encode_png(w, h, 1 if fmt == 1 else 4, seed=doc_id % 97)
 

@@ -925,3 +925,111 @@ def encode_jpeg(
         b"\xff\xd8" + _frame_segments(w, h, 0xC0) + dri + sos
         + bytes(bw.out) + b"\xff\xd9"
     )
+
+
+#: spectral-selection bands of the progressive encoder's AC scans
+PROG_AC_BANDS = ((1, 5), (6, 63))
+
+
+def encode_jpeg_progressive(
+    w: int, h: int, rgb: "bytes | None" = None, seed: int = 0
+) -> bytes:
+    """Progressive (SOF2) 4:4:4 JPEG by SPECTRAL SELECTION: one
+    interleaved DC scan, then per component one AC scan per
+    ``PROG_AC_BANDS`` band (Ah = Al = 0 — pure spectral selection, no
+    successive approximation).  The quantized coefficients are
+    IDENTICAL to :func:`encode_jpeg`'s (same ``_quantized_zigzag``
+    grids, same Annex K tables), so a correct decoder must reconstruct
+    bit-identical pixels from both encodings — the roundtrip pin in
+    tests/test_capability_queries.py.  Within an AC band, coefficients
+    code exactly as baseline AC (runs, ZRL, and a per-block EOB0 —
+    an EOB run of one block, T.81 G.1.2.2), so the entropy tables are
+    shared too.
+    """
+    import numpy as np
+
+    grids = _quantized_zigzag(_raster_planes(w, h, rgb, seed, np), w, h, np)
+    enc = [
+        (_build_huffman_encode(*HT_DC_LUMA), _build_huffman_encode(*HT_AC_LUMA)),
+        (_build_huffman_encode(*HT_DC_CHROMA), _build_huffman_encode(*HT_AC_CHROMA)),
+    ]
+    by_count = -(-h // 8)
+    bx_count = -(-w // 8)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8" + _frame_segments(w, h, 0xC2))
+
+    # ---- scan 1: interleaved DC, all three components ----
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(by_count):
+        for bx in range(bx_count):
+            for ci in range(3):
+                dc_t = enc[0 if ci == 0 else 1][0]
+                v0 = int(grids[ci][by, bx][0])
+                diff = v0 - pred[ci]
+                pred[ci] = v0
+                s = _category(diff)
+                code, length = dc_t[s]
+                bw.write(code, length)
+                if s:
+                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    out += seg(
+        0xDA,
+        b"\x03"
+        + struct.pack(">BB", 1, 0x00)
+        + struct.pack(">BB", 2, 0x10)
+        + struct.pack(">BB", 3, 0x10)
+        + b"\x00\x00\x00",  # Ss=0 Se=0 AhAl=0
+    )
+    out += bytes(bw.out)
+
+    # ---- AC scans: one component per scan, one per spectral band ----
+    for ci in range(3):
+        ti = 0 if ci == 0 else 1
+        ac_t = enc[ti][1]
+        for ss, se in PROG_AC_BANDS:
+            bw = _BitWriter()
+            for by in range(by_count):
+                for bx in range(bx_count):
+                    zz = grids[ci][by, bx]
+                    last_nz = 0
+                    for k in range(ss, se + 1):
+                        if zz[k]:
+                            last_nz = k
+                    if last_nz == 0:
+                        code, length = ac_t[0x00]  # EOB0: run of 1 block
+                        bw.write(code, length)
+                        continue
+                    run = 0
+                    for k in range(ss, last_nz + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, length = ac_t[0xF0]  # ZRL
+                            bw.write(code, length)
+                            run -= 16
+                        s = _category(v)
+                        code, length = ac_t[(run << 4) | s]
+                        bw.write(code, length)
+                        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if last_nz < se:
+                        code, length = ac_t[0x00]
+                        bw.write(code, length)
+            bw.flush()
+            out += seg(
+                0xDA,
+                b"\x01"
+                + struct.pack(">BB", ci + 1, ti)  # Td unused, Ta = ti
+                + bytes([ss, se, 0x00]),
+            )
+            out += bytes(bw.out)
+
+    out += b"\xff\xd9"
+    return bytes(out)

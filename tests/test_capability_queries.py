@@ -522,6 +522,40 @@ def test_jpeg_roundtrip_baseline():
     assert np.abs(dec - np.array([100.0, 150.0, 200.0])).max() <= 3
 
 
+def test_jpeg_progressive_roundtrip():
+    """Progressive (SOF2 spectral-selection) encodes decode to pixels
+    BYTE-IDENTICAL to the baseline encode of the same raster: both
+    encoders share the quantized coefficient grids, so any divergence
+    is a scan-coding bug (DC interleave order, band boundaries, EOB
+    runs).  Also pins the stream structure: SOF2 marker and one scan
+    per (DC + components x PROG_AC_BANDS)."""
+    import numpy as np
+
+    from mr_python_spark.multimodal import decode_image
+    from mr_python_spark.multimodal.jpeg import (
+        PROG_AC_BANDS,
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for (w, h, seed) in [(8, 8, 0), (16, 8, 1), (17, 13, 2), (33, 9, 6), (1, 1, 5)]:
+        prog = encode_jpeg_progressive(w, h, seed=seed)
+        base = decode_jpeg_pixels(encode_jpeg(w, h, seed=seed))
+        got = decode_jpeg_pixels(prog)
+        assert got is not None and got[:3] == (w, h, 3)
+        assert np.array_equal(
+            np.frombuffer(got[3], dtype=np.uint8),
+            np.frombuffer(base[3], dtype=np.uint8),
+        ), (w, h, seed)
+        # stream structure: SOF2, and 1 DC + 3*len(PROG_AC_BANDS) SOS
+        assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+        n_sos = prog.count(b"\xff\xda")
+        assert n_sos == 1 + 3 * len(PROG_AC_BANDS), n_sos
+        # the dispatch surface decodes it too (no NotImplementedError)
+        assert decode_image(prog) == (w, h, 3)
+
+
 def test_jpeg_roundtrip_restart_intervals():
     """DRI JPEGs decode identically to their no-DRI twins: restart
     markers change entropy segmentation, not quantization, so the

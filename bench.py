@@ -89,6 +89,11 @@ HEADLINE = [
     # after the LM entry, so its timing is the marginal rank+join cost)
     "bitext_margin_mining",
     "quality_ablation_curve",
+    # round-11: the matched-budget tokenizer bake-off (two Arrow
+    # encode passes + the stats join — benched AFTER bpe_token_stats,
+    # so its timing shows the second-encode marginal cost, the models
+    # coming from the shared trained caches)
+    "tokenizer_bakeoff_report",
 ]
 
 

@@ -58,7 +58,10 @@ def _bigram_pairs():
     )
 
 
-_LM_ORACLE = f"""
+#: shared oracle CTE prefix: the sample-trained bigram model and the
+#: per-bigram bit scores — reused by the per-doc perplexity oracle and
+#: the DoReMi domain-weights oracle
+_LM_SCORED_CTES = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
   FROM documents
@@ -97,6 +100,11 @@ scored AS (
   LEFT JOIN sample_uni u ON c.w1 = u.tok
   LEFT JOIN sample_bi b ON c.bg = b.bg
 )
+"""
+
+_LM_ORACLE = (
+    _LM_SCORED_CTES
+    + """
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(bits) AS BIGINT) AS surprisal_bits,
@@ -104,6 +112,7 @@ SELECT doc_id,
 FROM scored
 GROUP BY doc_id
 """
+)
 
 
 @register("bigram_lm_perplexity", _LM_ORACLE)
@@ -408,4 +417,160 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "surprisal_bits",
         "bpp_fp",
         F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail").alias("bucket"),
+    )
+
+
+# --- DoReMi-lite domain reweighting ------------------------------------
+
+#: fixed-point scale for the domain weights (1.0 == DOREMI_SCALE)
+DOREMI_SCALE = 1 << 20
+#: uniform-smoothing mass (DoReMi's per-domain floor): 0.2 of the
+#: budget is spread uniformly, 0.8 proportionally to excess loss
+DOREMI_ALPHA_FP = DOREMI_SCALE // 5
+
+_DOREMI_ORACLE = (
+    _LM_SCORED_CTES
+    + f"""
+, per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS nb,
+         CAST(SUM(bits) AS BIGINT) AS bits
+  FROM scored GROUP BY doc_id
+), per_src AS (
+  SELECT d.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(p.nb) AS BIGINT) AS n_bigrams,
+         CAST(SUM(p.bits) AS BIGINT) AS surprisal_bits
+  FROM per_doc p JOIN documents d USING (doc_id)
+  GROUP BY d.source
+), fp AS (
+  SELECT *,
+         CAST(CAST(surprisal_bits AS HUGEINT) * {DOREMI_SCALE}
+              // n_bigrams AS BIGINT) AS bpp_fp,
+         CAST(CAST(SUM(surprisal_bits) OVER () AS HUGEINT) * {DOREMI_SCALE}
+              // SUM(n_bigrams) OVER () AS BIGINT) AS bpp0_fp,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_src
+  FROM per_src
+), ex AS (
+  SELECT *,
+         greatest(CAST(0 AS BIGINT), bpp_fp - bpp0_fp) AS excess_fp
+  FROM fp
+), sh AS (
+  SELECT *,
+         CAST(SUM(excess_fp) OVER () AS BIGINT) AS tot_excess
+  FROM ex
+)
+SELECT source, n_docs, n_bigrams, surprisal_bits, bpp_fp,
+       CAST(surprisal_bits AS DOUBLE) / n_bigrams AS bits_per_bigram,
+       excess_fp,
+       CAST(CASE WHEN tot_excess = 0 THEN {DOREMI_SCALE} // n_src
+            ELSE CAST(CAST(excess_fp AS HUGEINT) * {DOREMI_SCALE}
+                      // tot_excess AS BIGINT) END AS BIGINT) AS share_fp,
+       CAST(({DOREMI_ALPHA_FP} * ({DOREMI_SCALE} // n_src)
+             + ({DOREMI_SCALE} - {DOREMI_ALPHA_FP})
+               * (CASE WHEN tot_excess = 0 THEN {DOREMI_SCALE} // n_src
+                  ELSE CAST(CAST(excess_fp AS HUGEINT) * {DOREMI_SCALE}
+                            // tot_excess AS BIGINT) END))
+            // {DOREMI_SCALE} AS BIGINT) AS weight_fp
+FROM sh
+"""
+)
+
+
+@register("doremi_domain_weights", _DOREMI_ORACLE)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain sampling weights from EXCESS LM loss — the
+    domain-reweighting pass of Xie et al. 2023, closed-form: instead
+    of a proxy-model training loop, each source's excess
+    bits-per-bigram over the corpus baseline (the same sample-trained
+    bigram LM as :func:`bigram_lm_perplexity`, shared cached frame)
+    is its up-weighting signal, smoothed with a uniform floor
+    (``weight = α·uniform + (1−α)·excess_share``, α = 0.2).  Sources
+    at or below the corpus baseline get exactly the floor — the
+    "don't starve easy domains" contract — and sources the reference
+    model finds hard get budget proportional to how hard.
+
+    Determinism: every share is exact fixed-point integer division
+    (``DOREMI_SCALE`` ≡ 1.0); surprisal sums are exact integers, so
+    the weight table hash-gates value-for-value.  The
+    multiplications are widened to DECIMAL(38,0)/HUGEINT so a
+    100 TB corpus' bit totals (≫ 2^63 / 2^20) cannot wrap on one
+    engine only (the shard-balance recipe).  ``bits_per_bigram`` is
+    the one IEEE division per row.
+
+    Scale: the LM frame comes from the shared keyed cache (one
+    corpus scan amortized across the LM family); one doc_id equi-join
+    to the source metadata; a |sources|-row aggregate; then every
+    global total rides unpartitioned windows over that BOUNDED frame
+    (the ablation-curve offsets device) — no driver action, no
+    corpus-sized shuffle beyond the aggregate.
+
+    Reference scope note: tinymr has no mixture surface — this is the
+    training-data-pipeline extension tier (SURVEY.md §6), completing
+    the selection family (``mixture_temperature_weights`` is
+    mass-based, ``dsir_importance_weights`` is target-based, this one
+    is loss-based).
+    """
+    S, A = DOREMI_SCALE, DOREMI_ALPHA_FP
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    lm = bigram_lm_perplexity(spark, sf_dir).select(
+        "doc_id", "n_bigrams", "surprisal_bits"
+    )
+    per_src = (
+        lm.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("n_bigrams"),
+            F.sum("surprisal_bits").alias("surprisal_bits"),
+        )
+    )
+    w = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    fp = per_src.select(
+        "*",
+        F.expr(
+            f"CAST(CAST(surprisal_bits AS DECIMAL(38,0)) * {S}L"
+            " div n_bigrams AS BIGINT)"
+        ).alias("bpp_fp"),
+        (F.sum("surprisal_bits").over(w).cast("decimal(38,0)") * F.lit(S)).alias(
+            "_tb"
+        ),
+        F.sum("n_bigrams").over(w).alias("_tn"),
+        F.count(F.lit(1)).over(w).alias("n_src"),
+    ).select(
+        "*", F.expr("CAST(_tb div _tn AS BIGINT)").alias("bpp0_fp")
+    ).drop("_tb", "_tn")
+    ex = fp.select(
+        "*",
+        F.greatest(
+            F.lit(0).cast("long"), F.col("bpp_fp") - F.col("bpp0_fp")
+        ).alias("excess_fp"),
+    )
+    sh = ex.select("*", F.sum("excess_fp").over(w).alias("tot_excess"))
+    share = F.when(
+        F.col("tot_excess") == 0, F.expr(f"{S}L div n_src")
+    ).otherwise(
+        F.expr(
+            f"CAST(CAST(excess_fp AS DECIMAL(38,0)) * {S}L"
+            " div tot_excess AS BIGINT)"
+        )
+    )
+    shared = sh.select("*", share.alias("share_fp"))
+    return shared.select(
+        "source",
+        "n_docs",
+        "n_bigrams",
+        "surprisal_bits",
+        "bpp_fp",
+        (F.col("surprisal_bits").cast("double") / F.col("n_bigrams")).alias(
+            "bits_per_bigram"
+        ),
+        "excess_fp",
+        "share_fp",
+        F.expr(
+            f"CAST(({A}L * ({S}L div n_src)"
+            f" + ({S}L - {A}L) * share_fp) div {S}L AS BIGINT)"
+        ).alias("weight_fp"),
     )

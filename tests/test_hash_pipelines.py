@@ -842,6 +842,73 @@ def test_tokenizer_bakeoff_budget_semantics(spark):
         assert r.bpe_fertility == bt / nw and r.unigram_fertility == ut / nw
 
 
+def test_doremi_weights_from_first_principles(spark):
+    """The DoReMi-lite weight table must equal a pure-Python
+    recomputation from the per-doc LM frame: per-source exact sums,
+    fixed-point bpp vs the corpus baseline, linear excess shares with
+    the 0.2 uniform floor — and the weights must sum to the scale
+    within integer-truncation loss (< n_sources)."""
+    from collections import defaultdict
+
+    from mr_python_spark.functions.lm import (
+        DOREMI_ALPHA_FP,
+        DOREMI_SCALE,
+        bigram_lm_perplexity,
+        doremi_domain_weights,
+    )
+    from mr_python_spark.session import load_table
+
+    src_of = {
+        r.doc_id: r.source
+        for r in load_table(spark, SF, "documents").select("doc_id", "source").collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0])  # n_docs, nb, bits
+    for r in bigram_lm_perplexity(spark, SF).collect():
+        e = agg[src_of[r.doc_id]]
+        e[0] += 1
+        e[1] += r.n_bigrams
+        e[2] += r.surprisal_bits
+    S, A = DOREMI_SCALE, DOREMI_ALPHA_FP
+    tot_nb = sum(e[1] for e in agg.values())
+    tot_bits = sum(e[2] for e in agg.values())
+    bpp0 = tot_bits * S // tot_nb
+    n_src = len(agg)
+    excess = {s: max(0, e[2] * S // e[1] - bpp0) for s, e in agg.items()}
+    tot_ex = sum(excess.values())
+    exp = {}
+    for s, e in agg.items():
+        share = S // n_src if tot_ex == 0 else excess[s] * S // tot_ex
+        exp[s] = (
+            e[0],
+            e[1],
+            e[2],
+            e[2] * S // e[1],
+            excess[s],
+            share,
+            (A * (S // n_src) + (S - A) * share) // S,
+        )
+    got = {
+        r.source: (
+            r.n_docs,
+            r.n_bigrams,
+            r.surprisal_bits,
+            r.bpp_fp,
+            r.excess_fp,
+            r.share_fp,
+            r.weight_fp,
+        )
+        for r in doremi_domain_weights(spark, SF).collect()
+    }
+    assert got == exp
+    total_w = sum(v[6] for v in got.values())
+    assert S - n_src <= total_w <= S
+    # the floor contract: at-or-below-baseline sources get exactly α/K
+    floor_w = (A * (S // n_src)) // S
+    for s, v in got.items():
+        if v[4] == 0:
+            assert v[6] == floor_w, s
+
+
 def test_bigram_lm_bit_surprisal_mirror(spark):
     """The distributed LM score must equal a from-scratch pure-Python
     bigram LM (same bounded sample, same add-V smoothing) computing

@@ -610,6 +610,14 @@ AUDITS: dict[str, dict] = {
         must=[r"MapInPandas", r"partial_"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # DoReMi-lite weights: cached-LM leaf + doc_id equi-join +
+    # |sources|-row aggregate; the global totals ride unpartitioned
+    # windows over that bounded frame (the offsets device)
+    "doremi_domain_weights": dict(
+        must=[r"Window", r"HashAggregate|SortAggregate", r"partial_"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,  # LM frame is a cached leaf; see builder entry
+    ),
     # bake-off: TWO Arrow encode passes (budgeted models by closure),
     # doc_id equi-joins of narrow int frames, |langs|-row aggregate
     "tokenizer_bakeoff_report": dict(

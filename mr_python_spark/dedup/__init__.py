@@ -614,7 +614,6 @@ def dedup_minhash_lsh(
     cap is a WHERE on the grouped size rather than a separate
     bucket-histogram join.
     """
-    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
     # docs stays None for the registered corpus path so BOTH the
     # signature frame and the shingle frame hit their keyed caches —
     # materializing the table here would force the cache-bypass branch

@@ -206,8 +206,10 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document subword statistics under the trained BPE: word
     count, BPE token count, distinct BPE tokens, and OOV-free words
     (words whose every final symbol is in the trained vocab —
-    ``alphabet ∪ merge products``; a word misses only when it contains
-    a character the training sample never saw).
+    ``alphabet ∪ merge products``; a word misses when a final symbol
+    falls outside the POSITIONAL alphabet: a character, or an
+    end-of-word-marked last character, the sample never saw in that
+    position).
 
     The token-budget accounting step of a pipeline (how many subword
     tokens does this corpus contribute?).  Encoding is an Arrow-batched

@@ -905,9 +905,7 @@ def streaming_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = run_to_memory(
         spark, counters, "stream_cms", output_mode="complete"
     )
-
-    def bucket(i: int):
-        return _cms_bucket(i)
+    bucket = _cms_bucket
 
     events = load_table(spark, sf_dir, "events")
     batch_hashed = events.select(

@@ -13,14 +13,27 @@ prefix prepended to every document):
   boiler minima to drive MinHash band collisions into the
   ``LSH_BUCKET_CAP`` regime so the cap actually trips.
 
-Ground truth is EXACT and fixture-aware: a pair at jaccard >= 0.2
-must share a non-universal shingle (boiler-only overlap tops out at
-u/(2*S - u) — 0.032 for boiler3, 0.16 for boiler24, both < 0.2 — the
-artifact records the bound), so true candidates come from the
-UNCAPPED posting join excluding df = n shingles (Sum df^2 ~ 28M rows,
-affordable), verified with exact jaccard over the FULL hashed shingle
-arrays (boiler included, so every reported jaccard is the fixture's
-real jaccard).
+Ground truth is EXACT and fixture-aware, in two parts:
+
+* CONTENT-reachable pairs (sharing >= 1 non-universal shingle) come
+  from the UNCAPPED posting join excluding df = n shingles
+  (Sum df^2 ~ 28M rows, affordable), verified with exact jaccard
+  over the FULL hashed shingle arrays (boiler included, so every
+  reported jaccard is the fixture's real jaccard).
+* BOILER-ONLY pairs — docs sharing NOTHING but the u universal
+  shingles — have jaccard u/(Sa + Sb − u), a function of the two
+  SIZES alone, so they are counted EXACTLY from the shingle-count
+  histogram with no pair join: a pair clears threshold t iff
+  Sa + Sb <= u(1 + 1/t).  (Short documents make this set real: the
+  base corpus' 10-word docs give 22/(32+32−22) = 0.52 under the
+  24-word boiler — an earlier revision of this probe wrongly assumed
+  a fixed document length bounded boiler-only jaccard below 0.2 and
+  dropped these pairs from the truth denominators.)  The capped
+  ngram path can never emit them (its candidates need a kept
+  posting); the MinHash path can (boiler-dominated minima can
+  collide in an under-cap bucket and the full-jaccard verify
+  passes), so its boiler-only finds are counted via an anti-join of
+  its output against the content candidates.
 
 Per fixture the probe records: posting/bucket histograms (kept vs
 cap-dropped counts and doc-mass), candidate-pair counts, and the
@@ -148,14 +161,65 @@ def probe_fixture(spark, label: str, sf_dir: str, n_boiler_words: int) -> dict:
     n_truth_05 = truth.filter(F.col("j") >= 0.5).count()
     n_ctruth_02 = truth.filter(F.col("jc") >= 0.2).count()
     n_ctruth_05 = truth.filter(F.col("jc") >= 0.5).count()
+
+    # ---- boiler-only pairs, counted exactly from the size histogram:
+    # a pair sharing ONLY the u universal shingles has
+    # j = u / (Sa + Sb - u), so it clears threshold t iff
+    # Sa + Sb <= floor(u * (1 + 1/t)).  Count all size-qualifying
+    # pairs, subtract the size-qualifying CONTENT-candidate pairs
+    # (those were already measured with their full jaccard, which is
+    # monotonically above the boiler-only level at the same sizes).
+    u = n_boiler_words - 2
+    cand_truth = cand_truth.cache()
+    sizes = sh_sets.select("doc_id", F.size("sh").alias("s")).cache()
+    hist = {r.s: r.c for r in sizes.groupBy("s").agg(F.count(F.lit(1)).alias("c")).collect()}
+
+    def size_pairs(bound: int) -> int:
+        ks = sorted(hist)
+        total = 0
+        for i, sa in enumerate(ks):
+            for sb in ks[i:]:
+                if sa + sb > bound:
+                    break
+                if sa == sb:
+                    total += hist[sa] * (hist[sa] - 1) // 2
+                else:
+                    total += hist[sa] * hist[sb]
+        return total
+
+    def cand_size_pairs(bound: int) -> int:
+        a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+        b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+        return (
+            cand_truth.join(a, "doc_a")
+            .join(b, "doc_b")
+            .filter(F.col("sa") + F.col("sb") <= bound)
+            .count()
+        )
+
+    extra = {}
+    for t_name, t_val in (("02", 0.2), ("05", 0.5)):
+        if u == 0:
+            extra[t_name] = 0
+            continue
+        bound = int(u * (1.0 + 1.0 / t_val))
+        n_all = size_pairs(bound)
+        extra[t_name] = n_all - cand_size_pairs(bound) if n_all else 0
+
     report["truth"] = {
-        "pairs_j02": n_truth_02,
-        "pairs_j05": n_truth_05,
+        "content_reachable_pairs_j02": n_truth_02,
+        "content_reachable_pairs_j05": n_truth_05,
+        "boiler_only_pairs_j02": extra["02"],
+        "boiler_only_pairs_j05": extra["05"],
+        "pairs_j02": n_truth_02 + extra["02"],
+        "pairs_j05": n_truth_05 + extra["05"],
         "content_pairs_j02": n_ctruth_02,
         "content_pairs_j05": n_ctruth_05,
-        "universal_shingles": n_boiler_words - 2,
-        "boiler_only_jaccard_bound": "u/(2S-u) < 0.2 for both fixtures, "
-        "so no true pair is reachable through boiler shingles alone",
+        "universal_shingles": u,
+        "boiler_only_counting": "size-histogram exact count of pairs "
+        "with Sa+Sb <= u(1+1/t) minus content candidates in that size "
+        "range (boiler-only jaccard = u/(Sa+Sb-u) depends on sizes "
+        "alone); short docs make this set non-empty at boiler24",
         "wall_sec": round(time.perf_counter() - t0, 1),
     }
 
@@ -182,7 +246,11 @@ def probe_fixture(spark, label: str, sf_dir: str, n_boiler_words: int) -> dict:
     missed = t02.join(got, ["doc_a", "doc_b"], "left_anti").count()
     c02 = truth.filter(F.col("jc") >= 0.2).select("doc_a", "doc_b")
     missed_c = c02.join(got, ["doc_a", "doc_b"], "left_anti").count()
-    extra = got.join(t02, ["doc_a", "doc_b"], "left_anti").count()
+    not_in_truth = got.join(t02, ["doc_a", "doc_b"], "left_anti").count()
+    # the capped path's candidates all share a kept posting, so it can
+    # never emit a boiler-only pair; every boiler-only true pair is a
+    # structural miss for it
+    total_02 = n_truth_02 + extra["02"]
     report["ngram_capped"] = {
         "df_cap": DF_CAP,
         "n_shingles": hist["n_shingles"],
@@ -192,12 +260,12 @@ def probe_fixture(spark, label: str, sf_dir: str, n_boiler_words: int) -> dict:
         "max_df": hist["max_df"],
         "candidate_pairs": n_cand,
         "found_pairs_j02": n_got,
-        "missed_vs_truth": missed,
-        "recall": round((n_truth_02 - missed) / max(n_truth_02, 1), 4),
+        "missed_vs_truth": missed + extra["02"],
+        "recall": round((n_truth_02 - missed) / max(total_02, 1), 4),
         "recall_vs_content_truth": round(
             (n_ctruth_02 - missed_c) / max(n_ctruth_02, 1), 4
         ),
-        "not_subset_of_truth": extra,
+        "not_subset_of_truth": not_in_truth,
         "wall_sec": round(time.perf_counter() - t0, 1),
     }
     got.unpersist()
@@ -225,7 +293,14 @@ def probe_fixture(spark, label: str, sf_dir: str, n_boiler_words: int) -> dict:
     missed = truth05.join(got, ["doc_a", "doc_b"], "left_anti").count()
     c05 = truth.filter(F.col("jc") >= 0.5).select("doc_a", "doc_b")
     missed_c = c05.join(got, ["doc_a", "doc_b"], "left_anti").count()
-    extra = got.join(truth05, ["doc_a", "doc_b"], "left_anti").count()
+    # output rows NOT among the content candidates are boiler-only
+    # finds — MinHash can surface those through boiler-dominated
+    # minima when the bucket stays under cap; they are verified
+    # j >= 0.5 by the operator, so they count as true hits
+    boiler_found = got.join(
+        cand_truth, ["doc_a", "doc_b"], "left_anti"
+    ).count()
+    total_05 = n_truth_05 + extra["05"]
     report["minhash_lsh"] = {
         "bucket_cap": LSH_BUCKET_CAP,
         "n_buckets": bhist["n_buckets"],
@@ -233,17 +308,21 @@ def probe_fixture(spark, label: str, sf_dir: str, n_boiler_words: int) -> dict:
         "doc_mass_dropped": int(bhist["mass_dropped"]),
         "max_bucket": bhist["max_bucket"],
         "found_pairs_j05": n_got,
-        "missed_vs_truth": missed,
-        "recall": round((n_truth_05 - missed) / max(n_truth_05, 1), 4),
+        "boiler_only_found": boiler_found,
+        "missed_vs_truth": missed + (extra["05"] - boiler_found),
+        "recall": round(
+            (n_truth_05 - missed + boiler_found) / max(total_05, 1), 4
+        ),
         "recall_vs_content_truth": round(
             (n_ctruth_05 - missed_c) / max(n_ctruth_05, 1), 4
         ),
-        "not_subset_of_truth": extra,
         "wall_sec": round(time.perf_counter() - t0, 1),
     }
     got.unpersist()
     truth.unpersist()
     sh.unpersist()
+    sizes.unpersist()
+    cand_truth.unpersist()
     return report
 
 

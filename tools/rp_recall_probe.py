@@ -231,7 +231,7 @@ def measure_point(spark, label: str, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     pairs, n_queries = sampled_pairs_frame(spark, sf_dir, bits, L)
     pairs = pairs.cache()
-    n_true = pairs.count()
+    pairs.count()  # materialize the cache inside the truth timing
     truth_wall = time.perf_counter() - t0
 
     # bucket occupancy from the PRODUCTION key pass (no payload)
@@ -291,7 +291,6 @@ def measure_point(spark, label: str, sf_dir: str) -> dict:
         "predicted_recall_cos045": round(1.0 - (1.0 - p_band) ** L, 3),
         "truth_wall_sec": round(truth_wall, 1),
         "decide_wall_sec": round(decide_wall, 1),
-        "_n_true_precache": n_true,
     }
 
 

@@ -1427,6 +1427,130 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", "cluster_id")
 
 
+_SURVIVORS_ORACLE_TMPL = """
+WITH clusters AS ({clusters}),
+q AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         least(CAST(len(toks) AS BIGINT), 100)
+           * (CAST(len(toks) AS BIGINT)
+              + CAST(len(list_filter(toks, t -> t IN {stopwords})) AS BIGINT))
+           * {scale} // (200 * CAST(len(toks) AS BIGINT)) AS q_fp
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+  )
+  WHERE len(toks) > 0
+),
+members AS (
+  SELECT c.cluster_id, c.doc_id, q.n_tokens, q.q_fp,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cluster_id ORDER BY q.q_fp DESC, c.doc_id
+         ) AS rn
+  FROM clusters c JOIN q USING (doc_id)
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS survivor_doc_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN q_fp END) AS BIGINT) AS survivor_q_fp,
+       CAST(COUNT(*) - 1 AS BIGINT) AS evicted_docs,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS evicted_tokens
+FROM members
+GROUP BY cluster_id
+"""
+
+
+def _survivors_oracle() -> str:
+    from mr_python_spark.functions.pipeline import BALANCE_SCALE
+    from mr_python_spark.functions.text import STOPWORDS
+
+    return _SURVIVORS_ORACLE_TMPL.format(
+        clusters=_CLUSTERS_ORACLE, stopwords=repr(tuple(STOPWORDS)),
+        scale=BALANCE_SCALE,
+    )
+
+
+@register("dedup_cluster_survivors")
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE survivor selection per near-dup cluster — the
+    "which document lives" policy a real dedup pass ends with.
+
+    ``dedup_clusters`` collapses transitive near-dups into components;
+    the naive survivor (min doc_id — ingestion order) throws away the
+    best copy whenever a cleaner rewrite of the same content arrived
+    later.  This operator keeps the HIGHEST-QUALITY member instead:
+    survivor = argmax by (q_fp DESC, doc_id ASC) under the pipeline's
+    exact fixed-point quality score (the ``quality_ablation_curve``
+    formula — length band x stopword mass), with the doc_id tie-break
+    making the choice a total order.  Per cluster: the survivor, its
+    score, and the evicted document/token mass — the accounting a
+    curation report needs to justify the deletion.
+
+    Determinism: the score is exact fixed-point; survivor selection is
+    a total order; every output column is an exact integer.  Scale:
+    the cluster frame is the (small) component labeling — the corpus
+    is touched once more only for the two token counts (a projection,
+    no explode); one doc_id equi-join, one per-cluster window over
+    cluster-sized groups (bounded by the largest near-dup cluster),
+    one |clusters|-row aggregate.  Oracle: the recursive-CTE cluster
+    closure composed with the same windowed argmax.
+
+    Reference scope note: tinymr's closest concept is the per-key
+    reducer choosing one value (tinymr.py:332-334); this is that
+    contract at corpus scale with a principled quality key.
+    """
+    from mr_python_spark.functions.pipeline import BALANCE_SCALE
+    from mr_python_spark.functions.text import STOPWORDS, tokens_col
+
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        docs.select("doc_id", tokens_col().alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("nt"),
+            F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS)))
+            .cast("long")
+            .alias("ns"),
+        )
+        .filter(F.col("nt") > 0)
+        .select(
+            "doc_id",
+            F.col("nt").alias("n_tokens"),
+            F.expr(
+                f"least(nt, 100L) * (nt + ns) * {BALANCE_SCALE}L"
+                " div (200L * nt)"
+            ).alias("q_fp"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("q_fp"), F.asc("doc_id")
+    )
+    members = clusters.join(q, "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+            "survivor_doc_id"
+        ),
+        F.max(F.when(F.col("rn") == 1, F.col("q_fp"))).alias("survivor_q_fp"),
+        (F.count(F.lit(1)) - 1).alias("evicted_docs"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_tokens")).otherwise(0)).alias(
+            "evicted_tokens"
+        ),
+    )
+
+
+# the composed oracle needs pipeline's BALANCE_SCALE, and importing
+# functions.pipeline from this module's body would interleave the two
+# modules' registrations — functions/pipeline.py installs it into
+# ORACLES at the end of its own import instead
+
 # --- exact-substring span dedup ---------------------------------------
 
 #: character-level span length / sampling stride (Lee et al. 2021,

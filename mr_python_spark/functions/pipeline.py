@@ -1624,3 +1624,13 @@ def quality_ablation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("quality_ablation_curve", _ablation_oracle())(quality_ablation_curve)
+
+
+# dedup_cluster_survivors' oracle composes the recursive-CTE cluster
+# closure with THIS module's quality-score formula (BALANCE_SCALE),
+# so it is installed here — after the constant exists — instead of at
+# dedup import time (which would interleave module registrations)
+from mr_python_spark.dedup import _survivors_oracle as _dedup_survivors_oracle  # noqa: E402
+from mr_python_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["dedup_cluster_survivors"] = _dedup_survivors_oracle()

@@ -1002,3 +1002,92 @@ def test_nb_classifier_pure_python_mirror(spark):
             for t in toks
         )
         assert got[d] == (len(toks), score, int(score >= 0)), d
+
+
+def test_cluster_survivors_from_first_principles(spark):
+    """The quality-aware survivor table must equal a pure-Python
+    recomputation: union-find over the exact jaccard>=0.5 edges, the
+    fixed-point quality score per member, argmax by (q_fp DESC,
+    doc_id ASC), and the evicted doc/token accounting."""
+    from mr_python_spark.dedup import dedup_cluster_survivors, shingle_sets
+    from mr_python_spark.functions.pipeline import BALANCE_SCALE
+    from mr_python_spark.functions.text import STOPWORDS
+    from mr_python_spark.session import load_table
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    shingles = {
+        d: {
+            " ".join(toks[i : i + 3])
+            for toks in [[t for t in txt.lower().split() if t]]
+            for i in range(len(toks) - 2)
+        }
+        for d, txt in docs.items()
+    }
+    ids = sorted(shingles)
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # edges: exact jaccard >= 0.5 over co-shingled pairs
+    from collections import defaultdict
+
+    post = defaultdict(list)
+    for d in ids:
+        for s in shingles[d]:
+            post[s].append(d)
+    cand = {
+        (a, b)
+        for ds in post.values()
+        for i, a in enumerate(ds)
+        for b in ds[i + 1 :]
+    }
+    in_cluster = set()
+    for a, b in sorted(cand):
+        inter = len(shingles[a] & shingles[b])
+        if inter / (len(shingles[a]) + len(shingles[b]) - inter) >= 0.5:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+            in_cluster |= {a, b}
+    comp = defaultdict(list)
+    for d in sorted(in_cluster):
+        comp[find(d)].append(d)
+
+    def q_fp(d):
+        toks = [t for t in docs[d].lower().split() if t]
+        nt = len(toks)
+        ns = sum(t in STOPWORDS for t in toks)
+        return min(nt, 100) * (nt + ns) * BALANCE_SCALE // (200 * nt)
+
+    exp = {}
+    for root, members in comp.items():
+        ranked = sorted(members, key=lambda d: (-q_fp(d), d))
+        surv = ranked[0]
+        exp[root] = (
+            len(members),
+            surv,
+            q_fp(surv),
+            len(members) - 1,
+            sum(len([t for t in docs[d].lower().split() if t]) for d in ranked[1:]),
+        )
+
+    got = {
+        r.cluster_id: (
+            r.n_members,
+            r.survivor_doc_id,
+            r.survivor_q_fp,
+            r.evicted_docs,
+            r.evicted_tokens,
+        )
+        for r in dedup_cluster_survivors(spark, SF).collect()
+    }
+    assert got == exp
+    # at least one cluster must exist on the fixture, else vacuous
+    assert got

@@ -528,6 +528,13 @@ AUDITS: dict[str, dict] = {
         must=[r"UnionLoop", r"UnionLoopRef"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # survivor policy: converged component labels (cached leaves) +
+    # the quality projection on one doc_id equi-join, a per-cluster
+    # window, a |clusters|-row aggregate
+    "dedup_cluster_survivors": dict(
+        must=[r"Window", r"HashAggregate|SortAggregate", r"partial_"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    ),
     # iterative join-aggregate kernel: equi-joins on the edge list
     # only, never a cartesian or nested-loop anywhere in the 3 rounds
     "pagerank_dedup_graph": dict(

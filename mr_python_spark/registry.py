@@ -56,6 +56,19 @@ ORACLES: dict[str, str] = {}
 #: dedup_winnow, dedup_lexical_semantic_agreement,
 #: pagerank_dedup_graph.
 #:
+#: Round-12 rotation (judge orders #1–2): EIGHTEEN entries that had
+#: never had a CORRECTNESS_r*.json row in rounds 1–11 (recomputed from
+#: the artifacts at r12 start: 94-entry pool) take the slots of
+#: eighteen repeatedly-graded entries, oldest graded first, every swap
+#: leaving same-category kin in-window and every rotated-out entry
+#: hash-gated in the full sweep.  Leading the rotation per the judge:
+#: the CDC family (scd2_event_intervals, cdc_latest_snapshot,
+#: merge_upsert_orders — operators/timeseries.py, the only §2c-adjacent
+#: family with zero driver-graded rows ever) and the two seasoned r11
+#: operators (doremi_domain_weights, dedup_cluster_survivors).  The
+#: swap pairings are inline below; the remaining 76-entry never-graded
+#: pool is listed in docs/ROUND_NOTES.md for the r13 runway.
+#:
 #: Round-10 rotation: the ten round-9 wave-3–6 entries that were green
 #: in both full sweeps but never driver-graded take the window slots
 #: of ten r9-graded entries, each of which leaves same-category kin
@@ -75,99 +88,104 @@ ORACLES: dict[str, str] = {}
 #: the TPC-H composites), join_bloom_runtime_filter →
 #: vocab_growth_report (three join shapes remain).
 PRIORITY: list[str] = [
-    # §2a parity gate + §2b signature patterns
+    # §2a parity gate + §2b signature patterns (round-12: word_count —
+    # graded every round since r1 — hands its slot to the never-graded
+    # tf-idf term scorer; the parity gates keep the word-count family)
     "parity_word_count",
     "parity_secondary_sort",
-    "word_count",
-    # TPC-H composites (joins + aggs + subqueries at scale shapes;
-    # q6 rotated out round-10 — q1/pipeline_rekey keep the family)
+    "tfidf_top_terms",
+    # TPC-H composites (round-12: q9 product-profit — the 6-table
+    # join+agg composite, never driver-graded — takes the slot of
+    # interval_ship_latency; q1_pricing_decimal keeps the typed tier)
     "q1_pricing_summary",
     "ann_filtered_topk",  # filtered ANN, predicate below the GEMM (round-9)
     "pipeline_rekey_bands",
-    # join shapes (round-11 rotation: the left-outer agg slot goes to
-    # the TPC-H q13 customer-distribution composite — the same outer
-    # join shape plus the histogram agg on top — and the range-join
-    # slot to the salted skew join, the 100 TB-relevant shape that had
-    # never been driver-graded; both rotated-out entries stay
-    # hash-gated in the full sweep)
     "q13_customer_distribution",
+    "q9_product_profit",
+    # join shapes (round-12: the as-of slot goes to the null-safe
+    # LEFT SEMI and the Heaps-curve slot to the LATERAL top-2 — both
+    # never driver-graded; asof/vocab_growth stay in the full sweep,
+    # salted-skew + q13/q9 keep the join family breadth)
     "join_salted_skew",
-    "join_asof_events",
-    "vocab_growth_report",  # Heaps-law vocab curve (round-9)
-    # window functions (round-11: the running ROWS-frame moving
-    # average — never driver-graded — takes the rank slot; rank stays
-    # in the sweep and the behavioral entries keep ranking kin)
+    "join_left_semi",
+    "lateral_top2_orders",
+    # window functions (round-12: percent_rank/cume_dist — never
+    # driver-graded — joins the ROWS-frame moving average)
     "window_moving_avg",
-    "search_phrase_topk",  # positional-index phrase retrieval (round-9)
-    # timeseries / behavioral analytics (round-5)
-    "funnel_stages_events",
-    "incremental_oov_report",  # trigram OOV drift gauge (round-9)
-    # set ops (round-11: the ALL-bag variant — never driver-graded —
-    # takes the distinct-intersect slot; intersect stays in the sweep)
+    "window_percent_rank",
+    # CDC / SCD family (round-12, judge order #1: the only
+    # §2c-adjacent family with zero driver-graded rows ever — takes
+    # the behavioral/text-drift slots; funnel_stages_events,
+    # incremental_oov_report, and search_phrase_topk stay hash-gated
+    # in the full sweep with udtf_ngram_analyze as ngram kin)
+    "scd2_event_intervals",
+    "cdc_latest_snapshot",
+    "merge_upsert_orders",
+    # set ops (round-12: UNION distinct — never driver-graded — joins
+    # the ALL-bag EXCEPT)
     "setop_except_all",
-    # sorts / limits (round-11: topk_orders' TakeOrderedAndProject —
-    # never driver-graded — takes the multisort slot)
+    "setop_union_distinct",
+    # sorts / limits (round-12: NULLS FIRST/LAST ordering — never
+    # driver-graded — joins the TakeOrderedAndProject top-k)
     "topk_orders",
-    # grouping sets + subqueries (round-11: cube + grouping_id and the
-    # null-aware NOT IN — never driver-graded — take the family slots;
-    # grouping_sets and the correlated EXISTS stay in the sweep)
+    "sort_nulls_ordering",
+    # grouping sets + subqueries
     "cube_grouping_id",
     "not_in_subquery_customers",
-    # scalar function families + typed surfaces (variant/decimal/interval, r6)
-    "array_funcs_embeddings",
+    # scalar function families + typed surfaces (round-12:
+    # array_funcs' slot goes to the never-graded stats pair below;
+    # variant_props keeps the scalar-family slot, q1_pricing_decimal
+    # the decimal tier)
     "variant_props_events",
     "q1_pricing_decimal",
-    "interval_ship_latency",
-    # statistics / sketches (variance rotated out round-9 second wave;
-    # the moments recipe stays gated in the full sweep)
-    "streaming_cms_hitters",  # live-stream Count-Min state (round-9)
+    # statistics (round-12: PIVOT daily matrix + exact-median by
+    # priority — never driver-graded — take the CMS/interval slots;
+    # streaming keeps three live reps below and the sketch family
+    # stays hash-gated in the sweep)
+    "pivot_daily_event_values",
+    "median_price_by_priority",
     # projection/filter + distinct
     "filter_project_lineitem",
     "distinct_users_per_event",
-    # sources + sinks (incl. Spark 4 Python Data Source stream + sink;
-    # round-11: schema-evolution read takes the pruned-scan slot and
-    # dynamic-partition overwrite the parquet-sink slot — both
-    # never driver-graded; the rotated-out pair stays in the sweep)
-    "csv_corrupt_records_permissive",  # PERMISSIVE corrupt-record ingest (round-6)
+    # sources + sinks (round-12: the declarative XML scan — never
+    # driver-graded — takes the corrupt-CSV slot, which stays in the
+    # sweep; schema evolution + dynamic-partition overwrite stay)
+    "xml_scan_nation",
     "schema_evolution_read",
     "sink_dynamic_partition_overwrite",
-    "pyds_stream_ticks",
     "pyds_sink_roundtrip",
-    # streaming (batch window op + live stateful)
-    "tumbling_window_events",
+    # streaming (round-12: the timeout-closing session variant — never
+    # driver-graded — takes the tumbling-window + pyds-stream slots;
+    # tumbling/pyds_stream stay in the sweep, sessions/join stay here)
+    "streaming_sessions_timeout",
     "streaming_stateful_sessions",
     "streaming_join_outer_live",  # stream-stream join matrix rep (round-6)
-    # UDF / UDTF / UDAF surface — round-11: the tokenizer BAKE-OFF
-    # envelope (runs BOTH the BPE and unigram trainings + Arrow encode
-    # passes at a matched vocab budget, then pins exact per-language
-    # word/char totals + six invariant flags) supersedes the
-    # fertility envelope, which stays hash-gated in the sweep; this is
-    # also how the never-windowed unigram family enters the window
+    # UDF / UDTF / UDAF surface (round-12: the analyze()-driven n-gram
+    # UDTF — never driver-graded — takes the word-explode slot)
     "tokenizer_bakeoff_envelope",
-    "udtf_word_explode",
+    "udtf_ngram_analyze",
     "pandas_udaf_weighted_avg",
     # LLM-pipeline families: dedup, ANN, multimodal, vectors,
-    # cleaning passes
-    "mixture_temperature_weights",  # T5/PaLM temperature mixture (round-9)
+    # cleaning passes.  Round-12 (judge order #2): the two seasoned
+    # r11 operators — DoReMi domain reweighting and quality-aware
+    # dedup survivor selection — enter the window in the slots of
+    # their own kin (mixture_temperature_weights for selection/
+    # mixture, shard_balance_report for pipeline accounting, both
+    # graded r9–r11 and staying hash-gated in the sweep)
+    "doremi_domain_weights",
     "dedup_cross_source_matrix",
-    "shard_balance_report",  # shard token-mass balance (round-9)
-    # round-11 rotation: the two envelope entries graded every round
-    # since r5 hand their slots to the two never-driver-graded dedup
-    # tiers the round-10 judge named — the winnowing fingerprint dedup
-    # and the lexical-vs-semantic agreement audit (which runs both
-    # exact pair tiers end-to-end); the envelopes stay in the sweep
+    "dedup_cluster_survivors",
     "dedup_winnow",
     "dedup_lexical_semantic_agreement",
-    "ann_pq_recall_envelope",  # PQ recall, SQL-oracle envelope (round-10)
+    # multimodal (round-12: the audio RMS-energy/zero-crossing pass —
+    # never driver-graded — joins the real-decode gate; the PQ recall
+    # envelope rotates to the sweep, ann_filtered/hard_negative/bitext
+    # keep the ANN family)
     "multimodal_decode_real",  # real BMP/PNG/JPEG decode (round-7/9)
+    "multimodal_audio_energy",
     "hard_negative_mining",  # contrastive-negative mining (round-9)
     "bitext_margin_mining",  # CCMatrix margin-based mining (round-9)
     "quality_ablation_curve",  # FineWeb-style decile ablation (round-9)
-    "ccnet_perplexity_buckets",  # CCNet head/middle/tail (round-9)
-    "nb_quality_classifier",  # closed-form NB quality scorer (round-9)
-    # round-11: integer PageRank over the dedup graph — never
-    # driver-graded — takes the recursive-reach slot (same iterative
-    # graph family; reach stays hash-gated in the sweep)
     "pagerank_dedup_graph",
     "pipeline_curate_report",  # capstone composed pipeline (round-5)
 ]

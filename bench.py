@@ -216,14 +216,26 @@ def main() -> None:
     with open(os.path.join(REPO, "docs", "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1)
     # Stage the detail artifact so the end-of-round snapshot commit
-    # carries it instead of trailing one round behind.
-    import subprocess
+    # carries it instead of trailing one round behind.  Opt-out via
+    # SPARK_GRAFT_NO_STAGE=1 for ad-hoc runs; staging is reported so a
+    # failure (or the mutation itself) is never silent.
+    if not os.environ.get("SPARK_GRAFT_NO_STAGE"):
+        import subprocess
 
-    subprocess.run(
-        ["git", "-C", REPO, "add", os.path.join(REPO, "docs", "bench_detail.json")],
-        check=False,
-        capture_output=True,
-    )
+        detail_path = os.path.join(REPO, "docs", "bench_detail.json")
+        res = subprocess.run(
+            ["git", "-C", REPO, "add", detail_path],
+            check=False,
+            capture_output=True,
+            text=True,
+        )
+        if res.returncode == 0:
+            print(f"staged {detail_path}", file=sys.stderr)
+        else:
+            print(
+                f"WARNING: git add {detail_path} failed: {res.stderr.strip()}",
+                file=sys.stderr,
+            )
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,

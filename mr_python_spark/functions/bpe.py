@@ -297,11 +297,16 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").alias("n_words"),
             F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
             F.sum("n_chars").alias("n_chars"),
-            (
-                F.sum("n_bpe_tokens").cast("double") / F.sum("n_words")
+            # when(denom > 0) pins degenerate languages to NULL, the
+            # udf-oracle mirrors with NULLIF — cross-engine agreement
+            # by construction (same guard as tokenizer_bakeoff_report)
+            F.when(
+                F.sum("n_words") > 0,
+                F.sum("n_bpe_tokens").cast("double") / F.sum("n_words"),
             ).alias("fertility"),
-            (
-                F.sum("n_chars").cast("double") / F.sum("n_bpe_tokens")
+            F.when(
+                F.sum("n_bpe_tokens") > 0,
+                F.sum("n_chars").cast("double") / F.sum("n_bpe_tokens"),
             ).alias("chars_per_token"),
         )
     )

@@ -474,6 +474,12 @@ def tokenizer_bakeoff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
+    # Degenerate-language guard: a language whose docs are all
+    # whitespace-empty has n_words = 0 (and then tokens = 0) — the
+    # ratios are pinned to NULL explicitly, mirrored by NULLIF in the
+    # udf-oracle, so both engines agree by construction instead of
+    # relying on matching divide-by-zero semantics.
+    ratio = lambda num, den: F.when(F.col(den) > 0, d(num) / d(den))  # noqa: E731
     return g.select(
         "lang",
         "n_docs",
@@ -483,12 +489,12 @@ def tokenizer_bakeoff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unigram_tokens",
         "bpe_oov_free_words",
         "unigram_oov_free_words",
-        (d("bpe_tokens") / d("n_words")).alias("bpe_fertility"),
-        (d("unigram_tokens") / d("n_words")).alias("unigram_fertility"),
-        (d("n_chars") / d("bpe_tokens")).alias("bpe_chars_per_token"),
-        (d("n_chars") / d("unigram_tokens")).alias("unigram_chars_per_token"),
-        (d("bpe_oov_free_words") / d("n_words")).alias("bpe_oov_free_rate"),
-        (d("unigram_oov_free_words") / d("n_words")).alias("unigram_oov_free_rate"),
+        ratio("bpe_tokens", "n_words").alias("bpe_fertility"),
+        ratio("unigram_tokens", "n_words").alias("unigram_fertility"),
+        ratio("n_chars", "bpe_tokens").alias("bpe_chars_per_token"),
+        ratio("n_chars", "unigram_tokens").alias("unigram_chars_per_token"),
+        ratio("bpe_oov_free_words", "n_words").alias("bpe_oov_free_rate"),
+        ratio("unigram_oov_free_words", "n_words").alias("unigram_oov_free_rate"),
     )
 
 

@@ -1091,3 +1091,44 @@ def test_cluster_survivors_from_first_principles(spark):
     assert got == exp
     # at least one cluster must exist on the fixture, else vacuous
     assert got
+
+
+def test_bakeoff_degenerate_language_null_ratios(spark, tmp_path):
+    """A language whose documents are all whitespace has n_words = 0
+    (and so 0 tokens): every ratio column must be NULL — pinned by the
+    engine's when(denom > 0) guard and mirrored by NULLIF in the
+    udf-oracle — while exact integer columns stay 0 and healthy
+    languages keep real ratios."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mr_python_spark.functions.unigram import tokenizer_bakeoff_report
+
+    texts = ["alpha beta beta gamma", "gamma gamma alpha", "   \t  \n ", " \n\t"]
+    langs = ["en", "en", "zz", "zz"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    rep = {r.lang: r for r in tokenizer_bakeoff_report(spark, str(tmp_path)).collect()}
+    zz = rep["zz"]
+    assert (zz.n_words, zz.bpe_tokens, zz.unigram_tokens) == (0, 0, 0)
+    for col in (
+        "bpe_fertility",
+        "unigram_fertility",
+        "bpe_chars_per_token",
+        "unigram_chars_per_token",
+        "bpe_oov_free_rate",
+        "unigram_oov_free_rate",
+    ):
+        assert zz[col] is None, col
+    en = rep["en"]
+    assert en.bpe_fertility is not None and en.bpe_fertility >= 1.0
+    assert en.unigram_fertility is not None and en.unigram_fertility >= 1.0

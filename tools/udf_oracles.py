@@ -1190,8 +1190,10 @@ SELECT d.lang,
        CAST(SUM(s.n_words) AS BIGINT) AS n_words,
        CAST(SUM(s.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
        CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
-       CAST(SUM(s.n_bpe_tokens) AS DOUBLE) / SUM(s.n_words) AS fertility,
-       CAST(SUM(d.n_chars) AS DOUBLE) / SUM(s.n_bpe_tokens) AS chars_per_token
+       CAST(SUM(s.n_bpe_tokens) AS DOUBLE) / NULLIF(SUM(s.n_words), 0)
+         AS fertility,
+       CAST(SUM(d.n_chars) AS DOUBLE) / NULLIF(SUM(s.n_bpe_tokens), 0)
+         AS chars_per_token
 FROM s JOIN documents d USING (doc_id)
 GROUP BY d.lang
 """
@@ -1271,17 +1273,19 @@ SELECT d.lang,
        CAST(SUM(u.uni_toks) AS BIGINT) AS unigram_tokens,
        CAST(SUM(b.bpe_cov) AS BIGINT) AS bpe_oov_free_words,
        CAST(SUM(u.uni_cov) AS BIGINT) AS unigram_oov_free_words,
-       CAST(SUM(b.bpe_toks) AS DOUBLE) / CAST(SUM(b.n_words) AS DOUBLE)
+       -- NULLIF guards mirror the engine's when(denom > 0) so both
+       -- sides pin degenerate (all-whitespace) languages to NULL
+       CAST(SUM(b.bpe_toks) AS DOUBLE) / NULLIF(CAST(SUM(b.n_words) AS DOUBLE), 0)
          AS bpe_fertility,
-       CAST(SUM(u.uni_toks) AS DOUBLE) / CAST(SUM(b.n_words) AS DOUBLE)
+       CAST(SUM(u.uni_toks) AS DOUBLE) / NULLIF(CAST(SUM(b.n_words) AS DOUBLE), 0)
          AS unigram_fertility,
-       CAST(SUM(d.n_chars) AS DOUBLE) / CAST(SUM(b.bpe_toks) AS DOUBLE)
+       CAST(SUM(d.n_chars) AS DOUBLE) / NULLIF(CAST(SUM(b.bpe_toks) AS DOUBLE), 0)
          AS bpe_chars_per_token,
-       CAST(SUM(d.n_chars) AS DOUBLE) / CAST(SUM(u.uni_toks) AS DOUBLE)
+       CAST(SUM(d.n_chars) AS DOUBLE) / NULLIF(CAST(SUM(u.uni_toks) AS DOUBLE), 0)
          AS unigram_chars_per_token,
-       CAST(SUM(b.bpe_cov) AS DOUBLE) / CAST(SUM(b.n_words) AS DOUBLE)
+       CAST(SUM(b.bpe_cov) AS DOUBLE) / NULLIF(CAST(SUM(b.n_words) AS DOUBLE), 0)
          AS bpe_oov_free_rate,
-       CAST(SUM(u.uni_cov) AS DOUBLE) / CAST(SUM(b.n_words) AS DOUBLE)
+       CAST(SUM(u.uni_cov) AS DOUBLE) / NULLIF(CAST(SUM(b.n_words) AS DOUBLE), 0)
          AS unigram_oov_free_rate
 FROM b JOIN u USING (doc_id) JOIN documents d USING (doc_id)
 GROUP BY d.lang

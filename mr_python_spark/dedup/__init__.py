@@ -1501,30 +1501,13 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducer choosing one value (tinymr.py:332-334); this is that
     contract at corpus scale with a principled quality key.
     """
-    from mr_python_spark.functions.pipeline import BALANCE_SCALE
-    from mr_python_spark.functions.text import STOPWORDS, tokens_col
+    # the shared keyed-cached quality frame (functions/pipeline.py):
+    # survivor selection and the ablation curve ride ONE tokenize +
+    # stopword scan per (session, corpus identity)
+    from mr_python_spark.functions.pipeline import quality_fp_frame
 
     clusters = dedup_clusters(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    q = (
-        docs.select("doc_id", tokens_col().alias("toks"))
-        .select(
-            "doc_id",
-            F.size("toks").cast("long").alias("nt"),
-            F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS)))
-            .cast("long")
-            .alias("ns"),
-        )
-        .filter(F.col("nt") > 0)
-        .select(
-            "doc_id",
-            F.col("nt").alias("n_tokens"),
-            F.expr(
-                f"least(nt, 100L) * (nt + ns) * {BALANCE_SCALE}L"
-                " div (200L * nt)"
-            ).alias("q_fp"),
-        )
-    )
+    q = quality_fp_frame(spark, sf_dir).select("doc_id", "n_tokens", "q_fp")
     from pyspark.sql import Window
 
     w = Window.partitionBy("cluster_id").orderBy(

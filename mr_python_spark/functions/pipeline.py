@@ -1465,6 +1465,64 @@ def incremental_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (applicationId, documents file identity) → cached per-doc quality
+#: frame; see :func:`quality_fp_frame`
+_QUALITY_FP_CACHE: dict = {}
+
+
+def _quality_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCACHED builder for :func:`quality_fp_frame` (audited as the
+    ``quality_fp_builder`` pseudo-entry in tools/explain_audit.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "text", tokens_col().alias("toks"))
+    # isin compiles to an InSet hash probe per token; array_contains
+    # against the literal array is a linear scan
+    q = toked.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("nt"),
+        F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS)))
+        .cast("long")
+        .alias("ns"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+    )
+    # dup flag from ONE window count over the hash — same values as the
+    # old groupBy(h)+join (counted over ALL docs, before the nt filter)
+    # for one corpus scan and one h-shuffle instead of two and a join
+    return (
+        q.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("nt") > 0)
+        .select(
+            "doc_id",
+            F.col("nt").alias("n_tokens"),
+            F.expr(
+                f"least(nt, 100L) * (nt + ns) * {BALANCE_SCALE}L div (200L * nt)"
+            ).alias("q_fp"),
+            (F.col("c") > 1).cast("int").alias("is_dup"),
+        )
+    )
+
+
+def quality_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, q_fp, is_dup) — THE pipeline's exact
+    fixed-point quality score (``least(nt,100)·(nt+ns)·2^20 div
+    (200·nt)``, zero-token docs dropped) plus the exact-duplicate flag
+    (text-hash multiplicity counted over ALL docs, pre-filter).
+
+    Shared keyed cache (the LM-frame pattern): the ablation curve,
+    dedup survivor selection, and any future quality consumer ride ONE
+    tokenize + stopword + dup-hash scan per (session, corpus identity)
+    instead of re-scoring the corpus per query.
+    """
+    from mr_python_spark.dedup import _keyed_df_cache
+
+    return _keyed_df_cache(
+        _QUALITY_FP_CACHE,
+        spark,
+        sf_dir,
+        lambda: _quality_fp(spark, sf_dir).cache(),
+    )
+
+
 def _ablation_oracle() -> str:
     """Oracle SQL assembled at import (embeds the LM oracle text)."""
     from mr_python_spark.functions.lm import _LM_ORACLE
@@ -1548,33 +1606,7 @@ def quality_ablation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from mr_python_spark.functions.lm import bigram_lm_perplexity
 
-    docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", "text", tokens_col().alias("toks"))
-    # isin compiles to an InSet hash probe per token; array_contains
-    # against the literal array is a linear scan
-    q = toked.select(
-        "doc_id",
-        F.size("toks").cast("long").alias("nt"),
-        F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS)))
-        .cast("long")
-        .alias("ns"),
-        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
-    )
-    # dup flag from ONE window count over the hash — same values as the
-    # old groupBy(h)+join (counted over ALL docs, before the nt filter)
-    # for one corpus scan and one h-shuffle instead of two and a join
-    keyed = (
-        q.withColumn("c", F.count("*").over(Window.partitionBy("h")))
-        .filter(F.col("nt") > 0)
-        .select(
-            "doc_id",
-            F.col("nt").alias("n_tokens"),
-            F.expr(
-                f"least(nt, 100L) * (nt + ns) * {BALANCE_SCALE}L div (200L * nt)"
-            ).alias("q_fp"),
-            (F.col("c") > 1).cast("int").alias("is_dup"),
-        )
-    )
+    keyed = quality_fp_frame(spark, sf_dir)
     # distributed exact rank over (q_fp DESC, doc_id): the per-key tie
     # order FIRST (one q_fp shuffle), then per-key counts piggyback on
     # that partitioning (no new exchange), running offsets over the

@@ -1079,6 +1079,9 @@ BITEXT_SRC_LANG = "zh"
 BITEXT_TGT_LANG = "en"
 #: target rows per grid block (same sizing rule as the cosine grid)
 BITEXT_BLOCK_ROWS = 4096
+#: (applicationId, documents file identity) -> {lang: n_docs} grid-sizing
+#: counts; same keying/eviction rule as the dedup keyed caches
+_BITEXT_SIZING_CACHE: dict[tuple, dict] = {}
 
 _BITEXT_ORACLE = f"""
 WITH j AS (
@@ -1166,6 +1169,16 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver collect, no corpus-sized broadcast.  Everything after
     the grid is id-keyed equi-joins and per-id windows over O(n·k)
     narrow integer rows, AQE-planned.
+
+    Post-grid the two directions ride ONE partitioning: rows key by
+    ``(dir, side_id)`` so a single window exchange ranks both top-k
+    sets (the grid's expensive GEMM output is exchanged once and
+    reused, where per-direction windows re-derived it per consumer),
+    the k-NN sums reuse that partitioning aggregate-side, and the
+    mutual-best check is a count-2 aggregation over the per-direction
+    argmax rows instead of a two-branch self-join — both directions'
+    margins are the same integer expression, so a pair is mined iff
+    its (src, tgt) appears as rank-1 under BOTH directions.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     langs = (
@@ -1173,35 +1186,55 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("vec_id"), "lang")
         .filter(F.col("lang").isin(BITEXT_SRC_LANG, BITEXT_TGT_LANG))
     )
-    sided = spread(emb.join(langs, "vec_id"))
-    # adaptive grid: one cheap count per side (the cosine-grid sizing
-    # rule) keeps per-cell GEMMs at a constant block size at any SF
-    n_x = sided.filter(F.col("lang") == BITEXT_SRC_LANG).count()
-    n_y = sided.filter(F.col("lang") == BITEXT_TGT_LANG).count()
+    # No spread(): the grid groupBy below re-exchanges every row anyway,
+    # so a pre-repartition is a pure extra shuffle of the vectors.
+    sided = emb.join(langs, "vec_id")
+    # adaptive grid: ONE grouped count over the NARROW documents lang
+    # column sizes both sides (the cosine-grid sizing rule).  It upper-
+    # bounds the joined side sizes (a doc without an embedding only
+    # shrinks a block), so the sizing job never touches the vectors —
+    # and it is cached per (session, file identity) like the trained
+    # models, so repeat calls skip the sizing job entirely.
+    import os as _os
+
+    path = _os.path.realpath(_os.path.join(sf_dir, "documents.parquet"))
+    ckey = (spark.sparkContext.applicationId, path, _os.stat(path).st_mtime_ns)
+    if ckey not in _BITEXT_SIZING_CACHE:
+        for stale in [c for c in _BITEXT_SIZING_CACHE if c[:2] == ckey[:2]]:
+            _BITEXT_SIZING_CACHE.pop(stale)
+        _BITEXT_SIZING_CACHE[ckey] = dict(langs.groupBy("lang").count().collect())
+    side_n = _BITEXT_SIZING_CACHE[ckey]
+    n_x = int(side_n.get(BITEXT_SRC_LANG, 0))
+    n_y = int(side_n.get(BITEXT_TGT_LANG, 0))
     import math as _math
 
     px = max(2, _math.ceil(n_x / BITEXT_BLOCK_ROWS))
     py = max(2, _math.ceil(n_y / BITEXT_BLOCK_ROWS))
 
     # X rows shard by id into their own block and replicate across the
-    # Py columns; Y rows the transpose (explode is a generator, so each
-    # side gets its own projection and the union feeds the grid)
+    # Py columns; Y rows the transpose.  ONE pass builds both sides: a
+    # conditional cell array + a single explode, so the scan⋈langs join
+    # executes once instead of once per side (the old two-branch union
+    # ran the join twice).
     is_src = F.col("lang") == BITEXT_SRC_LANG
-    xs_cells = sided.filter(is_src).select(
+    cell_arr = F.when(
+        is_src,
+        F.expr(
+            f"transform(sequence(0, {py - 1}), "
+            f"j -> struct(CAST(pmod(vec_id, {px}) AS INT) AS ci, CAST(j AS INT) AS cj))"
+        ),
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(0, {px - 1}), "
+            f"i -> struct(CAST(i AS INT) AS ci, CAST(pmod(vec_id, {py}) AS INT) AS cj))"
+        )
+    )
+    cells = sided.select(
         "vec_id",
         "embedding",
-        F.lit(1).alias("is_src"),
-        F.pmod("vec_id", F.lit(px)).cast("int").alias("ci"),
-        F.explode(F.sequence(F.lit(0), F.lit(py - 1))).alias("cj"),
-    )
-    ys_cells = sided.filter(~is_src).select(
-        "vec_id",
-        "embedding",
-        F.lit(0).alias("is_src"),
-        F.explode(F.sequence(F.lit(0), F.lit(px - 1))).alias("ci"),
-        F.pmod("vec_id", F.lit(py)).cast("int").alias("cj"),
-    )
-    cells = xs_cells.unionByName(ys_cells)
+        is_src.cast("int").alias("is_src"),
+        F.explode(cell_arr).alias("cell"),
+    ).select("vec_id", "embedding", "is_src", "cell.ci", "cell.cj")
 
     schema = T.StructType(
         [
@@ -1262,60 +1295,48 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     partial = cells.groupBy("ci", "cj").applyInPandas(cell_partials, schema)
 
-    wf = Window.partitionBy("src_id").orderBy(F.desc("cos_q"), F.asc("tgt_id"))
-    fwd = (
-        partial.filter(F.col("dir") == 0)
-        .withColumn("r", F.row_number().over(wf))
-        .filter(F.col("r") <= k)
-        .select("src_id", "tgt_id", "cos_q")
-    )
-    wb = Window.partitionBy("tgt_id").orderBy(F.desc("cos_q"), F.asc("src_id"))
-    bwd = (
-        partial.filter(F.col("dir") == 1)
-        .withColumn("r", F.row_number().over(wb))
-        .filter(F.col("r") <= k)
-        .select("src_id", "tgt_id", "cos_q")
-    )
-    sx = fwd.groupBy("src_id").agg(F.sum("cos_q").alias("sxs"))
-    sy = bwd.groupBy("tgt_id").agg(F.sum("cos_q").alias("sys"))
-
-    fmarg = (
-        fwd.join(sx, "src_id")
-        .join(sy, "tgt_id")
-        .select(
-            "src_id",
-            "tgt_id",
-            "cos_q",
-            (F.lit(2 * k) * F.col("cos_q") - F.col("sxs") - F.col("sys")).alias(
-                "margin_fp"
-            ),
+    # Post-grid, both directions rank under ONE (dir, key) partitioning:
+    # dir 0 keys by src_id / tie-breaks by tgt_id, dir 1 the transpose.
+    # One exchange of the grid output serves both top-k windows, the
+    # per-key k-NN sums reuse that partitioning aggregate-side, the
+    # margin is the same integer expression either direction, and the
+    # mutual-best check is a count-2 aggregation over the per-direction
+    # rank-1 rows (a pair is mined iff it is rank-1 under BOTH
+    # directions) instead of a two-branch self-join.  Expressed as one
+    # SQL statement over the grid frame: identical Catalyst plan to the
+    # DataFrame chain, but one parse instead of dozens of driver-side
+    # expression round-trips — this query is rebuilt per run in
+    # benchmarks and notebooks, so plan-construction time is real.
+    return spark.sql(
+        f"""
+        WITH keyed AS (
+          SELECT dir, src_id, tgt_id, cos_q,
+                 IF(dir = 0, src_id, tgt_id) AS key,
+                 IF(dir = 0, tgt_id, src_id) AS other
+          FROM {{partial}}
+        ), top AS (
+          SELECT dir, key, src_id, tgt_id, cos_q, other FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY dir, key ORDER BY cos_q DESC, other ASC) AS r
+            FROM keyed) WHERE r <= {k}
+        ), sums AS (
+          SELECT dir, key, SUM(cos_q) AS s FROM top GROUP BY dir, key
+        ), marg AS (
+          SELECT t.dir, t.key, t.src_id, t.tgt_id, t.cos_q, t.other,
+                 {2 * k} * t.cos_q - sx.s - sy.s AS margin_fp
+          FROM top t
+          JOIN (SELECT key AS src_id, s FROM sums WHERE dir = 0) sx USING (src_id)
+          JOIN (SELECT key AS tgt_id, s FROM sums WHERE dir = 1) sy USING (tgt_id)
+        ), best AS (
+          SELECT src_id, tgt_id, cos_q, margin_fp FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY dir, key ORDER BY margin_fp DESC, other ASC) AS rn
+            FROM marg) WHERE rn = 1
         )
-    )
-    wfb = Window.partitionBy("src_id").orderBy(F.desc("margin_fp"), F.asc("tgt_id"))
-    fbest = (
-        fmarg.withColumn("rn", F.row_number().over(wfb))
-        .filter(F.col("rn") == 1)
-        .select("src_id", "tgt_id", "cos_q", "margin_fp")
-    )
-    bmarg = (
-        bwd.join(sx, "src_id")
-        .join(sy, "tgt_id")
-        .select(
-            "src_id",
-            "tgt_id",
-            (F.lit(2 * k) * F.col("cos_q") - F.col("sxs") - F.col("sys")).alias(
-                "margin_fp"
-            ),
-        )
-    )
-    wbb = Window.partitionBy("tgt_id").orderBy(F.desc("margin_fp"), F.asc("src_id"))
-    bbest = (
-        bmarg.withColumn("rn", F.row_number().over(wbb))
-        .filter(F.col("rn") == 1)
-        .select("src_id", "tgt_id")
-    )
-    return (
-        fbest.join(bbest, ["src_id", "tgt_id"])
-        .filter(F.col("margin_fp") >= BITEXT_MARGIN_MIN)
-        .select("src_id", "tgt_id", F.col("cos_q").alias("cos_fp"), "margin_fp")
+        SELECT src_id, tgt_id,
+               MAX(cos_q) AS cos_fp, MAX(margin_fp) AS margin_fp
+        FROM best GROUP BY src_id, tgt_id
+        HAVING COUNT(*) = 2 AND MAX(margin_fp) >= {BITEXT_MARGIN_MIN}
+        """,
+        partial=partial,
     )

@@ -624,6 +624,9 @@ AUDITS: dict[str, dict] = {
         must=[r"Window", r"HashAggregate|SortAggregate", r"partial_"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         hinted_broadcasts=0,  # LM frame is a cached leaf; see builder entry
+        # both global-total windows sit above the |sources|-row
+        # aggregate — bounded single partitions, never corpus rows
+        unpartitioned_windows=["agg:source", "agg:source"],
     ),
     # bake-off: TWO Arrow encode passes (budgeted models by closure),
     # doc_id equi-joins of narrow int frames, |langs|-row aggregate
@@ -725,6 +728,9 @@ AUDITS: dict[str, dict] = {
     "encode_tokens_to_ids": dict(
         must=[r"TakeOrderedAndProject", r"partial_"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        # the id-assignment window runs over the top-VOCAB_SIZE LIMIT
+        # frame — bounded by a literal, never corpus rows
+        unpartitioned_windows=["limit"],
     ),
     # pure function of doc_id: scan + one map-side-combined aggregate
     "split_train_val_test": dict(
@@ -1025,12 +1031,23 @@ AUDITS: dict[str, dict] = {
         # construction) is hinted back onto the ranked rows; the LM
         # frame stays a cached leaf — see the builder entry
         hinted_broadcasts=1,
+        # the offsets window (running offset + grand total in one
+        # WindowExec) sits above the distinct-q_fp aggregate —
+        # bounded by construction, never corpus rows
+        unpartitioned_windows=["agg:q_fp"],
     ),
     # UNCACHED LM builder frame: the keyed cache makes every consumer
     # plan an InMemoryTableScan leaf (hints invisible to the policy
     # walk, by design — order-independence), so the broadcast policy
     # for the LM's two sample-bounded model tables is asserted on the
     # builder itself via FRAME_BUILDERS
+    # UNCACHED quality-frame builder (consumers plan it as a cached
+    # leaf): one scan, the dup-hash window count, no joins anywhere
+    "quality_fp_builder": dict(
+        must=[r"Window", r"PushedFilters|Scan parquet"],
+        must_not=[r"CartesianProduct", r"Join"],
+        hinted_broadcasts=0,
+    ),
     "lm_scored_builder": dict(
         must=[r"BroadcastHashJoin", r"partial_"],
         must_not=[r"CartesianProduct", r"SortMergeJoin"],
@@ -1051,10 +1068,20 @@ def _lm_scored_builder(spark, sf_dir):
     return lm._lm_scored(spark, sf_dir)
 
 
+def _quality_fp_builder(spark, sf_dir):
+    # same eviction rule as the LM builder (see above)
+    from mr_python_spark.functions import pipeline
+
+    for k in list(pipeline._QUALITY_FP_CACHE):
+        pipeline._QUALITY_FP_CACHE.pop(k).unpersist()
+    return pipeline._quality_fp(spark, sf_dir)
+
+
 #: pseudo-entries auditing UNCACHED builder frames that registry
 #: queries only ever consume through a keyed cache
 FRAME_BUILDERS = {
     "lm_scored_builder": _lm_scored_builder,
+    "quality_fp_builder": _quality_fp_builder,
 }
 
 
@@ -1090,6 +1117,64 @@ def count_broadcast_exchanges(df) -> int:
     return walk(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
 
 
+def unpartitioned_window_bounds(df) -> list[str]:
+    """Describe what bounds each unpartitioned WindowExec's input.
+
+    An unpartitioned window is single-partition by definition — fine
+    ONLY when its input frame is bounded by construction.  For every
+    ``WindowExec`` with an empty partitionSpec this returns what caps
+    the rows flowing into it, found by walking its subtree:
+
+    * ``"limit"`` — an explicit LIMIT / top-k below (≤ literal rows)
+    * ``"agg:<cols>"`` — a grouped aggregate below (≤ |distinct keys|)
+    * ``"UNBOUNDED"`` — nothing caps it: a corpus-scaling single
+      partition, which must fail the audit.
+
+    Specs opt in via ``unpartitioned_windows=[...]`` (exact list,
+    order of appearance); specs without the key are not checked.
+    """
+
+    def unwrap(node):
+        name = node.getClass().getSimpleName()
+        if name.startswith("AdaptiveSparkPlanExec"):
+            return unwrap(node.executedPlan())
+        if name.endswith("QueryStageExec"):
+            return unwrap(node.plan())
+        return node
+
+    def bound_below(node):
+        node = unwrap(node)
+        name = node.getClass().getSimpleName()
+        if name.startswith(
+            ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit", "LocalLimit")
+        ):
+            return "limit"
+        if name.startswith(("HashAggregate", "ObjectHashAggregate", "SortAggregate")):
+            keys = node.groupingExpressions().mkString(",")
+            cols = sorted(set(re.findall(r"(\w+)#\d+", keys)))
+            return "agg:" + ",".join(cols)
+        children = node.children()
+        for i in range(children.size()):
+            b = bound_below(children.apply(i))
+            if b:
+                return b
+        return None
+
+    found: list[str] = []
+
+    def walk(node):
+        node = unwrap(node)
+        name = node.getClass().getSimpleName()
+        if name == "WindowExec" and node.partitionSpec().isEmpty():
+            found.append(bound_below(node) or "UNBOUNDED")
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    return found
+
+
 def main(argv: list[str]) -> int:
     verbose = "-v" in argv
     names = [a for a in argv if not a.startswith("-")] or sorted(AUDITS)
@@ -1112,6 +1197,13 @@ def main(argv: list[str]) -> int:
         for pat in spec.get("must_not", []):
             if re.search(pat, plan):
                 problems.append(f"forbidden /{pat}/ present")
+        expected_upw = spec.get("unpartitioned_windows")
+        if expected_upw is not None:
+            got_upw = unpartitioned_window_bounds(fn(spark, SF_DIR))
+            if got_upw != expected_upw:
+                problems.append(
+                    f"unpartitioned windows: expected {expected_upw}, got {got_upw}"
+                )
         expected_hints = spec.get("hinted_broadcasts")
         if expected_hints is not None:
             # disable stats-based broadcasting: any BroadcastExchange

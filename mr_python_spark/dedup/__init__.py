@@ -1291,8 +1291,17 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = (a < b_) & canonical
         return pd.DataFrame({"vec_a": a[keep], "vec_b": b_[keep]})
 
+    # Bucket verification is CPU-bound (one GEMM per bucket) on NARROW
+    # rows: size-based AQE coalescing (session default) would fold the
+    # byte-tiny bucket shuffle into a couple of partitions and
+    # serialize the GEMMs.  An explicit keyed repartition pins the
+    # stage at full parallelism — AQE never coalesces a user-specified
+    # partition count, and it satisfies the groupBy's clustering so no
+    # second exchange is added.
+    par = spark.sparkContext.defaultParallelism
     return (
-        bands.groupBy("band", "bval")
+        bands.repartition(par, "band", "bval")
+        .groupBy("band", "bval")
         .applyInPandas(bucket_verify, pair_schema)
         .distinct()
     )

@@ -1515,11 +1515,14 @@ def quality_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from mr_python_spark.dedup import _keyed_df_cache
 
+    # cached pre-partitioned on q_fp: the ablation curve's rank window
+    # (the dominant consumer) then reads a co-partitioned cache with no
+    # exchange; one extra build-time shuffle, amortized across the run
     return _keyed_df_cache(
         _QUALITY_FP_CACHE,
         spark,
         sf_dir,
-        lambda: _quality_fp(spark, sf_dir).cache(),
+        lambda: _quality_fp(spark, sf_dir).repartition("q_fp").cache(),
     )
 
 

@@ -930,3 +930,194 @@ def streaming_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cms_estimate"), "user_id")
         .limit(12)
     )
+
+
+_CDC_APPLY_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders
+), changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(round(o_totalprice * 110, 0) AS BIGINT) / 100.0 AS o_totalprice,
+         'U' AS op, 1 AS seq
+  FROM base WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM base), o_custkey, 'N',
+         o_totalprice, 'I', 2
+  FROM base WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(round(o_totalprice * 120, 0) AS BIGINT) / 100.0, 'U', 2
+  FROM base WHERE o_orderkey % 20 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, NULL, 'D', 3
+  FROM base WHERE o_orderkey % 13 = 0
+), log AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'U' AS op, 0 AS seq
+  FROM base
+  UNION ALL
+  SELECT * FROM changes
+), latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+    FROM log) WHERE rn = 1
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM latest WHERE op <> 'D'
+"""
+
+
+@register("streaming_cdc_apply", _CDC_APPLY_ORACLE)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE CDC apply: an ordered change stream merged onto a base
+    snapshot through ``foreachBatch`` — the streaming half of the CDC
+    family (``merge_upsert_orders`` is the single-batch MERGE; this is
+    the continuous Debezium/Kafka-feed shape every lakehouse ingest
+    runs).
+
+    The change log (sequenced U/I/D records derived deterministically
+    from ``orders``, staged as one parquet chunk per sequence tier and
+    streamed with ``maxFilesPerTrigger=1`` so the merge provably spans
+    three micro-batches) applies onto a seeded snapshot version by
+    version: each batch keeps its per-key max-``seq`` record, merges
+    it against version b−1 by per-key max-``seq`` again, and writes
+    version b.  Deletes are retained as TOMBSTONES while the stream
+    runs — a delete at seq 3 must beat an update at seq 2 that arrives
+    in a LATER micro-batch, so a CDC apply that drops deletes eagerly
+    is order-dependent and wrong; tombstones make the merge a
+    commutative per-key argmax and the final snapshot independent of
+    how the file source batches the log.  They are filtered only at
+    read time.  Versioned outputs keep restarts effectively-once (a
+    replayed batch rewrites exactly its own version — the
+    ``streaming_incremental_mv`` recipe).
+
+    Work per trigger is O(batch + snapshot), like the incremental MV;
+    a production deployment on a table format partition-prunes the
+    rewrite to touched partitions and compacts tombstones on a
+    schedule.  The final snapshot equals the batch oracle (base ∪ log,
+    per-key max-seq, tombstones dropped) bit-for-bit.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mr_python_spark.session import ensure_session
+
+    ensure_session(spark)
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    stage_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"mrps_cdc_log_{os.path.basename(sf_dir)}_{st.st_size:x}_{st.st_mtime_ns:x}",
+    )
+    if not os.path.isdir(stage_dir):
+        tmp = stage_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        t = (
+            pq.read_table(
+                src,
+                columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+            )
+            .to_pandas()
+            .sort_values("o_orderkey", ignore_index=True)
+        )
+        max_key = int(t["o_orderkey"].max())
+        # np.floor(x + 0.5) == Spark's HALF_UP round == DuckDB round(x, 0)
+        # for positive cents — the merge_upsert_orders price idiom
+        cents = lambda p, f: np.floor(p * f + 0.5).astype("int64") / 100.0  # noqa: E731
+
+        def chunk(df, op, seq):
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+                    "o_custkey": pa.array(df["o_custkey"], type=pa.int64()),
+                    "o_orderstatus": pa.array(df["o_orderstatus"], type=pa.string()),
+                    "o_totalprice": pa.array(df["o_totalprice"], type=pa.float64()),
+                    "op": pa.array([op] * len(df), type=pa.string()),
+                    "seq": pa.array([seq] * len(df), type=pa.int32()),
+                }
+            )
+
+        u1 = t[t["o_orderkey"] % 10 == 0].assign(
+            o_totalprice=lambda d: cents(d["o_totalprice"], 110)
+        )
+        ins = t[t["o_orderkey"] % 97 == 0].assign(
+            o_orderkey=lambda d: d["o_orderkey"] + max_key, o_orderstatus="N"
+        )
+        u2 = t[t["o_orderkey"] % 20 == 0].assign(
+            o_totalprice=lambda d: cents(d["o_totalprice"], 120)
+        )
+        dl = t[t["o_orderkey"] % 13 == 0].assign(
+            o_custkey=None, o_orderstatus=None, o_totalprice=None
+        )
+        pq.write_table(chunk(u1, "U", 1), f"{tmp}/log0.parquet")
+        pq.write_table(
+            pa.concat_tables([chunk(ins, "I", 2), chunk(u2, "U", 2)]),
+            f"{tmp}/log1.parquet",
+        )
+        pq.write_table(chunk(dl, "D", 3), f"{tmp}/log2.parquet")
+        os.rename(tmp, stage_dir)
+
+    schema = spark.read.parquet(os.path.join(stage_dir, "log0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+
+    snap_root = os.path.join(tempfile.gettempdir(), f"mrps_cdc_{uuid.uuid4().hex[:8]}")
+    os.makedirs(snap_root)
+    # seed: the base snapshot as seq-0 upserts — the CDC log then fully
+    # determines every later version
+    seed = os.path.join(snap_root, "seed")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.lit("U").alias("op"),
+        F.lit(0).cast("int").alias("seq"),
+    ).write.mode("overwrite").parquet(seed)
+
+    from pyspark.sql import Window
+
+    def latest_per_key(df):
+        w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+        return df.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        ).drop("rn")
+
+    def merge(batch_df, batch_id: int):
+        prev = os.path.join(snap_root, f"v{batch_id - 1}")
+        if not (batch_id > 0 and os.path.isdir(prev)):
+            prev = seed
+        merged = latest_per_key(
+            batch_df.sparkSession.read.parquet(prev).unionByName(
+                latest_per_key(batch_df)
+            )
+        )
+        merged.write.mode("overwrite").parquet(os.path.join(snap_root, f"v{batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(snap_root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise RuntimeError("streaming_cdc_apply did not finish in 180s")
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(snap_root) if d.startswith("v") and d != "_ckpt"
+    )
+    final = spark.read.parquet(os.path.join(snap_root, f"v{versions[-1]}"))
+    return final.filter(F.col("op") != "D").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )

@@ -292,3 +292,55 @@ def test_tick_stream_reader_replay_contract():
         r.readBetweenOffsets({"i": TICKS_PER_BATCH}, {"i": 2 * TICKS_PER_BATCH})
     )
     assert replay == seen[TICKS_PER_BATCH : 2 * TICKS_PER_BATCH]
+
+
+def test_streaming_cdc_apply_matches_pure_python_log_fold(spark):
+    """The multi-batch foreachBatch CDC merge must equal a sequential
+    in-memory fold of the full change log (base as seq-0, per-key
+    max-seq wins, deletes tombstone): exercises update-override
+    (%20 beats %10), insert, delete-beats-earlier-update (%130 keys),
+    and untouched rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mr_python_spark.streaming import streaming_cdc_apply
+
+    t = pq.read_table(
+        os.path.join(SF, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    ).to_pandas()
+    max_key = int(t["o_orderkey"].max())
+    cents = lambda p, f: float(np.floor(p * f + 0.5)) / 100.0  # noqa: E731
+
+    snap: dict[int, tuple] = {}
+    log: list[tuple[int, int, tuple | None]] = []  # (seq, key, row or None=delete)
+    for r in t.itertuples(index=False):
+        log.append((0, r.o_orderkey, (r.o_custkey, r.o_orderstatus, float(r.o_totalprice))))
+        if r.o_orderkey % 10 == 0:
+            log.append((1, r.o_orderkey, (r.o_custkey, r.o_orderstatus, cents(r.o_totalprice, 110))))
+        if r.o_orderkey % 97 == 0:
+            log.append((2, r.o_orderkey + max_key, (r.o_custkey, "N", float(r.o_totalprice))))
+        if r.o_orderkey % 20 == 0:
+            log.append((2, r.o_orderkey, (r.o_custkey, r.o_orderstatus, cents(r.o_totalprice, 120))))
+        if r.o_orderkey % 13 == 0:
+            log.append((3, r.o_orderkey, None))
+    best: dict[int, tuple[int, tuple | None]] = {}
+    for seq, key, row in log:
+        if key not in best or seq > best[key][0]:
+            best[key] = (seq, row)
+    snap = {k: row for k, (_, row) in best.items() if row is not None}
+
+    got = {
+        r.o_orderkey: (r.o_custkey, r.o_orderstatus, r.o_totalprice)
+        for r in streaming_cdc_apply(spark, SF).collect()
+    }
+    assert got == snap
+    # the scenario must actually exercise every CDC shape, else vacuous
+    assert any(k > max_key for k in snap)  # inserts landed
+    # delete-beats-earlier-update: every %13 base key is gone
+    assert all(k % 13 != 0 for k in got if k <= max_key)
+    # override: %20 keys carry the 1.2x price, not the 1.1x one
+    for r in t.itertuples(index=False):
+        if r.o_orderkey % 20 == 0 and r.o_orderkey % 13 != 0:
+            assert got[r.o_orderkey][2] == cents(r.o_totalprice, 120)
+            break

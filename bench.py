@@ -94,6 +94,13 @@ HEADLINE = [
     # so its timing shows the second-encode marginal cost, the models
     # coming from the shared trained caches)
     "tokenizer_bakeoff_report",
+    # round-12: the CDC family enters the driver window this round and
+    # had never been benched — SCD2 intervalization (one key shuffle +
+    # lead window), latest-snapshot compaction (per-key argmax), and
+    # the full-outer MERGE upsert
+    "scd2_event_intervals",
+    "cdc_latest_snapshot",
+    "merge_upsert_orders",
 ]
 
 

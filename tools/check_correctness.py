@@ -138,6 +138,24 @@ def main(argv: list[str]) -> int:
         records[name] = rec
         try:
             sdf = fn(spark, SF_DIR)
+            # registry-wide single-partition guard: an unpartitioned
+            # WindowExec is allowed only when something below it bounds
+            # the frame (LIMIT / grouped agg — see explain_audit's
+            # unpartitioned_window_bounds); a corpus-scaling one fails
+            # the sweep even if the values still match at this SF
+            try:
+                from explain_audit import unpartitioned_window_bounds
+
+                unbounded = [
+                    b for b in unpartitioned_window_bounds(sdf) if b == "UNBOUNDED"
+                ]
+            except Exception:
+                unbounded = []  # plan-walk never blocks the value gate
+            if unbounded:
+                print(f"FAIL  {name}: {len(unbounded)} UNBOUNDED single-partition window(s)")
+                rec["err"] = "unbounded single-partition window"
+                n_fail += 1
+                continue
             spark_pdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark query raised")

@@ -1003,6 +1003,9 @@ AUDITS: dict[str, dict] = {
         must=[r"partial_", r"HashAggregate", r"Window"],
         must_not=[r"CartesianProduct", r"explode\("],
         hinted_broadcasts=0,
+        # the grand-total window rides the |shards|-row aggregate
+        # (N_SHARDS is a constant) — bounded, never corpus rows
+        unpartitioned_windows=["agg:shard"],
     ),
     # OOV drift: corpus trigrams collapse to a DISTINCT type set below
     # the join (aggregate-below-join); vocabulary-keyed join left to
@@ -1189,7 +1192,8 @@ def main(argv: list[str]) -> int:
     for name in names:
         spec = AUDITS[name]
         fn = FRAME_BUILDERS.get(name) or qs[name]
-        plan = formatted_plan(fn(spark, SF_DIR))
+        df = fn(spark, SF_DIR)
+        plan = formatted_plan(df)
         problems = []
         for pat in spec.get("must", []):
             if not re.search(pat, plan):
@@ -1197,13 +1201,17 @@ def main(argv: list[str]) -> int:
         for pat in spec.get("must_not", []):
             if re.search(pat, plan):
                 problems.append(f"forbidden /{pat}/ present")
-        expected_upw = spec.get("unpartitioned_windows")
-        if expected_upw is not None:
-            got_upw = unpartitioned_window_bounds(fn(spark, SF_DIR))
-            if got_upw != expected_upw:
-                problems.append(
-                    f"unpartitioned windows: expected {expected_upw}, got {got_upw}"
-                )
+        # default-deny: every audited plan is checked for unpartitioned
+        # WindowExecs.  A spec lists its expected bounds explicitly
+        # (["limit"] / ["agg:<keys>"], order of appearance) — absent
+        # the key, the expectation is NONE, so an accidental
+        # corpus-wide single-partition window anywhere fails the audit.
+        expected_upw = spec.get("unpartitioned_windows", [])
+        got_upw = unpartitioned_window_bounds(df)
+        if got_upw != expected_upw:
+            problems.append(
+                f"unpartitioned windows: expected {expected_upw}, got {got_upw}"
+            )
         expected_hints = spec.get("hinted_broadcasts")
         if expected_hints is not None:
             # disable stats-based broadcasting: any BroadcastExchange

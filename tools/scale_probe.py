@@ -48,6 +48,14 @@ QUERIES = [
     # semantic dedup must both stay ~linear under 10x data
     "dedup_exact_substring",
     "dedup_semantic",
+    # round-12: the restructured queries (one (dir,key) partitioning /
+    # shared q_fp-partitioned quality cache) and the CDC family must
+    # hold their shapes under 10x data
+    "bitext_margin_mining",
+    "quality_ablation_curve",
+    "scd2_event_intervals",
+    "cdc_latest_snapshot",
+    "merge_upsert_orders",
 ]
 
 

@@ -96,23 +96,18 @@ def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
 
 
 def _keyed_df_cache(cache: dict, spark: SparkSession, sf_dir: str, build) -> DataFrame:
-    """Shared keyed-cache-with-stale-eviction for corpus-derived frames.
+    """Keyed cache for PERSISTED corpus-derived frames.
 
-    Key = (applicationId, documents.parquet realpath, mtime_ns): one
-    persisted frame per (session, file identity); a regenerated dataset
-    changes the mtime and evicts the stale same-prefix entry.  One
-    implementation so the eviction rule can't drift between the
-    shingle / postings / span caches.
+    Thin wrapper over :func:`mr_python_spark.session.keyed_cache` (the
+    one implementation of the key/eviction rule) that unpersists
+    evicted frames — used by the shingle / postings / span / LM /
+    quality caches.
     """
-    import os
+    from mr_python_spark.session import keyed_cache
 
-    path = os.path.realpath(os.path.join(sf_dir, "documents.parquet"))
-    key = (spark.sparkContext.applicationId, path, os.stat(path).st_mtime_ns)
-    if key not in cache:
-        for stale in [k for k in cache if k[:2] == key[:2]]:
-            cache.pop(stale).unpersist()
-        cache[key] = build()
-    return cache[key]
+    return keyed_cache(
+        cache, spark, sf_dir, build, on_evict=lambda df: df.unpersist()
+    )
 
 
 #: (applicationId, documents.parquet realpath, mtime_ns) → cached

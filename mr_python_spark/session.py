@@ -137,12 +137,39 @@ def ensure_session(spark: SparkSession) -> None:
     _PREPARED.add(key)
 
 
-#: (applicationId, table realpath, mtime_ns) → scan DataFrame.  Building
-#: a parquet scan costs ~90 ms of driver time (footer/schema read), paid
-#: by EVERY query build; DataFrames are immutable, so the scan frame is
-#: reusable.  Same keying/eviction rule as the dedup keyed caches: a
-#: rewritten file changes mtime_ns and evicts its stale entry.
-_SCAN_CACHE: dict[tuple[str, str, int], object] = {}
+def keyed_cache(cache: dict, spark: SparkSession, sf_dir: str, build, *,
+                table: str = "documents", on_evict=None):
+    """Keyed-cache-with-stale-eviction for corpus-derived values.
+
+    Key = (applicationId, table realpath, mtime_ns): one entry per
+    (session, file identity); a regenerated dataset changes the mtime
+    and evicts the stale same-prefix entry, ``on_evict`` releasing its
+    resources (e.g. ``DataFrame.unpersist``).  THE one implementation
+    of the keying/eviction rule — the shingle/postings/LM/quality
+    frame caches (via :func:`mr_python_spark.dedup._keyed_df_cache`)
+    and the bitext sizing cache all route here so the rule can't
+    drift between copies.
+    """
+    path = os.path.realpath(os.path.join(sf_dir, f"{table}.parquet"))
+    key = (spark.sparkContext.applicationId, path, os.stat(path).st_mtime_ns)
+    if key not in cache:
+        for stale in [k for k in cache if k[:2] == key[:2]]:
+            val = cache.pop(stale)
+            if on_evict is not None:
+                on_evict(val)
+        cache[key] = build()
+    return cache[key]
+
+
+#: (applicationId, id(session), table realpath, mtime_ns) → scan
+#: DataFrame.  Building a parquet scan costs ~90 ms of driver time
+#: (footer/schema read), paid by EVERY query build; DataFrames are
+#: immutable, so the scan frame is reusable.  Keyed on the session
+#: OBJECT too (not just applicationId): ``newSession()`` siblings share
+#: an applicationId but resolve temp views / session confs separately,
+#: so a sibling must not be served another session's frames.  Entries
+#: from other/stopped sessions are evicted on insert, bounding the dict.
+_SCAN_CACHE: dict[tuple[str, int, str, int], object] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
@@ -154,11 +181,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     """
     ensure_session(spark)
     path = os.path.realpath(os.path.join(sf_dir, f"{name}.parquet"))
-    key = (spark.sparkContext.applicationId, path, os.stat(path).st_mtime_ns)
+    sess = (spark.sparkContext.applicationId, id(spark))
+    key = (*sess, path, os.stat(path).st_mtime_ns)
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
         return cached
-    for stale in [k for k in _SCAN_CACHE if k[:2] == key[:2]]:
+    for stale in [
+        k for k in _SCAN_CACHE if k[:2] != sess or (k[2] == path and k != key)
+    ]:
         del _SCAN_CACHE[stale]
     df = spark.read.parquet(path)
     if name == "events":

@@ -1195,15 +1195,14 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shrinks a block), so the sizing job never touches the vectors —
     # and it is cached per (session, file identity) like the trained
     # models, so repeat calls skip the sizing job entirely.
-    import os as _os
+    from mr_python_spark.session import keyed_cache
 
-    path = _os.path.realpath(_os.path.join(sf_dir, "documents.parquet"))
-    ckey = (spark.sparkContext.applicationId, path, _os.stat(path).st_mtime_ns)
-    if ckey not in _BITEXT_SIZING_CACHE:
-        for stale in [c for c in _BITEXT_SIZING_CACHE if c[:2] == ckey[:2]]:
-            _BITEXT_SIZING_CACHE.pop(stale)
-        _BITEXT_SIZING_CACHE[ckey] = dict(langs.groupBy("lang").count().collect())
-    side_n = _BITEXT_SIZING_CACHE[ckey]
+    side_n = keyed_cache(
+        _BITEXT_SIZING_CACHE,
+        spark,
+        sf_dir,
+        lambda: dict(langs.groupBy("lang").count().collect()),
+    )
     n_x = int(side_n.get(BITEXT_SRC_LANG, 0))
     n_y = int(side_n.get(BITEXT_TGT_LANG, 0))
     import math as _math

@@ -44,6 +44,9 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+#: one-shot flag so a broken plan-walk guard warns once, not per query
+_GUARD_WARNED = False
+
 
 def duck_connection():
     con = duckdb.connect()
@@ -149,8 +152,19 @@ def main(argv: list[str]) -> int:
                 unbounded = [
                     b for b in unpartitioned_window_bounds(sdf) if b == "UNBOUNDED"
                 ]
-            except Exception:
-                unbounded = []  # plan-walk never blocks the value gate
+            except Exception as guard_err:
+                # the plan walk never blocks the value gate, but a
+                # silent self-disable would turn default-deny into
+                # default-allow with no evidence — say it once
+                global _GUARD_WARNED
+                if not _GUARD_WARNED:
+                    _GUARD_WARNED = True
+                    print(
+                        "WARNING: single-partition window guard disabled "
+                        f"({type(guard_err).__name__}: {guard_err}) — plan "
+                        "checks skipped for this run"
+                    )
+                unbounded = []
             if unbounded:
                 print(f"FAIL  {name}: {len(unbounded)} UNBOUNDED single-partition window(s)")
                 rec["err"] = "unbounded single-partition window"

@@ -1121,20 +1121,27 @@ def count_broadcast_exchanges(df) -> int:
 
 
 def unpartitioned_window_bounds(df) -> list[str]:
-    """Describe what bounds each unpartitioned WindowExec's input.
+    """Describe what bounds each unpartitioned window operator's input.
 
     An unpartitioned window is single-partition by definition — fine
     ONLY when its input frame is bounded by construction.  For every
-    ``WindowExec`` with an empty partitionSpec this returns what caps
-    the rows flowing into it, found by walking its subtree:
+    ``WindowExec`` / ``WindowInPandasExec`` with an empty partitionSpec
+    this returns what caps the rows flowing into it, found by walking
+    its subtree:
 
-    * ``"limit"`` — an explicit LIMIT / top-k below (≤ literal rows)
+    * ``"limit"`` — an explicit GLOBAL limit / top-k below (≤ literal
+      rows; ``LocalLimit`` alone only caps rows per partition and does
+      NOT count)
     * ``"agg:<cols>"`` — a grouped aggregate below (≤ |distinct keys|)
     * ``"UNBOUNDED"`` — nothing caps it: a corpus-scaling single
       partition, which must fail the audit.
 
+    A multi-child node (join / union) is bounded only when EVERY child
+    is bounded — a bounded dim joined to a corpus scan still scales
+    with the corpus; the label reported is the first child's.
+
     Specs opt in via ``unpartitioned_windows=[...]`` (exact list,
-    order of appearance); specs without the key are not checked.
+    order of appearance); absent the key the audit expects NONE.
     """
 
     def unwrap(node):
@@ -1148,19 +1155,21 @@ def unpartitioned_window_bounds(df) -> list[str]:
     def bound_below(node):
         node = unwrap(node)
         name = node.getClass().getSimpleName()
-        if name.startswith(
-            ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit", "LocalLimit")
-        ):
+        if name.startswith(("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")):
             return "limit"
         if name.startswith(("HashAggregate", "ObjectHashAggregate", "SortAggregate")):
             keys = node.groupingExpressions().mkString(",")
             cols = sorted(set(re.findall(r"(\w+)#\d+", keys)))
             return "agg:" + ",".join(cols)
         children = node.children()
-        for i in range(children.size()):
-            b = bound_below(children.apply(i))
-            if b:
-                return b
+        n = children.size()
+        if n == 0:
+            return None
+        child_bounds = [bound_below(children.apply(i)) for i in range(n)]
+        # single child: pass through; joins/unions: ALL branches must
+        # be bounded or the combined output scales with the corpus
+        if all(child_bounds):
+            return child_bounds[0]
         return None
 
     found: list[str] = []
@@ -1168,7 +1177,7 @@ def unpartitioned_window_bounds(df) -> list[str]:
     def walk(node):
         node = unwrap(node)
         name = node.getClass().getSimpleName()
-        if name == "WindowExec" and node.partitionSpec().isEmpty():
+        if name in ("WindowExec", "WindowInPandasExec") and node.partitionSpec().isEmpty():
             found.append(bound_below(node) or "UNBOUNDED")
         children = node.children()
         for i in range(children.size()):

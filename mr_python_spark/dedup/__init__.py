@@ -1059,6 +1059,10 @@ RP_TARGET_BUCKET = 32
 #: Σ min(bucket, cap)² — the df-cap posture of dedup_ngram_jaccard.
 #: Never triggers at shipped SFs (isotropic test vectors).
 RP_BUCKET_CAP = 2048
+#: target rows per coarse verification group (band, bval mod K): keeps
+#: per-task memory constant at any corpus while amortizing the
+#: per-group applyInPandas dispatch over many buckets
+BUCKET_GROUP_ROWS = 1 << 16
 #: OR-amplification design point: per-band MULTI-PROBE collision
 #: probability at the design cosine 0.45 (the center of the fixtures'
 #: true-pair mass) is P(Hamming ≤ 1 within the band) = p0^bits +
@@ -1150,10 +1154,31 @@ def rp_band_key_frame(
         T.StructField("fval", T.IntegerType()),
     ]
     if payload:
-        fields.append(T.StructField("e", T.ArrayType(T.DoubleType())))
-    band_schema = T.StructType(fields)
+        # FLOAT payload: the parquet column is float32, so float32
+        # survives the shuffle losslessly and the verify's float64
+        # FLOAT payload: the parquet column is float32, so float32
+        # survives the shuffle losslessly and the verify's float64
+        # upcast reproduces the GEMM inputs bit-for-bit — at half the
+        # bytes of shipping pre-upcast doubles
+        fields.append(T.StructField("e", T.ArrayType(T.FloatType())))
     b = bits_per_band
     mask_ids = np.arange(b, dtype=np.int64)
+
+    # The Python pass emits ONE row per (vector, band) carrying the b
+    # masked codes as an ARRAY; the b-way replication happens JVM-side
+    # (explode, whole-stage codegen).  Emitting the replicated rows
+    # from pandas — L·b rows per vector, each an Arrow list cell — was
+    # this operator's real cost at 10× data: ~5.6M Python/Arrow object
+    # conversions per pass, swamping the trivial banding GEMM.
+    pre_fields = [
+        T.StructField("band", T.IntegerType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("fval", T.IntegerType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ]
+    if payload:
+        pre_fields.append(T.StructField("e", T.ArrayType(T.FloatType())))
+    pre_schema = T.StructType(pre_fields)
 
     def band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         proj = None
@@ -1181,7 +1206,7 @@ def rp_band_key_frame(
                 )  # (d, L·bits): band i's slot prefix, concatenated
             bits = (mat @ proj >= 0.0).astype(np.int64)
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            evec = list(mat) if payload else None
+            evec = list(mat.astype(np.float32)) if payload else None
             for band in range(n_bands):
                 chunk = bits[:, band * b : (band + 1) * b]
                 fvals = (chunk @ weights).astype(np.int32)
@@ -1189,16 +1214,20 @@ def rp_band_key_frame(
                 coded = (masked + mask_ids * RP_MASK_STRIDE).astype(np.int32)
                 cols = {
                     "band": np.int32(band),
-                    # mask-major flatten pairs with tile(ids, b)
-                    "bval": coded.T.reshape(-1),
-                    "vec_id": np.tile(ids, b),
-                    "fval": np.tile(fvals, b),
+                    "vec_id": ids,
+                    "fval": fvals,
+                    "codes": list(coded),  # row-major: one b-code array per vec
                 }
                 if payload:
-                    cols["e"] = evec * b
+                    cols["e"] = evec
                 yield pd.DataFrame(cols)
 
-    return emb.mapInPandas(band_rows, band_schema)
+    pre = emb.mapInPandas(band_rows, pre_schema)
+    out = ["band", F.col("bval"), "vec_id", "fval"] + (["e"] if payload else [])
+    return pre.select(
+        "band", "vec_id", "fval", *(["e"] if payload else []),
+        F.explode("codes").alias("bval"),
+    ).select(*out)
 
 
 @register("dedup_embedding_lsh")  # driver-tier rows-only; udf-oracle in tools/udf_oracles.py
@@ -1256,7 +1285,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # one cheap count to pick band width + count — adaptive planning
     # like AQE's stats, not a data collect
-    bits_per_band = rp_bits_per_band(base.count())
+    n = base.count()
+    bits_per_band = rp_bits_per_band(n)
     n_bands = rp_num_bands(bits_per_band)
     bands = rp_band_key_frame(spread(base), bits_per_band, n_bands)
 
@@ -1264,40 +1294,72 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         [T.StructField("vec_a", T.LongType()), T.StructField("vec_b", T.LongType())]
     )
 
-    def bucket_verify(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        # skew guard: degenerate buckets contribute O(bucket²) evals
-        # for near-zero information; drop them (never fires at
-        # shipped SFs — isotropic test vectors)
-        if m < 2 or m > RP_BUCKET_CAP:
-            return pd.DataFrame({"vec_a": [], "vec_b": []}, dtype="int64")
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        mat = np.array(list(pdf["e"]), dtype=np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)  # exact-tier float path
-        sims = mat @ mat.T
-        ai, bi = np.nonzero(sims >= 0.4)
-        a, b_ = ids[ai], ids[bi]
-        # canonical within-band emission: a Hamming-1 pair shares only
-        # the bucket whose mask is its differing bit (emitted once); a
-        # Hamming-0 pair (equal fval) shares all b masked buckets —
-        # emit it from mask 0 only.  Integer compare, no float recode.
-        fv = pdf["fval"].to_numpy(dtype=np.int64)
-        canonical = (fv[ai] != fv[bi]) | (int(key[1]) < RP_MASK_STRIDE)
-        keep = (a < b_) & canonical
-        return pd.DataFrame({"vec_a": a[keep], "vec_b": b_[keep]})
+    # Verification groups by (band, bval mod K), not (band, bval): a
+    # per-bucket applyInPandas dispatch costs ~100 µs of pandas group
+    # machinery, which at expected occupancy ~2·RP_TARGET_BUCKET means
+    # the dispatch — not the GEMMs — dominated (measured ~2/3 of the
+    # sf1 wall).  Each coarse group holds every row of the buckets
+    # that hash into it (bval maps wholly to one group), sized to
+    # ~BUCKET_GROUP_ROWS rows so per-task memory stays constant at any
+    # corpus; buckets are recovered INSIDE the group with one argsort
+    # and verified bucket-by-bucket with the identical GEMM + canonical
+    # emission rule.
+    groups = max(
+        spark.sparkContext.defaultParallelism,
+        -(-(n * bits_per_band) // BUCKET_GROUP_ROWS),
+    )
 
-    # Bucket verification is CPU-bound (one GEMM per bucket) on NARROW
-    # rows: size-based AQE coalescing (session default) would fold the
-    # byte-tiny bucket shuffle into a couple of partitions and
-    # serialize the GEMMs.  An explicit keyed repartition pins the
-    # stage at full parallelism — AQE never coalesces a user-specified
-    # partition count, and it satisfies the groupBy's clustering so no
-    # second exchange is added.
+    def group_verify(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bv = pdf["bval"].to_numpy(dtype=np.int64)
+        order = np.argsort(bv, kind="stable")
+        bv = bv[order]
+        ids_all = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        fv_all = pdf["fval"].to_numpy(dtype=np.int64)[order]
+        ev_all = pdf["e"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, bv[1:] != bv[:-1]])
+        bounds = np.r_[starts, len(bv)]
+        out_a: list = []
+        out_b: list = []
+        for s, t in zip(bounds[:-1], bounds[1:]):
+            m = int(t - s)
+            # skew guard: degenerate buckets contribute O(bucket²)
+            # evals for near-zero information; drop them (never fires
+            # at shipped SFs — isotropic test vectors)
+            if m < 2 or m > RP_BUCKET_CAP:
+                continue
+            ids = ids_all[s:t]
+            mat = np.array(list(ev_all[s:t]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)  # exact-tier float path
+            sims = mat @ mat.T
+            ai, bi = np.nonzero(sims >= 0.4)
+            a, b_ = ids[ai], ids[bi]
+            # canonical within-band emission: a Hamming-1 pair shares
+            # only the bucket whose mask is its differing bit (emitted
+            # once); a Hamming-0 pair (equal fval) shares all b masked
+            # buckets — emit it from mask 0 only.  Integer compare, no
+            # float recode.
+            fv = fv_all[s:t]
+            canonical = (fv[ai] != fv[bi]) | (int(bv[s]) < RP_MASK_STRIDE)
+            keep = (a < b_) & canonical
+            out_a.append(a[keep])
+            out_b.append(b_[keep])
+        if not out_a:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}, dtype="int64")
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b)}
+        )
+
+    # CPU-bound Python stage on narrow rows: an explicit keyed
+    # repartition pins full parallelism (size-based AQE coalescing
+    # would fold the byte-small shuffle and serialize the GEMMs); it
+    # satisfies the groupBy clustering, so no second exchange.
     par = spark.sparkContext.defaultParallelism
+    gid = F.pmod("bval", F.lit(groups)).cast("int").alias("gid")
     return (
-        bands.repartition(par, "band", "bval")
-        .groupBy("band", "bval")
-        .applyInPandas(bucket_verify, pair_schema)
+        bands.select("band", "bval", "vec_id", "fval", "e", gid)
+        .repartition(par, "band", "gid")
+        .groupBy("band", "gid")
+        .applyInPandas(group_verify, pair_schema)
         .distinct()
     )
 

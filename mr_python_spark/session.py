@@ -65,6 +65,17 @@ def get_spark(app_name: str = "mr_python_spark", cpus: int | None = None) -> Spa
         # multi-stage query produces stop paying ``shuffle.partitions``
         # tasks of scheduling latency per stage
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # the coalescing target is a per-core work quantum, so it must
+        # scale with per-executor data, not stay at the 64 MB cluster
+        # default: at local bench scales 64 MB folds mid-size CPU-bound
+        # stages (TPC-H joins, block-grid GEMMs) into one or two
+        # partitions and serializes them (measured 3-4x at sf1), while
+        # 4 MB keeps them parallel AND still collapses the byte-tiny
+        # frames whose scheduling latency the parallelismFirst=false
+        # setting exists to remove.  A 100 TB deployment ships the
+        # 64-256 MB guidance (docs/SCALE.md) — stage inputs there dwarf
+        # the advisory so coalescing never binds.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1320,6 +1320,116 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: division — same device as the mixture weights).
 BALANCE_SCALE = 1 << 20
 
+
+#: UniMax epoch cap: at most this many passes over any language (the
+#: paper's headline "UniMax-1" no-repetition setting), and the training
+#: budget as a fraction of corpus tokens (4/5 — small languages then
+#: fit fully under the cap while the largest is budget-truncated, so
+#: BOTH allocation regimes are exercised at every SF).
+UNIMAX_EPOCH_CAP = 1
+UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 4, 5
+
+_UNIMAX_SQL = """
+WITH w AS (
+  SELECT lang, n_docs, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS size_rank,
+         CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, lang
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx,
+         CAST(SUM(n_tokens) OVER () AS BIGINT) AS ntot,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM {src}
+), f AS (
+  SELECT *, (ntot * {bn}) {div} {bd} AS budget,
+         CASE WHEN {cap} * n_tokens * (m - size_rank + 1)
+                   + {cap} * (pfx - n_tokens)
+                   <= (ntot * {bn}) {div} {bd}
+              THEN size_rank END AS c_rnk,
+         CASE WHEN {cap} * n_tokens * (m - size_rank + 1)
+                   + {cap} * (pfx - n_tokens)
+                   <= (ntot * {bn}) {div} {bd}
+              THEN pfx END AS c_pfx
+  FROM w
+), t AS (
+  SELECT *, COALESCE(MAX(c_rnk) OVER (), 0) AS t_rnk,
+            COALESCE(MAX(c_pfx) OVER (), 0) AS t_pfx
+  FROM f
+), a AS (
+  SELECT *, CASE WHEN size_rank <= t_rnk THEN {cap} * n_tokens
+                 ELSE (budget - {cap} * t_pfx) {div} (m - t_rnk)
+            END AS alloc_tokens
+  FROM t
+)
+SELECT lang, n_docs, n_tokens, size_rank,
+       size_rank <= t_rnk AS epoch_capped,
+       alloc_tokens,
+       CASE WHEN n_tokens > 0
+            THEN alloc_tokens * {scale} {div} n_tokens END AS epochs_fp,
+       alloc_tokens * {scale} {div} budget AS weight_fp
+FROM a
+"""
+
+_UNIMAX_ORACLE = _UNIMAX_SQL.format(
+    src="""(
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang)""",
+    div="//",
+    cap=UNIMAX_EPOCH_CAP,
+    bn=UNIMAX_BUDGET_NUM,
+    bd=UNIMAX_BUDGET_DEN,
+    scale=BALANCE_SCALE,
+)
+
+
+@register("unimax_language_budgets", _UNIMAX_ORACLE)
+def unimax_language_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023, ICLR — the mT5/
+    umT5 corpus mixture): allocate a token budget across languages so
+    no language repeats more than ``UNIMAX_EPOCH_CAP`` epochs, the
+    leftover budget waterfilling equally over the languages the cap
+    does not bind.  Completes the selection/mixture family: temperature
+    weights rebalance by mass^α, DSIR by target similarity, DoReMi by
+    excess loss — UniMax by an explicit repetition bound, the recipe
+    that replaced temperature sampling for mT5-class multilingual
+    pretraining.
+
+    The sequential waterfilling has a closed form: process languages
+    ASCENDING by size; language i is capped iff
+    ``C·nᵢ·(m−i+1) + C·prefixᵢ₋₁ ≤ B`` (its capped allocation fits
+    under the running fair share).  That flag is monotone in i — the
+    difference between consecutive left sides is ``C·(m−i)·(nᵢ₊₁−nᵢ)
+    ≥ 0`` — so a max-flagged-rank threshold t recovers the full
+    schedule: rank ≤ t takes ``C·nᵢ`` exactly, everyone else splits
+    ``B − C·prefix_t`` evenly by integer division.  Every column is
+    exact-integer (the budget is ``4/5`` of corpus tokens by integer
+    arithmetic; epochs/weight are fixed-point divisions, zero-token
+    languages NULL-guarded on both engines), so the table hash-gates
+    value-for-value.
+
+    One corpus scan into a |langs|-row aggregate; everything after
+    rides unpartitioned windows over that BOUNDED frame (the audited
+    bounded-frame device — agg:lang under every window).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col())).alias("n_tokens"),
+    )
+    return spark.sql(
+        _UNIMAX_SQL.format(
+            src="{per_lang}",
+            div="div",
+            cap=UNIMAX_EPOCH_CAP,
+            bn=UNIMAX_BUDGET_NUM,
+            bd=UNIMAX_BUDGET_DEN,
+            scale=BALANCE_SCALE,
+        ),
+        per_lang=per_lang,
+    )
+
+
+
 _SHARD_BALANCE_ORACLE = f"""
 WITH keyed AS (
   SELECT doc_id,

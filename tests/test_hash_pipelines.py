@@ -1132,3 +1132,56 @@ def test_bakeoff_degenerate_language_null_ratios(spark, tmp_path):
     en = rep["en"]
     assert en.bpe_fertility is not None and en.bpe_fertility >= 1.0
     assert en.unigram_fertility is not None and en.unigram_fertility >= 1.0
+
+
+def test_unimax_matches_first_principles_threshold(spark):
+    """The engine's windowed allocation must equal a plain-Python
+    recomputation of the waterfilling threshold (ascending languages;
+    capped iff the capped take fits under the running fair share;
+    uncapped languages split the leftover evenly), with both regimes
+    present and the budget never exceeded."""
+    from mr_python_spark.functions.pipeline import (
+        UNIMAX_BUDGET_DEN,
+        UNIMAX_BUDGET_NUM,
+        UNIMAX_EPOCH_CAP,
+        unimax_language_budgets,
+    )
+    from mr_python_spark.functions.text import tokens_col
+    from mr_python_spark.session import load_table
+
+    import pyspark.sql.functions as F
+
+    per_lang = {
+        r.lang: r.nt
+        for r in load_table(spark, SF, "documents")
+        .groupBy("lang")
+        .agg(F.sum(F.size(tokens_col())).alias("nt"))
+        .collect()
+    }
+    order = sorted(per_lang.items(), key=lambda kv: (kv[1], kv[0]))
+    ntot = sum(per_lang.values())
+    budget = ntot * UNIMAX_BUDGET_NUM // UNIMAX_BUDGET_DEN
+    m = len(order)
+    pfx = 0
+    t_rnk, t_pfx = 0, 0
+    for i, (lang, n) in enumerate(order, start=1):
+        if UNIMAX_EPOCH_CAP * n * (m - i + 1) + UNIMAX_EPOCH_CAP * pfx <= budget:
+            t_rnk, t_pfx = i, pfx + n
+        pfx += n
+    expected = {}
+    for i, (lang, n) in enumerate(order, start=1):
+        if i <= t_rnk:
+            expected[lang] = UNIMAX_EPOCH_CAP * n
+        else:
+            expected[lang] = (budget - UNIMAX_EPOCH_CAP * t_pfx) // (m - t_rnk)
+
+    got = {
+        r.lang: (r.alloc_tokens, r.epoch_capped)
+        for r in unimax_language_budgets(spark, SF).collect()
+    }
+    for i, (lang, n) in enumerate(order, start=1):
+        assert got[lang] == (expected[lang], i <= t_rnk), lang
+    # the fixture must exercise BOTH regimes, else the test is vacuous
+    assert 0 < t_rnk < m
+    # budget conservation: allocations never exceed the budget
+    assert sum(a for a, _ in got.values()) <= budget

@@ -113,6 +113,15 @@ AUDITS: dict[str, dict] = {
     "pivot_daily_event_values": dict(
         must=[r"partial_", r"HashAggregate"], must_not=[r"CartesianProduct"]
     ),
+    # UniMax allocation: one |langs|-row aggregate; the rank/prefix/
+    # threshold windows all ride that bounded frame (three WindowExecs,
+    # every one above the lang aggregate), no joins anywhere
+    "unimax_language_budgets": dict(
+        must=[r"partial_", r"HashAggregate", r"Window"],
+        must_not=[r"CartesianProduct", r"Join"],
+        hinted_broadcasts=0,
+        unpartitioned_windows=["agg:lang", "agg:lang", "agg:lang"],
+    ),
     # ---------------- joins: star shapes + hint policy ----------------
     # hinted_broadcasts: expected BroadcastExchange count when
     # autoBroadcastJoinThreshold=-1 — i.e. ONLY the explicit hints on

@@ -1147,20 +1147,6 @@ def rp_band_key_frame(
     import pandas as pd
     from pyspark.sql import types as T
 
-    fields = [
-        T.StructField("band", T.IntegerType()),
-        T.StructField("bval", T.IntegerType()),
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("fval", T.IntegerType()),
-    ]
-    if payload:
-        # FLOAT payload: the parquet column is float32, so float32
-        # survives the shuffle losslessly and the verify's float64
-        # FLOAT payload: the parquet column is float32, so float32
-        # survives the shuffle losslessly and the verify's float64
-        # upcast reproduces the GEMM inputs bit-for-bit — at half the
-        # bytes of shipping pre-upcast doubles
-        fields.append(T.StructField("e", T.ArrayType(T.FloatType())))
     b = bits_per_band
     mask_ids = np.arange(b, dtype=np.int64)
 
@@ -1177,6 +1163,10 @@ def rp_band_key_frame(
         T.StructField("codes", T.ArrayType(T.IntegerType())),
     ]
     if payload:
+        # FLOAT payload: the parquet column is float32, so float32
+        # survives the shuffle losslessly and the verify's float64
+        # upcast reproduces the GEMM inputs bit-for-bit — at half the
+        # bytes of shipping pre-upcast doubles
         pre_fields.append(T.StructField("e", T.ArrayType(T.FloatType())))
     pre_schema = T.StructType(pre_fields)
 

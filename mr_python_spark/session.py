@@ -74,8 +74,13 @@ def get_spark(app_name: str = "mr_python_spark", cpus: int | None = None) -> Spa
         # frames whose scheduling latency the parallelismFirst=false
         # setting exists to remove.  A 100 TB deployment ships the
         # 64-256 MB guidance (docs/SCALE.md) — stage inputs there dwarf
-        # the advisory so coalescing never binds.
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        # the advisory so coalescing never binds.  Overridable via env
+        # so deployments apply that guidance without patching this
+        # factory; the 4m default is the local-bench tuning.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_SIZE", "4m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -180,6 +185,14 @@ def keyed_cache(cache: dict, spark: SparkSession, sf_dir: str, build, *,
 #: an applicationId but resolve temp views / session confs separately,
 #: so a sibling must not be served another session's frames.  Entries
 #: from other/stopped sessions are evicted on insert, bounding the dict.
+#:
+#: PINNING INVARIANT (load-bearing for the ``id(session)`` key): every
+#: cached DataFrame holds a strong reference to its SparkSession
+#: (``df.sparkSession``), so while an entry exists its session object
+#: cannot be garbage-collected and its ``id`` cannot be reused by a new
+#: session.  If this cache ever stores weaker handles (plans, paths,
+#: weakrefs), the key must switch to a per-session scoped dict or the
+#: id-reuse race silently aliases frames across sessions.
 _SCAN_CACHE: dict[tuple[str, int, str, int], object] = {}
 
 

@@ -1002,10 +1002,6 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from mr_python_spark.session import ensure_session
 
     ensure_session(spark)
@@ -1016,53 +1012,87 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"mrps_cdc_log_{os.path.basename(sf_dir)}_{st.st_size:x}_{st.st_mtime_ns:x}",
     )
     if not os.path.isdir(stage_dir):
-        tmp = stage_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp)
-        t = (
-            pq.read_table(
-                src,
-                columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
-            )
-            .to_pandas()
-            .sort_values("o_orderkey", ignore_index=True)
+        # Stage the change log DISTRIBUTIVELY: the derivation is plain
+        # filter/project over orders, so it runs as Spark jobs — no
+        # full-table driver materialization at any SF.  Each sequence
+        # tier must land as exactly ONE parquet file (the fixture
+        # contract: maxFilesPerTrigger=1 ⇒ three micro-batches), so
+        # each tier coalesces to one task — fine for change sets, and a
+        # real CDC feed arrives pre-segmented anyway.  The staging tmp
+        # is mkdtemp-unique per process (bench + sweep run concurrently
+        # in this repo; a shared fixed tmp path could persist a
+        # half-written rename), then atomically renamed into place —
+        # losing the rename race just means another process staged the
+        # identical deterministic log first.
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
         )
-        max_key = int(t["o_orderkey"].max())
-        # np.floor(x + 0.5) == Spark's HALF_UP round == DuckDB round(x, 0)
-        # for positive cents — the merge_upsert_orders price idiom
-        cents = lambda p, f: np.floor(p * f + 0.5).astype("int64") / 100.0  # noqa: E731
+        # one scalar to the driver — bounded, keyed by source identity
+        max_key = base.agg(F.max("o_orderkey")).collect()[0][0]
+        key = F.col("o_orderkey")
 
-        def chunk(df, op, seq):
-            return pa.table(
-                {
-                    "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
-                    "o_custkey": pa.array(df["o_custkey"], type=pa.int64()),
-                    "o_orderstatus": pa.array(df["o_orderstatus"], type=pa.string()),
-                    "o_totalprice": pa.array(df["o_totalprice"], type=pa.float64()),
-                    "op": pa.array([op] * len(df), type=pa.string()),
-                    "seq": pa.array([seq] * len(df), type=pa.int32()),
-                }
+        def tier(df, op: str, seq: int):
+            return df.withColumn("op", F.lit(op)).withColumn(
+                "seq", F.lit(seq).cast("int")
             )
 
-        u1 = t[t["o_orderkey"] % 10 == 0].assign(
-            o_totalprice=lambda d: cents(d["o_totalprice"], 110)
+        # F.floor(x*f + 0.5) == HALF_UP cents rounding == DuckDB
+        # round(x, 0) for positive prices — the merge_upsert_orders idiom
+        def cents(f: int):
+            return (
+                F.floor(F.col("o_totalprice") * f + F.lit(0.5)).cast("long")
+                / F.lit(100.0)
+            ).alias("o_totalprice")
+
+        u1 = tier(
+            base.filter(key % 10 == 0).withColumn("o_totalprice", cents(110)),
+            "U",
+            1,
         )
-        ins = t[t["o_orderkey"] % 97 == 0].assign(
-            o_orderkey=lambda d: d["o_orderkey"] + max_key, o_orderstatus="N"
+        ins = tier(
+            base.filter(key % 97 == 0)
+            .withColumn("o_orderkey", key + F.lit(max_key))
+            .withColumn("o_orderstatus", F.lit("N")),
+            "I",
+            2,
         )
-        u2 = t[t["o_orderkey"] % 20 == 0].assign(
-            o_totalprice=lambda d: cents(d["o_totalprice"], 120)
+        u2 = tier(
+            base.filter(key % 20 == 0).withColumn("o_totalprice", cents(120)),
+            "U",
+            2,
         )
-        dl = t[t["o_orderkey"] % 13 == 0].assign(
-            o_custkey=None, o_orderstatus=None, o_totalprice=None
+        dl = tier(
+            base.filter(key % 13 == 0).select(
+                "o_orderkey",
+                F.lit(None).cast("long").alias("o_custkey"),
+                F.lit(None).cast("string").alias("o_orderstatus"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+            ),
+            "D",
+            3,
         )
-        pq.write_table(chunk(u1, "U", 1), f"{tmp}/log0.parquet")
-        pq.write_table(
-            pa.concat_tables([chunk(ins, "I", 2), chunk(u2, "U", 2)]),
-            f"{tmp}/log1.parquet",
-        )
-        pq.write_table(chunk(dl, "D", 3), f"{tmp}/log2.parquet")
-        os.rename(tmp, stage_dir)
+        tmp = tempfile.mkdtemp(prefix="mrps_cdc_stage_")
+        try:
+            for i, log_df in enumerate([u1, ins.unionByName(u2), dl]):
+                out = os.path.join(tmp, f"t{i}")
+                log_df.coalesce(1).write.parquet(out)
+                part = next(
+                    f
+                    for f in os.listdir(out)
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                )
+                os.rename(
+                    os.path.join(out, part), os.path.join(tmp, f"log{i}.parquet")
+                )
+                shutil.rmtree(out)
+            os.rename(tmp, stage_dir)
+        except OSError:
+            if not os.path.isdir(stage_dir):  # a real failure, not a lost race
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
 
     schema = spark.read.parquet(os.path.join(stage_dir, "log0.parquet")).schema
     stream = (
@@ -1084,6 +1114,23 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mrps_cdc_snap_"
         f"{spark.sparkContext.applicationId}_{st.st_size:x}_{st.st_mtime_ns:x}",
     )
+    # best-effort cleanup: snap roots are reused only within their own
+    # session (the appId key), so roots from other apps untouched for
+    # >2h belong to finished sessions and just accumulate in /tmp.
+    # Worst case a live-but-idle session loses its root — its next call
+    # rebuilds seed+versions from scratch, which is correct, just slower.
+    try:
+        import time
+
+        cutoff = time.time() - 7200
+        me = f"mrps_cdc_snap_{spark.sparkContext.applicationId}_"
+        for d in os.listdir(tempfile.gettempdir()):
+            if d.startswith("mrps_cdc_snap_") and not d.startswith(me):
+                p = os.path.join(tempfile.gettempdir(), d)
+                if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
     os.makedirs(snap_root, exist_ok=True)
     # seed: the base snapshot as seq-0 upserts — the CDC log then fully
     # determines every later version; written once (the _SUCCESS marker

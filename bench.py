@@ -101,6 +101,14 @@ HEADLINE = [
     "scd2_event_intervals",
     "cdc_latest_snapshot",
     "merge_upsert_orders",
+    # round-13: the window first-timers with real compute — the
+    # streaming CDC apply (foreachBatch tombstone merge; best-of-3
+    # measures the warm snapshot-reuse path after run 1 builds the
+    # versions, the keyed-cache convention), the UniMax epoch-capped
+    # budget allocation, and the 8-table q8 composite
+    "streaming_cdc_apply",
+    "unimax_language_budgets",
+    "q8_market_share",
 ]
 
 
@@ -192,9 +200,28 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             pass_timings[name] = round(time.time() - t0, 3)
         runs.append(pass_timings)
-    timings = {name: min(r[name] for r in runs) for name in HEADLINE}
+    in_suite = {name: min(r[name] for r in runs) for name in HEADLINE}
 
-    total = round(sum(timings.values()), 3)
+    # ISOLATED best-of-3 (round-13, judge order #4): the in-suite
+    # passes interleave 50+ queries, so a query's three samples sit
+    # minutes apart and inherit whatever JIT/GC/OS drift accumulated in
+    # between — measured ±20% on identical code, 0.4s isolated vs up to
+    # 1.6s in-suite for dedup_ngram_jaccard.  Three CONSECUTIVE runs
+    # per query (the bench_vs_duckdb protocol) pin each query's three
+    # samples to the same instant, so a round-over-round change in THIS
+    # column is a plan/code change, not suite scheduling noise.
+    isolated: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        isolated[name] = round(best, 3)
+
+    total = round(sum(in_suite.values()), 3)
+    total_isolated = round(sum(isolated.values()), 3)
     # The driver parses the FINAL stdout line from a bounded tail
     # capture, so that line must stay compact: metric + per-query best
     # times only.  Everything bulky (per-run timings, the stored sf1
@@ -203,6 +230,12 @@ def main() -> None:
     detail = {
         "timing_mode": "best_of_3_after_untimed_sf_warm_pass",
         "runs": runs,
+        # both per-query columns live HERE: the driver's tail capture
+        # is 2000 chars and two 53-query maps (~3.4 KB) cannot fit the
+        # final line, so the line carries the isolated column + both
+        # totals and this committed file keeps the full pair.
+        "queries_in_suite": in_suite,
+        "queries_isolated": isolated,
         "sf": sf_from_dir(SF_DIR),
         "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
@@ -243,11 +276,18 @@ def main() -> None:
                 f"WARNING: git add {detail_path} failed: {res.stderr.strip()}",
                 file=sys.stderr,
             )
+    # "value" stays the in-suite total (comparable to BENCH_r≤12, whose
+    # queries column was in-suite best-of-3); the per-query map is the
+    # ISOLATED column from r13 on — the stable one a regression hunt
+    # should read — labeled via queries_col.  In-suite per-query values
+    # are in docs/bench_detail.json#queries_in_suite.
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        "value_isolated": total_isolated,
         "unit": "sec",
-        "queries": timings,
+        "queries": isolated,
+        "queries_col": "isolated_best_of_3",
         "sf": sf_from_dir(SF_DIR),
     }
     print(json.dumps(out))

@@ -88,101 +88,89 @@ ORACLES: dict[str, str] = {}
 #: the TPC-H composites), join_bloom_runtime_filter →
 #: vocab_growth_report (three join shapes remain).
 PRIORITY: list[str] = [
-    # §2a parity gate + §2b signature patterns (round-12: word_count —
-    # graded every round since r1 — hands its slot to the never-graded
-    # tf-idf term scorer; the parity gates keep the word-count family)
+    # §2a parity gates — permanent window anchors
     "parity_word_count",
     "parity_secondary_sort",
-    "tfidf_top_terms",
-    # TPC-H composites (round-12: q9 product-profit — the 6-table
-    # join+agg composite, never driver-graded — takes the slot of
-    # interval_ship_latency; q1_pricing_decimal keeps the typed tier)
+    # TPC-H composites (round-13: q8 market-share — the 8-table
+    # nation-bridged composite — and q12 priority-shipping CASE-agg,
+    # both never driver-graded, take the q9/tfidf slots; q9 and the
+    # tf-idf scorer stay hash-gated in the full sweep)
     "q1_pricing_summary",
-    "ann_filtered_topk",  # filtered ANN, predicate below the GEMM (round-9)
-    "pipeline_rekey_bands",
+    "q8_market_share",
+    "q12_priority_shipping",
     "q13_customer_distribution",
-    "q9_product_profit",
-    # join shapes (round-12: the as-of slot goes to the null-safe
-    # LEFT SEMI and the Heaps-curve slot to the LATERAL top-2 — both
-    # never driver-graded; asof/vocab_growth stay in the full sweep,
-    # salted-skew + q13/q9 keep the join family breadth)
+    "q1_pricing_decimal",
+    "ann_filtered_topk",
+    "pipeline_rekey_bands",
+    # join shapes (round-13: the broadcast-NLJ cross product and the
+    # forward as-of join — never driver-graded — take the
+    # left-semi/lateral slots; semi/lateral stay in the sweep and
+    # salted-skew keeps the skew-handling gate)
     "join_salted_skew",
-    "join_left_semi",
-    "lateral_top2_orders",
-    # window functions (round-12: percent_rank/cume_dist — never
-    # driver-graded — joins the ROWS-frame moving average)
+    "join_cross_product",
+    "join_asof_forward",
+    # window functions (round-13: NTILE decile distribution + LAG
+    # delta — never driver-graded — join the ROWS-frame moving
+    # average; percent_rank rotates to the sweep)
     "window_moving_avg",
-    "window_percent_rank",
-    # CDC / SCD family (round-12, judge order #1: the only
-    # §2c-adjacent family with zero driver-graded rows ever — takes
-    # the behavioral/text-drift slots; funnel_stages_events,
-    # incremental_oov_report, and search_phrase_topk stay hash-gated
-    # in the full sweep with udtf_ngram_analyze as ngram kin)
-    "scd2_event_intervals",
-    "cdc_latest_snapshot",
-    "merge_upsert_orders",
-    # set ops (round-12: UNION distinct — never driver-graded — joins
-    # the ALL-bag EXCEPT)
+    "window_ntile_distribution",
+    "window_lag_delta",
+    # CDC family (round-13, judge order: the STREAMING half —
+    # foreachBatch tombstone merge, seasoned in the r12 full sweeps +
+    # 3-SF gates — enters; the batch trio graded green r12 rotates to
+    # the sweep)
+    "streaming_cdc_apply",
+    # set ops (round-13: INTERSECT ALL bag semantics — never
+    # driver-graded — takes UNION-distinct's slot)
     "setop_except_all",
-    "setop_union_distinct",
-    # sorts / limits (round-12: NULLS FIRST/LAST ordering — never
-    # driver-graded — joins the TakeOrderedAndProject top-k)
+    "setop_intersect_all",
+    # sorts / limits (nulls-ordering graded r12, rotates out)
     "topk_orders",
-    "sort_nulls_ordering",
     # grouping sets + subqueries
     "cube_grouping_id",
     "not_in_subquery_customers",
-    # scalar function families + typed surfaces (round-12:
-    # array_funcs' slot goes to the never-graded stats pair below;
-    # variant_props keeps the scalar-family slot, q1_pricing_decimal
-    # the decimal tier)
+    # scalar function families + typed surfaces
     "variant_props_events",
-    "q1_pricing_decimal",
-    # statistics (round-12: PIVOT daily matrix + exact-median by
-    # priority — never driver-graded — take the CMS/interval slots;
-    # streaming keeps three live reps below and the sketch family
-    # stays hash-gated in the sweep)
-    "pivot_daily_event_values",
-    "median_price_by_priority",
+    # statistics (round-13: exact cross-moment correlation, width-
+    # bucket histogram, and the approx-quantile accuracy envelope —
+    # never driver-graded — take the PIVOT/median slots, which stay
+    # hash-gated in the sweep)
+    "corr_quantity_price",
+    "histogram_prices",
+    "approx_quantile_envelope",
     # projection/filter + distinct
     "filter_project_lineitem",
     "distinct_users_per_event",
-    # sources + sinks (round-12: the declarative XML scan — never
-    # driver-graded — takes the corrupt-CSV slot, which stays in the
-    # sweep; schema evolution + dynamic-partition overwrite stay)
-    "xml_scan_nation",
+    # sources + sinks (round-13: the Spark-4 Python DataSource batch
+    # scan — never driver-graded — takes the XML slot)
+    "pyds_calendar_scan",
     "schema_evolution_read",
     "sink_dynamic_partition_overwrite",
     "pyds_sink_roundtrip",
-    # streaming (round-12: the timeout-closing session variant — never
-    # driver-graded — takes the tumbling-window + pyds-stream slots;
-    # tumbling/pyds_stream stay in the sweep, sessions/join stay here)
-    "streaming_sessions_timeout",
+    # streaming (round-13: the incremental materialized view — never
+    # driver-graded — takes the timeout-session slot; sessions/join
+    # live reps stay)
     "streaming_stateful_sessions",
-    "streaming_join_outer_live",  # stream-stream join matrix rep (round-6)
-    # UDF / UDTF / UDAF surface (round-12: the analyze()-driven n-gram
-    # UDTF — never driver-graded — takes the word-explode slot)
+    "streaming_join_outer_live",
+    "streaming_incremental_mv",
+    # UDF / UDTF / UDAF surface (round-13: the applyInPandas grouped-
+    # map language stats — never driver-graded — takes the UDTF slot)
     "tokenizer_bakeoff_envelope",
-    "udtf_ngram_analyze",
+    "arrow_grouped_map_langstats",
     "pandas_udaf_weighted_avg",
-    # LLM-pipeline families: dedup, ANN, multimodal, vectors,
-    # cleaning passes.  Round-12 (judge order #2): the two seasoned
-    # r11 operators — DoReMi domain reweighting and quality-aware
-    # dedup survivor selection — enter the window in the slots of
-    # their own kin (mixture_temperature_weights for selection/
-    # mixture, shard_balance_report for pipeline accounting, both
-    # graded r9–r11 and staying hash-gated in the sweep)
-    "doremi_domain_weights",
+    # LLM-pipeline families (round-13: UniMax epoch-capped budgets
+    # seasons in per the judge order; the restructured RP-LSH
+    # embedding dedup, the incremental prefix dedup, and the PII
+    # scrubbing pass — all never driver-graded — take the
+    # doremi/survivors/audio slots, whose kin stay in the sweep)
+    "unimax_language_budgets",
     "dedup_cross_source_matrix",
-    "dedup_cluster_survivors",
     "dedup_winnow",
     "dedup_lexical_semantic_agreement",
-    # multimodal (round-12: the audio RMS-energy/zero-crossing pass —
-    # never driver-graded — joins the real-decode gate; the PQ recall
-    # envelope rotates to the sweep, ann_filtered/hard_negative/bitext
-    # keep the ANN family)
+    "dedup_embedding_lsh",
+    "dedup_incremental_prefix",
+    "pii_scrub_canaries",
     "multimodal_decode_real",  # real BMP/PNG/JPEG decode (round-7/9)
-    "multimodal_audio_energy",
     "hard_negative_mining",  # contrastive-negative mining (round-9)
     "bitext_margin_mining",  # CCMatrix margin-based mining (round-9)
     "quality_ablation_curve",  # FineWeb-style decile ablation (round-9)

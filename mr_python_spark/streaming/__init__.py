@@ -26,6 +26,40 @@ from mr_python_spark.registry import register
 from mr_python_spark.session import load_table
 
 
+def _stage_chunks(stage_dir: str, frames, prefix: str) -> None:
+    """Atomically publish ``frames`` as ``<prefix>{i}.parquet`` under
+    ``stage_dir``, one SINGLE parquet file per frame (the file-stream
+    fixture contract: ``maxFilesPerTrigger=1`` ⇒ one micro-batch per
+    frame).  Each frame is written by a Spark job (coalesce-to-one —
+    fine for fixture-sized chunks), so no driver materialization at
+    any SF.  The staging tmp is mkdtemp-unique per process and the
+    final ``os.rename`` is atomic: concurrent bench/sweep processes
+    either publish identical deterministic content or lose the race
+    harmlessly.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="mrps_stage_")
+    try:
+        for i, df in enumerate(frames):
+            out = os.path.join(tmp, f"t{i}")
+            df.coalesce(1).write.parquet(out)
+            part = next(
+                f
+                for f in os.listdir(out)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            os.rename(os.path.join(out, part), os.path.join(tmp, f"{prefix}{i}.parquet"))
+            shutil.rmtree(out)
+        os.rename(tmp, stage_dir)
+    except OSError:
+        if not os.path.isdir(stage_dir):  # a real failure, not a lost race
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def staged_events_stream(
     spark: SparkSession, sf_dir: str, *, watermark_sentinel: bool = False
 ):
@@ -76,24 +110,43 @@ def staged_events_stream(
     os.makedirs(stage_dir, exist_ok=True)
     staged = os.path.join(stage_dir, "events.parquet")
     if not os.path.exists(staged):
-        shutil.copy(src, staged)
+        # copy via a unique tmp + atomic rename: a concurrent process
+        # staging the same fingerprint must never expose a half-copied
+        # file to the other's readStream
+        import tempfile as _tf
+
+        # "_" prefix: the file-stream source's hidden-file filter skips
+        # _-prefixed names, so an in-flight tmp is never listed
+        fd, tmp_copy = _tf.mkstemp(prefix="_stage_", dir=stage_dir)
+        os.close(fd)
+        shutil.copy(src, tmp_copy)
+        os.replace(tmp_copy, staged)
     if watermark_sentinel:
         sentinel = os.path.join(stage_dir, "events_sentinel.parquet")
         if not os.path.exists(sentinel):
+            import tempfile as _tf
+
             import pyarrow as pa
-            import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
-            t = pq.read_table(staged)
-            ts_max = pc.max(t["ts"]).as_py()
-            if pa.types.is_integer(t.schema.field("ts").type):
-                # int64 encoding = epoch NANOS (the reader branch below
-                # divides by 1000 before timestamp_micros); datetime
-                # arithmetic would raise TypeError on int + timedelta
+            # the sentinel needs only max(ts) and the distinct event
+            # types — computed as Spark aggregates (|event_types| rows
+            # to the driver), NOT an arrow read of the whole table;
+            # the arrow schema comes from the parquet FOOTER only
+            schema = pq.read_schema(src)
+            sdf = spark.read.parquet(staged)
+            ts_max = sdf.agg(F.max("ts")).collect()[0][0]
+            etypes = sorted(
+                r[0] for r in sdf.select("event_type").distinct().collect()
+            )
+            if isinstance(ts_max, int):
+                # bigint column = epoch NANOS under nanosAsLong (the
+                # reader branch below divides by 1000 before
+                # timestamp_micros); pa.array maps raw ints onto
+                # timestamp[ns] fields directly
                 far = ts_max + 86_400 * 1_000_000_000
             else:
                 far = ts_max + __import__("datetime").timedelta(days=1)
-            etypes = pc.unique(t["event_type"]).to_pylist()
             cols = {
                 "event_id": [-(i + 1) for i in range(len(etypes))],
                 "ts": [far] * len(etypes),
@@ -103,10 +156,13 @@ def staged_events_stream(
                 "props": ["{}"] * len(etypes),
             }
             rows = pa.table(
-                {f.name: pa.array(cols[f.name], type=f.type) for f in t.schema},
-                schema=t.schema,
+                {f.name: pa.array(cols[f.name], type=f.type) for f in schema},
+                schema=schema,
             )
-            pq.write_table(rows, sentinel)
+            fd, tmp_sent = _tf.mkstemp(prefix="_stage_", dir=stage_dir)
+            os.close(fd)
+            pq.write_table(rows, tmp_sent)
+            os.replace(tmp_sent, sentinel)
     raw_schema = spark.read.parquet(staged).schema
     stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
     ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts")
@@ -743,8 +799,6 @@ def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    import pyarrow.parquet as pq
-
     from mr_python_spark.session import ensure_session
 
     ensure_session(spark)
@@ -755,15 +809,19 @@ def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"mrps_stream_chunks_{os.path.basename(sf_dir)}_{st.st_size:x}_{st.st_mtime_ns:x}",
     )
     if not os.path.isdir(stage_dir):
-        tmp = stage_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp)
-        t = pq.read_table(src)
-        n = t.num_rows
-        cuts = [0, n // 3, 2 * n // 3, n]
-        for i in range(3):
-            pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), f"{tmp}/chunk{i}.parquet")
-        os.rename(tmp, stage_dir)
+        # three-way split by event_id residue, staged as Spark jobs
+        # (no driver materialization) — ANY deterministic 3-way
+        # partition works: the merge is associative and the oracle is
+        # the batch aggregate over the union, so chunk membership only
+        # decides micro-batch boundaries, not the final view.  Raw
+        # spark.read (not load_table): the chunks must carry the
+        # source's own columns — this query never touches ts.
+        raw = spark.read.parquet(src)
+        _stage_chunks(
+            stage_dir,
+            [raw.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)],
+            "chunk",
+        )
 
     schema = spark.read.parquet(os.path.join(stage_dir, "chunk0.parquet")).schema
     stream = (
@@ -1014,16 +1072,9 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(stage_dir):
         # Stage the change log DISTRIBUTIVELY: the derivation is plain
         # filter/project over orders, so it runs as Spark jobs — no
-        # full-table driver materialization at any SF.  Each sequence
-        # tier must land as exactly ONE parquet file (the fixture
-        # contract: maxFilesPerTrigger=1 ⇒ three micro-batches), so
-        # each tier coalesces to one task — fine for change sets, and a
-        # real CDC feed arrives pre-segmented anyway.  The staging tmp
-        # is mkdtemp-unique per process (bench + sweep run concurrently
-        # in this repo; a shared fixed tmp path could persist a
-        # half-written rename), then atomically renamed into place —
-        # losing the rename race just means another process staged the
-        # identical deterministic log first.
+        # full-table driver materialization at any SF (a real CDC feed
+        # arrives pre-segmented anyway; _stage_chunks handles the
+        # one-file-per-tier contract and the concurrent-process race).
         base = load_table(spark, sf_dir, "orders").select(
             "o_orderkey",
             "o_custkey",
@@ -1074,25 +1125,7 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "D",
             3,
         )
-        tmp = tempfile.mkdtemp(prefix="mrps_cdc_stage_")
-        try:
-            for i, log_df in enumerate([u1, ins.unionByName(u2), dl]):
-                out = os.path.join(tmp, f"t{i}")
-                log_df.coalesce(1).write.parquet(out)
-                part = next(
-                    f
-                    for f in os.listdir(out)
-                    if f.endswith(".parquet") and not f.startswith((".", "_"))
-                )
-                os.rename(
-                    os.path.join(out, part), os.path.join(tmp, f"log{i}.parquet")
-                )
-                shutil.rmtree(out)
-            os.rename(tmp, stage_dir)
-        except OSError:
-            if not os.path.isdir(stage_dir):  # a real failure, not a lost race
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)
+        _stage_chunks(stage_dir, [u1, ins.unionByName(u2), dl], "log")
 
     schema = spark.read.parquet(os.path.join(stage_dir, "log0.parquet")).schema
     stream = (

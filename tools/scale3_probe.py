@@ -57,17 +57,33 @@ QUERIES = [
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "ann_ivf_pq",
+    # round-13 (judge order #5): the operators added after the probes
+    # were first written get their third point — the CDC family
+    # (batch trio + the streaming foreachBatch apply, whose best-of-3
+    # measures the warm snapshot-reuse path after run 1 stages the log
+    # and builds the versions), the UniMax budget allocation, and the
+    # matched-budget tokenizer bake-off
+    "scd2_event_intervals",
+    "cdc_latest_snapshot",
+    "merge_upsert_orders",
+    "streaming_cdc_apply",
+    "unimax_language_budgets",
+    "tokenizer_bakeoff_report",
 ]
+
+#: every table the probe queries touch; synthesized per-dst on demand
+TABLES = ("documents", "embeddings", "events", "orders", "customer")
 
 #: recall-curve fixtures: replica count → n = 2000 × replicas vectors
 RP_POINTS = [4, 16, 32]
 
 
 def _ensure(dst: str, replicas: int, tables) -> None:
-    if not all(
-        os.path.exists(os.path.join(dst, f"{t}.parquet")) for t in tables
-    ):
-        generate(dst=dst, replicas=replicas, tables=set(tables))
+    missing = {
+        t for t in tables if not os.path.exists(os.path.join(dst, f"{t}.parquet"))
+    }
+    if missing:  # synthesize only the absent tables, keep the rest
+        generate(dst=dst, replicas=replicas, tables=missing)
 
 
 def main() -> None:
@@ -78,8 +94,8 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    _ensure(SF1_DST, 10, ("documents", "embeddings"))
-    _ensure(SF3_DST, SF3_REPLICAS, ("documents", "embeddings"))
+    _ensure(SF1_DST, 10, TABLES)
+    _ensure(SF3_DST, SF3_REPLICAS, TABLES)
     for reps in RP_POINTS:
         _ensure(
             os.path.join(REPO, ".data", f"rp_x{reps}"), reps, ("embeddings",)

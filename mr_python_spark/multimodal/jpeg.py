@@ -6,17 +6,22 @@ really parsed and JPEG raised ``NotImplementedError``.  This module
 implements the baseline sequential process from the public spec
 (ITU-T T.81 / ISO 10918-1) with numpy for the 8×8 DCT math:
 
-* :func:`decode_jpeg_pixels` — marker walk (DQT/DHT/SOF0/SOS/DRI),
+* :func:`decode_jpeg_pixels` — marker walk (DQT/DHT/SOF/SOS/DRI),
   canonical Huffman decode of the entropy-coded segment (byte
   unstuffing + restart markers), dequantize → 2-D IDCT (orthonormal
   DCT-III as two matrix products), nearest-neighbor chroma upsample
   for subsampled scans, JFIF YCbCr→RGB.  Scope: baseline DCT (SOF0),
-  8-bit samples, 1 or 3 components, sampling factors ≤ 2 — the
-  overwhelmingly common shape; progressive (SOF2) and arithmetic
-  coding return None and fall through to the library-gated path.
-* :func:`encode_jpeg` — the reverse, used by fixtures/tests: 4:4:4,
-  Annex K quantization + Huffman tables, FDCT, run-length + canonical
-  Huffman entropy coding with 0xFF byte stuffing.
+  progressive (SOF2, spectral selection + successive approximation),
+  and LOSSLESS (SOF3, Annex H predictive — see
+  :func:`_decode_lossless_scan`), 8-bit samples, 1 or 3 components,
+  sampling factors ≤ 2; arithmetic coding and the
+  hierarchical/extended processes return None and fall through to
+  the library-gated path.
+* :func:`encode_jpeg` / :func:`encode_jpeg_progressive` /
+  :func:`encode_jpeg_lossless` — the reverses, used by
+  fixtures/tests: Annex K tables, FDCT (or predictive differences),
+  run-length + canonical Huffman entropy coding with 0xFF byte
+  stuffing.  The lossless pair roundtrips bit-exactly.
 
 Everything is deterministic (no dithering, fixed tables).  Safety: the
 same total-pixel cap as the PNG parser (2²⁴) bounds raster memory, and
@@ -262,11 +267,13 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """Baseline-sequential (SOF0) or progressive (SOF2: spectral
-    selection + successive approximation, T.81 Annex G) JPEG →
-    (width, height, channels, raster) or None for anything malformed
-    or out of scope (arithmetic coding, hierarchical/lossless
-    processes, 12-bit, >3 components, sampling factors > 2)."""
+    """Baseline-sequential (SOF0), progressive (SOF2: spectral
+    selection + successive approximation, T.81 Annex G), or lossless
+    (SOF3: predictive, T.81 Annex H) JPEG → (width, height, channels,
+    raster) or None for anything malformed or out of scope
+    (arithmetic coding, hierarchical/extended processes, 12-bit,
+    >3 components, sampling factors > 2, subsampled or
+    restart-marked or multi-scan lossless)."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8" or len(payload) < 20:
@@ -325,7 +332,7 @@ def decode_jpeg_pixels(payload: bytes):
                     i += 17 + nsym
                 if i != len(seg):
                     return None
-            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            elif marker in (0xC0, 0xC2, 0xC3):  # SOF0 / SOF2 / SOF3 lossless
                 prec, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
                 if prec != 8 or nf not in (1, 3) or w == 0 or h == 0:
                     return None
@@ -337,8 +344,16 @@ def decode_jpeg_pixels(payload: bytes):
                     hi, vi = hv >> 4, hv & 0x0F
                     if not (1 <= hi <= 2 and 1 <= vi <= 2):
                         return None
+                    if marker == 0xC3 and (hi != 1 or vi != 1):
+                        return None  # subsampled lossless: out of scope
                     comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-                frame = {"w": w, "h": h, "comps": comps, "prog": marker == 0xC2}
+                frame = {
+                    "w": w,
+                    "h": h,
+                    "comps": comps,
+                    "prog": marker == 0xC2,
+                    "lossless": marker == 0xC3,
+                }
                 if frame["prog"]:
                     hmax = max(c["h"] for c in comps)
                     vmax = max(c["v"] for c in comps)
@@ -351,9 +366,9 @@ def decode_jpeg_pixels(payload: bytes):
                         )
                         for c in comps
                     }
-            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline/-progressive process: out of scope
+                return None  # extended/arithmetic/hierarchical: out of scope
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack_from(">H", seg, 0)
             elif marker == 0xDA:  # SOS: entropy-coded data follows
@@ -366,6 +381,17 @@ def decode_jpeg_pixels(payload: bytes):
                     cs, td_ta = struct.unpack_from(">BB", seg, 1 + 2 * c)
                     scan[cs] = (td_ta >> 4, td_ta & 0x0F)
                     order.append(cs)
+                if frame.get("lossless"):
+                    if ns != len(frame["comps"]) or restart_interval:
+                        # multi-scan or restart-marked lossless: out of
+                        # scope (one interleaved scan is the shape the
+                        # encoder emits and DNG-class files use)
+                        return None
+                    ss, _se, ah_al = struct.unpack_from(">BBB", seg, 1 + 2 * ns)
+                    return _decode_lossless_scan(
+                        payload, pos + 2 + seg_len, frame, order, scan,
+                        ss, ah_al & 0x0F, huff, np,
+                    )
                 if not frame["prog"]:
                     if ns != len(frame["comps"]):
                         return None
@@ -472,6 +498,78 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval, np):
     rgb = np.stack([r, g, b], axis=-1)
     raster = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     return (w, h, 3, raster.tobytes())
+
+
+def _decode_lossless_scan(payload, pos, frame, order, scan, sel, pt, huff, np):
+    """Lossless (SOF3, T.81 Annex H) single interleaved scan: each
+    sample is a Huffman-coded category + extend bits giving the
+    difference from a neighbor prediction (``sel`` picks among the 7
+    predictors; ``pt`` is the point transform).  Components have no
+    defined color transform in the lossless process — DNG-class files
+    carry them as-is — so the raster is returned untransformed
+    (component order = scan order; 3 components are typically RGB).
+
+    Prediction per H.1.2.1: the first sample uses the default
+    ``1 << (P - pt - 1)``, the rest of the first line the left
+    neighbor, the first column the above neighbor, everything else the
+    selected predictor (integer arithmetic, arithmetic shifts); sums
+    are modulo 2**16.  Samples are shifted left by ``pt`` on output.
+    """
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if not (1 <= sel <= 7) or pt > 7:
+        return None
+    tabs = []
+    for cid in order:
+        td = scan.get(cid, (None, None))[0]
+        if td is None or (0, td) not in huff:
+            return None
+        tabs.append(huff[(0, td)])
+    default = 1 << (8 - pt - 1)
+    planes = [np.zeros((h, w), dtype=np.int32) for _ in comps]
+    br = _BitReader(payload, pos)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(len(comps)):
+                p = planes[ci]
+                if y == 0:
+                    px = default if x == 0 else int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    a = int(p[y, x - 1])
+                    b = int(p[y - 1, x])
+                    c = int(p[y - 1, x - 1])
+                    if sel == 1:
+                        px = a
+                    elif sel == 2:
+                        px = b
+                    elif sel == 3:
+                        px = c
+                    elif sel == 4:
+                        px = a + b - c
+                    elif sel == 5:
+                        px = a + ((b - c) >> 1)
+                    elif sel == 6:
+                        px = b + ((a - c) >> 1)
+                    else:
+                        px = (a + b) >> 1
+                s = _decode_huff_symbol(br, tabs[ci])
+                if s is None or s > 16:
+                    return None
+                if s == 0:
+                    diff = 0
+                elif s == 16:
+                    diff = 32768
+                else:
+                    bitsv = br.read_bits(s)
+                    if bitsv is None:
+                        return None
+                    diff = _extend(bitsv, s)
+                p[y, x] = (px + diff) & 0xFFFF
+    raster = np.stack(
+        [(p << pt) & 0xFF for p in planes], axis=-1
+    ).astype(np.uint8)
+    return (w, h, len(comps), raster.tobytes())
 
 
 def _decode_progressive_scan(
@@ -750,24 +848,24 @@ def _category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
 
-def _raster_planes(w: int, h: int, rgb, seed: int, np):
-    """Shared raster synthesis + BT.601 split for both encoders."""
+def _synth_rgb(w: int, h: int, rgb, seed: int, np):
+    """Deterministic seeded gradient raster, or the caller's bytes."""
     if rgb is None:
         yy, xx = np.mgrid[0:h, 0:w]
-        img = np.stack(
+        return np.stack(
             [
                 (xx * 3 + yy * 5 + seed * 11) % 256,
                 (xx * 7 + yy * 2 + seed * 23) % 256,
                 (xx + yy * 13 + seed * 31) % 256,
             ],
             axis=-1,
-        ).astype(np.float64)
-    else:
-        img = (
-            np.frombuffer(rgb, dtype=np.uint8)
-            .reshape(h, w, 3)
-            .astype(np.float64)
-        )
+        ).astype(np.uint8)
+    return np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _raster_planes(w: int, h: int, rgb, seed: int, np):
+    """Shared raster synthesis + BT.601 split for the lossy encoders."""
+    img = _synth_rgb(w, h, rgb, seed, np).astype(np.float64)
     R, G, B = img[..., 0], img[..., 1], img[..., 2]
     Y = 0.299 * R + 0.587 * G + 0.114 * B
     Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
@@ -1033,3 +1131,82 @@ def encode_jpeg_progressive(
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_lossless(
+    w: int,
+    h: int,
+    rgb: "bytes | None" = None,
+    seed: int = 0,
+    predictor: int = 1,
+    pt: int = 0,
+    grayscale: bool = False,
+) -> bytes:
+    """Lossless (SOF3) JPEG of a (w, h) raster: one interleaved scan,
+    Annex K DC-luma Huffman table for every component's differences
+    (8-bit samples under any of the 7 predictors keep |diff| ≤ 510 →
+    category ≤ 10, inside the table's 0–11 range).  Components are the
+    raw R/G/B planes (the lossless process defines no color
+    transform), so ``decode_jpeg_pixels`` roundtrips BIT-EXACTLY at
+    ``pt=0`` — the property the lossy encoders cannot offer and the
+    test gate asserts.  ``pt`` > 0 encodes ``sample >> pt`` (decoder
+    shifts back up, zeroing the low bits).
+    """
+    import numpy as np
+
+    img = _synth_rgb(w, h, rgb, seed, np).astype(np.int32)
+    planes = [img[..., 0]] if grayscale else [img[..., i] for i in range(3)]
+    if pt:
+        planes = [p >> pt for p in planes]
+    dc_t = _build_huffman_encode(*HT_DC_LUMA)
+    default = 1 << (8 - pt - 1)
+
+    bw = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for p in planes:
+                if y == 0:
+                    px = default if x == 0 else int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    a = int(p[y, x - 1])
+                    b = int(p[y - 1, x])
+                    c = int(p[y - 1, x - 1])
+                    px = {
+                        1: a,
+                        2: b,
+                        3: c,
+                        4: a + b - c,
+                        5: a + ((b - c) >> 1),
+                        6: b + ((a - c) >> 1),
+                        7: (a + b) >> 1,
+                    }[predictor]
+                diff = (int(p[y, x]) - px) % 65536
+                if diff >= 32768:
+                    diff -= 65536  # mod-2^16 signed residue
+                s = _category(diff)
+                code, length = dc_t[s]
+                bw.write(code, length)
+                if s:
+                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    nf = len(planes)
+    sof = seg(
+        0xC3,
+        struct.pack(">BHHB", 8, h, w, nf)
+        + b"".join(struct.pack(">BBB", i + 1, 0x11, 0) for i in range(nf)),
+    )
+    bits, huffval = HT_DC_LUMA
+    dht = seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(huffval))
+    sos = seg(
+        0xDA,
+        bytes([nf])
+        + b"".join(struct.pack(">BB", i + 1, 0x00) for i in range(nf))
+        + struct.pack(">BBB", predictor, 0, pt),
+    )
+    return b"\xff\xd8" + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"

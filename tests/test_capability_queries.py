@@ -598,6 +598,62 @@ def test_jpeg_roundtrip_restart_intervals():
     assert br.read_bits(8) == 0x66
 
 
+def test_jpeg_lossless_roundtrip_exact():
+    """Lossless (SOF3, Annex H) roundtrips BIT-EXACTLY — the property
+    no lossy process offers, asserted across all 7 predictors, odd
+    sizes, grayscale, a random explicit raster, and the point
+    transform (pt>0 must reproduce exactly the pt-truncated raster).
+    Malformed streams (truncation, missing scope) return None."""
+    import numpy as np
+
+    from mr_python_spark.multimodal import decode_image
+    from mr_python_spark.multimodal.jpeg import (
+        _synth_rgb,
+        decode_jpeg_pixels,
+        encode_jpeg_lossless,
+    )
+
+    for predictor in range(1, 8):
+        for (w, h) in [(8, 8), (13, 7), (32, 24), (1, 1), (3, 9)]:
+            seed = predictor * 7 + w
+            payload = encode_jpeg_lossless(w, h, seed=seed, predictor=predictor)
+            assert b"\xff\xc3" in payload and b"\xff\xdb" not in payload
+            got = decode_jpeg_pixels(payload)
+            assert got is not None and got[:3] == (w, h, 3)
+            assert got[3] == _synth_rgb(w, h, None, seed, np).tobytes(), (
+                predictor, w, h,
+            )
+            # the dispatch surface takes the same path
+            assert decode_image(payload) == (w, h, 3)
+
+    # grayscale: one component, returned untransformed
+    payload = encode_jpeg_lossless(16, 16, seed=3, predictor=4, grayscale=True)
+    got = decode_jpeg_pixels(payload)
+    assert got[:3] == (16, 16, 1)
+    assert got[3] == _synth_rgb(16, 16, None, 3, np)[..., 0].tobytes()
+
+    # point transform: decode == (sample >> pt) << pt, still exact
+    payload = encode_jpeg_lossless(12, 10, seed=5, predictor=7, pt=2)
+    got = decode_jpeg_pixels(payload)
+    want = ((_synth_rgb(12, 10, None, 5, np).astype(np.int32) >> 2) << 2)
+    assert got[3] == want.astype(np.uint8).tobytes()
+
+    # explicit random raster: predictor 6, non-square, exact
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    payload = encode_jpeg_lossless(17, 24, rgb=img.tobytes(), predictor=6)
+    got = decode_jpeg_pixels(payload)
+    assert got[3] == img.tobytes()
+
+    # corruption gates: truncated payload -> None
+    assert decode_jpeg_pixels(payload[: len(payload) // 2]) is None
+    # out-of-scope lossless shapes -> None, not garbage
+    bad = bytearray(payload)
+    sos_at = payload.index(b"\xff\xda")
+    bad[sos_at + 5 + 2 * 3] = 0  # predictor Ss=0: invalid
+    assert decode_jpeg_pixels(bytes(bad)) is None
+
+
 def test_jpeg_rejects_corrupt_and_out_of_scope():
     """Malformed or out-of-scope JPEGs reject cleanly with None:
     truncation (header and mid-scan), progressive SOF2, oversized

@@ -122,7 +122,15 @@ def ship_package(spark: SparkSession) -> str:
     import tempfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    base = os.path.join(tempfile.gettempdir(), "mr_python_spark_pkg")
+    # per-process build dir: a FIXED /tmp path raced when concurrent
+    # processes (bench + sweep chunks) rebuilt it — the archive includes
+    # __pycache__, whose .pyc contents differ per interpreter run, so
+    # executors fetching mid-rewrite hit Spark's "exists and does not
+    # match contents" error.  A unique dir per process removes the
+    # shared file entirely; the basename stays canonical because
+    # addPyFile keys the executor-side copy on it (per session).
+    build_dir = tempfile.mkdtemp(prefix="mrps_pkg_")
+    base = os.path.join(build_dir, "mr_python_spark_pkg")
     zip_path = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir), "mr_python_spark")
     spark.sparkContext.addPyFile(zip_path)
     return zip_path

@@ -91,90 +91,94 @@ PRIORITY: list[str] = [
     # §2a parity gates — permanent window anchors
     "parity_word_count",
     "parity_secondary_sort",
-    # TPC-H composites (round-13: q8 market-share — the 8-table
-    # nation-bridged composite — and q12 priority-shipping CASE-agg,
-    # both never driver-graded, take the q9/tfidf slots; q9 and the
-    # tf-idf scorer stay hash-gated in the full sweep)
+    # --- Round-14 note: CORRECTNESS_r13.json was never delivered, so
+    # the 18 round-13 first-timers were never officially graded — they
+    # KEEP their slots for the r14 grading (one exception:
+    # dedup_embedding_lsh carries only a udf-tier oracle, so the driver
+    # would record it rows-only; it rotates back to the sweep/udf tier
+    # and a hash-gateable dedup rep takes the slot).  Beyond those,
+    # TWENTY-THREE entries never graded in r01–r12 replace
+    # repeatedly-graded ones, every swap leaving same-category kin
+    # in-window and every rotated-out entry hash-gated in the full
+    # sweep (r12-graded unless noted): q13/q1_decimal → q15/q17
+    # (TPC-H), salted-skew + null-aware NOT IN → right-outer +
+    # shuffle-hash-hint (joins), moving-avg → top3-per-customer
+    # (windows), EXCEPT ALL → EXCEPT distinct (setops), variant →
+    # date-arith (scalar/typed row), distinct-users →
+    # approx-distinct envelope (distinct row), schema-evolution +
+    # dynamic-overwrite → streaming parquet sink (sources keep the
+    # pyds pair; sinks keep the streaming sink), stateful-sessions +
+    # join-outer-live → sessions-tws + join-semi-live (streaming),
+    # bakeoff-envelope + pandas-udaf → grouped-map-sharded +
+    # arrow-python-udf (UDF surface), winnow + lexical-semantic
+    # agreement → winnow_fingerprint_report + text_normalize (dedup
+    # keeps 3 reps; text analysis gains), decode_real →
+    # multimodal_probe_arrow (multimodal), hard-negative →
+    # bigram_lm_perplexity (LM; GEMM eval keeps ann_filtered + the
+    # sweep), bitext + ablation + pagerank →
+    # split_train_val_test + decontaminate_against_eval +
+    # encode_tokens_to_ids + shuffle_shard_order (pipeline passes).
+    # TPC-H composites
     "q1_pricing_summary",
     "q8_market_share",
     "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q1_pricing_decimal",
-    "ann_filtered_topk",
+    "q15_top_supplier",
+    "q17_small_quantity",
     "pipeline_rekey_bands",
-    # join shapes (round-13: the broadcast-NLJ cross product and the
-    # forward as-of join — never driver-graded — take the
-    # left-semi/lateral slots; semi/lateral stay in the sweep and
-    # salted-skew keeps the skew-handling gate)
-    "join_salted_skew",
+    "ann_filtered_topk",
+    # join shapes
     "join_cross_product",
     "join_asof_forward",
-    # window functions (round-13: NTILE decile distribution + LAG
-    # delta — never driver-graded — join the ROWS-frame moving
-    # average; percent_rank rotates to the sweep)
-    "window_moving_avg",
+    "join_right_outer",
+    "join_shuffle_hash_hint",
+    # window functions
     "window_ntile_distribution",
     "window_lag_delta",
-    # CDC family (round-13, judge order: the STREAMING half —
-    # foreachBatch tombstone merge, seasoned in the r12 full sweeps +
-    # 3-SF gates — enters; the batch trio graded green r12 rotates to
-    # the sweep)
+    "window_top3_per_customer",
+    # streaming (CDC apply + incremental MV from r13; tws sessions,
+    # semi join, parquet sink first-graded r14)
     "streaming_cdc_apply",
-    # set ops (round-13: INTERSECT ALL bag semantics — never
-    # driver-graded — takes UNION-distinct's slot)
-    "setop_except_all",
+    "streaming_incremental_mv",
+    "streaming_sessions_tws",
+    "streaming_join_semi_live",
+    "streaming_parquet_sink",
+    # set ops
     "setop_intersect_all",
-    # sorts / limits (nulls-ordering graded r12, rotates out)
+    "setop_except",
+    # sorts / limits
     "topk_orders",
-    # grouping sets + subqueries
+    # grouping sets
     "cube_grouping_id",
-    "not_in_subquery_customers",
     # scalar function families + typed surfaces
-    "variant_props_events",
-    # statistics (round-13: exact cross-moment correlation, width-
-    # bucket histogram, and the approx-quantile accuracy envelope —
-    # never driver-graded — take the PIVOT/median slots, which stay
-    # hash-gated in the sweep)
+    "date_arith_orders",
+    # statistics + distinct + accuracy envelopes
     "corr_quantity_price",
     "histogram_prices",
     "approx_quantile_envelope",
-    # projection/filter + distinct
+    "agg_minmax_by",
+    "approx_distinct_envelope",
+    # projection/filter
     "filter_project_lineitem",
-    "distinct_users_per_event",
-    # sources + sinks (round-13: the Spark-4 Python DataSource batch
-    # scan — never driver-graded — takes the XML slot)
+    # sources + sinks
     "pyds_calendar_scan",
-    "schema_evolution_read",
-    "sink_dynamic_partition_overwrite",
     "pyds_sink_roundtrip",
-    # streaming (round-13: the incremental materialized view — never
-    # driver-graded — takes the timeout-session slot; sessions/join
-    # live reps stay)
-    "streaming_stateful_sessions",
-    "streaming_join_outer_live",
-    "streaming_incremental_mv",
-    # UDF / UDTF / UDAF surface (round-13: the applyInPandas grouped-
-    # map language stats — never driver-graded — takes the UDTF slot)
-    "tokenizer_bakeoff_envelope",
+    # UDF / UDTF / UDAF surface
     "arrow_grouped_map_langstats",
-    "pandas_udaf_weighted_avg",
-    # LLM-pipeline families (round-13: UniMax epoch-capped budgets
-    # seasons in per the judge order; the restructured RP-LSH
-    # embedding dedup, the incremental prefix dedup, and the PII
-    # scrubbing pass — all never driver-graded — take the
-    # doremi/survivors/audio slots, whose kin stay in the sweep)
+    "grouped_map_top2_sharded",
+    "arrow_python_udf",
+    # LLM-pipeline families
     "unimax_language_budgets",
     "dedup_cross_source_matrix",
-    "dedup_winnow",
-    "dedup_lexical_semantic_agreement",
-    "dedup_embedding_lsh",
     "dedup_incremental_prefix",
+    "winnow_fingerprint_report",
     "pii_scrub_canaries",
-    "multimodal_decode_real",  # real BMP/PNG/JPEG decode (round-7/9)
-    "hard_negative_mining",  # contrastive-negative mining (round-9)
-    "bitext_margin_mining",  # CCMatrix margin-based mining (round-9)
-    "quality_ablation_curve",  # FineWeb-style decile ablation (round-9)
-    "pagerank_dedup_graph",
+    "text_normalize",
+    "bigram_lm_perplexity",
+    "split_train_val_test",
+    "decontaminate_against_eval",
+    "encode_tokens_to_ids",
+    "shuffle_shard_order",
+    "multimodal_probe_arrow",
     "pipeline_curate_report",  # capstone composed pipeline (round-5)
 ]
 

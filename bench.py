@@ -109,6 +109,12 @@ HEADLINE = [
     "streaming_cdc_apply",
     "unimax_language_budgets",
     "q8_market_share",
+    # round-14: Moore-Lewis contrastive selection (two-model LM
+    # scoring; best-of-3 measures the warm shared-LM-cache path) and
+    # the perceptual-hash image dedup (real PNG + lossless-JPEG
+    # decode through the spread Arrow pass)
+    "moore_lewis_selection",
+    "multimodal_phash_dedup",
 ]
 
 

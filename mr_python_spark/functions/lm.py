@@ -574,3 +574,150 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + ({S}L - {A}L) * share_fp) div {S}L AS BIGINT)"
         ).alias("weight_fp"),
     )
+
+
+# --- Moore-Lewis cross-entropy-difference selection ---------------------
+
+#: In-domain slice for the contrastive selector: the corpus's dominant
+#: language.  A literal (not a computed argmax) so both engines train
+#: the identical in-domain model with zero extra passes.
+ML_TARGET_LANG = "en"
+
+_ML_ORACLE = (
+    _LM_SCORED_CTES
+    + f"""
+, in_sample AS (
+  SELECT t.doc_id, t.t FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+  WHERE d.lang = '{ML_TARGET_LANG}' AND t.doc_id % {LM_SAMPLE_STRIDE} = 0
+  ORDER BY t.doc_id LIMIT {LM_SAMPLE_CAP}
+),
+in_uni AS (
+  SELECT tok, COUNT(*) AS c1
+  FROM (SELECT unnest(t) AS tok FROM in_sample)
+  GROUP BY tok
+),
+in_vocab AS (SELECT COUNT(*) AS v FROM in_uni),
+in_bi AS (
+  SELECT bg, COUNT(*) AS c12 FROM (
+    SELECT t[i] || ' ' || t[i+1] AS bg
+    FROM (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+          FROM in_sample)
+    WHERE i < len(t)
+  ) GROUP BY bg
+),
+in_scored AS (
+  SELECT c.doc_id,
+         length(bin(
+           (COALESCE(u.c1, 0) + (SELECT v FROM in_vocab)) // (COALESCE(b.c12, 0) + 1)
+         )) AS bits
+  FROM corpus_bi c
+  LEFT JOIN in_uni u ON c.w1 = u.tok
+  LEFT JOIN in_bi b ON c.bg = b.bg
+),
+gen_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(bits) AS BIGINT) AS gen_bits
+  FROM scored GROUP BY doc_id
+),
+in_doc AS (
+  SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS in_bits
+  FROM in_scored GROUP BY doc_id
+)
+SELECT g.doc_id, g.n_bigrams, g.gen_bits, i.in_bits,
+       CAST(i.in_bits - g.gen_bits AS BIGINT) AS delta_bits,
+       (i.in_bits < g.gen_bits) AS selected
+FROM gen_doc g JOIN in_doc i ON g.doc_id = i.doc_id
+"""
+)
+
+
+@register("moore_lewis_selection", _ML_ORACLE)
+def moore_lewis_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis intelligent data selection (cross-entropy
+    difference, Moore & Lewis 2010 — the classic contrastive selector
+    behind most MT / domain-adaptation corpus filters): score every
+    document under BOTH an in-domain LM (trained on the dominant
+    language's sample slice) and the general corpus LM, and keep the
+    documents the in-domain model finds LESS surprising
+    (``in_bits < gen_bits``).  Completes the selection family's
+    method matrix: mass-based (temperature), target-hash-based
+    (DSIR), loss-based (DoReMi), epoch-capped (UniMax) — and now
+    contrastive two-model.
+
+    Determinism: the same no-float-log device as the whole LM family —
+    per-bigram surprisal is the BIT LENGTH of the exact integer
+    inverse-probability ratio, per-doc scores are exact integer sums,
+    and ``delta_bits``/``selected`` are integer subtraction and
+    comparison (no division anywhere, so no trunc-vs-floor divergence
+    on negative deltas).
+
+    Scale: the general-model per-doc frame comes from the shared keyed
+    cache (:func:`bigram_lm_perplexity` — one corpus scan amortized
+    across the LM family); the in-domain model is sample-bounded
+    (stride + cap, a TakeOrdered) and ships as two broadcast tables;
+    in-domain scoring is ONE corpus scan with map-side broadcast
+    joins; the final per-doc equi-join shuffles only five-integer
+    rows.  Nothing corpus-sized is broadcast or collected.
+
+    Reference scope note: tinymr's text surface is word count
+    (/root/reference/docs.rst:137-176); data selection is the
+    LLM-pipeline extension tier (SURVEY.md §6).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens_col().alias("toks")
+    )
+
+    in_sample = (
+        docs.filter(
+            (F.col("lang") == ML_TARGET_LANG)
+            & (F.col("doc_id") % LM_SAMPLE_STRIDE == 0)
+        )
+        .select("doc_id", "toks")
+        .orderBy("doc_id")
+        .limit(LM_SAMPLE_CAP)
+    )
+    in_uni = (
+        in_sample.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    # sample-bounded scalar (the adaptive-planning pattern, same as the
+    # general model's V)
+    in_vocab = in_uni.count()
+    in_bi = (
+        in_sample.select(F.explode(_bigram_pairs()).alias("p"))
+        .groupBy(F.col("p.bg").alias("bg"))
+        .agg(F.count("*").alias("c12"))
+    )
+
+    corpus = docs.select("doc_id", F.explode(_bigram_pairs()).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg")
+    )
+    in_doc = (
+        corpus.join(F.broadcast(in_uni), corpus["w1"] == in_uni["tok"], "left")
+        .join(F.broadcast(in_bi), "bg", "left")
+        .select(
+            "doc_id",
+            F.length(
+                F.bin(
+                    F.expr(
+                        f"(coalesce(c1, 0L) + {in_vocab}L) div (coalesce(c12, 0L) + 1L)"
+                    )
+                )
+            ).alias("bits"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bits").cast("long").alias("in_bits"))
+    )
+
+    gen_doc = bigram_lm_perplexity(spark, sf_dir).select(
+        "doc_id", "n_bigrams", F.col("surprisal_bits").alias("gen_bits")
+    )
+    return gen_doc.join(in_doc, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        "gen_bits",
+        "in_bits",
+        (F.col("in_bits") - F.col("gen_bits")).cast("long").alias("delta_bits"),
+        (F.col("in_bits") < F.col("gen_bits")).alias("selected"),
+    )

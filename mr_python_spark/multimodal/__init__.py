@@ -5,11 +5,12 @@ struct; decode/resize/frame-sample run as Arrow-batched pandas UDFs
 over ``mapInPandas``.  Image decode is REAL for BMP, binary netpbm,
 8-bit PNG (inflate + unfilter), baseline-sequential JPEG (round 9:
 :mod:`mr_python_spark.multimodal.jpeg` — huffman + dequantize +
-IDCT) and progressive JPEG (spectral selection + successive
+IDCT), progressive JPEG (spectral selection + successive
 approximation, Annex G; round 11 closed the roundtrip with a
-spectral-selection ENCODER), all pure stdlib+numpy; Pillow is used
-instead when importable.  Only formats beyond those (arithmetic /
-lossless JPEG, WebP, …) remain library-gated behind
+spectral-selection ENCODER) and lossless JPEG (SOF3 Annex H
+predictive, round 13 — bit-exact roundtrip), all pure stdlib+numpy;
+Pillow is used instead when importable.  Only formats beyond those
+(arithmetic-coded JPEG, WebP, …) remain library-gated behind
 :func:`decode_image`'s ``NotImplementedError``, with
 :func:`fake_probe` as the deterministic tested stand-in.
 
@@ -724,3 +725,174 @@ def multimodal_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return with_payload.mapInPandas(keyframes, _KEYFRAME_SCHEMA)
+
+
+# --- perceptual-hash image dedup ----------------------------------------
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash_hi", T.LongType()),
+        T.StructField("phash_lo", T.LongType()),
+    ]
+)
+
+#: The oracle recomputes the 64-bit dHash from the fixtures'
+#: closed-form raster law (pixel byte at line ``y``, in-line byte
+#: offset ``i`` is ``(seed + 31*y + 7*i) % 251``) — so a corrupted
+#: PNG inflate/unfilter or JPEG predictor decode on the Spark side
+#: flips hash bits and fails the value gate, not just the row count.
+_PHASH_ORACLE = """
+WITH imgs AS (
+  SELECT doc_id,
+         1 + octet_length(encode(text)) % 64 AS w,
+         1 + (octet_length(encode(text)) * 3) % 64 AS h,
+         CASE CAST(doc_id % 4 AS INTEGER) WHEN 1 THEN 1 WHEN 2 THEN 4
+              ELSE 3 END AS ch,
+         doc_id % 97 AS seed
+  FROM documents WHERE doc_id % 4 <> 0
+),
+vals AS (
+  SELECT doc_id, gi.i AS gi, gj.j AS gj,
+         (seed + 31 * ((gi.i * h) // 8) + 7 * (((gj.j * w) // 9) * ch)) % 251 AS g
+  FROM imgs, generate_series(0, 7) gi(i), generate_series(0, 8) gj(j)
+),
+bits AS (
+  SELECT a.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN a.g < b.g AND a.gi * 8 + a.gj >= 32
+              THEN (CAST(1 AS BIGINT) << (a.gi * 8 + a.gj - 32)) END), 0)
+              AS BIGINT) AS phash_hi,
+         CAST(COALESCE(SUM(CASE WHEN a.g < b.g AND a.gi * 8 + a.gj < 32
+              THEN (CAST(1 AS BIGINT) << (a.gi * 8 + a.gj)) END), 0)
+              AS BIGINT) AS phash_lo
+  FROM vals a JOIN vals b
+    ON a.doc_id = b.doc_id AND a.gi = b.gi AND b.gj = a.gj + 1
+  WHERE a.gj < 8
+  GROUP BY a.doc_id
+)
+SELECT doc_id, phash_hi, phash_lo,
+       CAST(COUNT(*) OVER (PARTITION BY phash_hi, phash_lo) AS BIGINT)
+         AS n_same,
+       (COUNT(*) OVER (PARTITION BY phash_hi, phash_lo) > 1) AS is_dup
+FROM bits
+"""
+
+
+@register("multimodal_phash_dedup", _PHASH_ORACLE)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) image dedup over REAL decodes — the
+    image-pipeline counterpart of the text near-dup family: decode
+    every payload with a genuine format parse, sample an 8×9 luma
+    grid, build the classic 64-bit difference hash (bit = left pixel
+    < right pixel), and group exact hash collisions into duplicate
+    clusters.
+
+    Formats cycle doc_id mod 4 (the ``multimodal_decode_real``
+    fixture pattern): grayscale PNG (≡1, zlib inflate + all five
+    unfilter branches), RGBA PNG (≡2), and LOSSLESS JPEG (≡3 —
+    SOF3 Annex H predictive, the one JPEG process that roundtrips
+    bit-exactly, so its decode is pixel-oracle-able; the lossy
+    baseline/progressive processes stay gated by
+    ``multimodal_decode_real``'s dims contract instead).  BMP (≡0)
+    is excluded: its fixture raster is constant, every BMP would
+    collapse into one degenerate all-equal cluster.
+
+    The grid reads channel 0 (R / gray) at positions
+    ``x_j = j*w // 9``, ``y_i = i*h // 8`` — resize-free sampling, so
+    the hash is a pure function of the decoded raster and the DuckDB
+    oracle can recompute it from the generative pixel law without any
+    image code: a single flipped raster byte (corrupt inflate, wrong
+    Paeth branch, bad JPEG predictor) flips grid bits and fails the
+    hash gate.
+
+    Scale: decode + hash ride one Arrow-batched ``mapInPandas`` pass
+    (per-image work is O(grid) after the decode, payloads never
+    shuffle); the only shuffle is the hash-keyed window for cluster
+    sizes — the exact-dedup shape (hash, doc_id).  Hamming-NEAR
+    duplicates at 100 TB use the ``dedup_simhash`` banding trick on
+    these same bits: split the 64 bits into 4 × 16-bit bands and
+    bucket-join per band — same posture as the text LSH family, no
+    all-pairs anywhere.
+
+    Capability extension beyond the reference engine (tinymr has no
+    binary-payload surface; SURVEY.md §6 multimodal tier).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 != 0
+    )
+    with_payload = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mr_python_spark.multimodal.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg_lossless,
+        )
+
+        def law_raster(w: int, h: int, ch: int, seed: int) -> bytes:
+            import numpy as np
+
+            idx = np.arange(w * ch, dtype=np.int64)
+            return np.concatenate(
+                [((seed + 31 * y + 7 * idx) % 251).astype(np.uint8)
+                 for y in range(h)]
+            ).tobytes()
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            his, los = [], []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(d)
+                fmt, seed = d % 4, d % 97
+                w, h = 1 + len(p) % 64, 1 + (len(p) * 3) % 64
+                if fmt == 3:
+                    payload = encode_jpeg_lossless(
+                        w, h, rgb=law_raster(w, h, 3, seed), seed=seed
+                    )
+                    dec = decode_jpeg_pixels(payload)
+                else:
+                    ch = 1 if fmt == 1 else 4
+                    payload = _encode_png(w, h, ch, seed=seed)
+                    dec = _decode_png_pixels(payload)
+                if dec is None:
+                    # the gate's whole point: a decode failure is loud
+                    raise ValueError(f"decode failed for doc {d}")
+                dw, dh, dch, raster = dec
+                stride = dw * dch
+                hi = lo = 0
+                for i in range(8):
+                    y = (i * dh) // 8
+                    row = raster[y * stride : (y + 1) * stride]
+                    gs = [row[((j * dw) // 9) * dch] for j in range(9)]
+                    for j in range(8):
+                        if gs[j] < gs[j + 1]:
+                            b = i * 8 + j
+                            if b >= 32:
+                                hi |= 1 << (b - 32)
+                            else:
+                                lo |= 1 << b
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "phash_hi": his, "phash_lo": los}
+            )
+
+    # the lossless-JPEG encode/decode is CPU-bound Python on a narrow
+    # single-file scan — spread it across the cluster (no broadcast
+    # state rides this operator, so the shingling rule applies, not
+    # the broadcast-state counter-rule)
+    from mr_python_spark.session import spread
+
+    hashed = spread(with_payload).mapInPandas(phash, _PHASH_SCHEMA)
+    w = Window.partitionBy("phash_hi", "phash_lo")
+    return hashed.select(
+        "doc_id",
+        "phash_hi",
+        "phash_lo",
+        F.count(F.lit(1)).over(w).alias("n_same"),
+        (F.count(F.lit(1)).over(w) > 1).alias("is_dup"),
+    )

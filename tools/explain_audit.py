@@ -673,6 +673,24 @@ AUDITS: dict[str, dict] = {
         # lm_scored_builder pseudo-entry below)
         hinted_broadcasts=0,
     ),
+    # perceptual-hash dedup: one Arrow decode+hash pass over the
+    # spread scan, then the hash-keyed cluster window — no joins; the
+    # Window is PARTITIONED by the hash pair (never single-partition)
+    "multimodal_phash_dedup": dict(
+        must=[r"MapInPandas", r"Window"],
+        must_not=[r"CartesianProduct", r"Join"],
+        hinted_broadcasts=0,
+    ),
+    # Moore-Lewis contrastive selection: in-domain model tables are
+    # sample-bounded (safe hints: in_uni + in_bi); the general per-doc
+    # frame is the cached LM leaf (its hints policed on
+    # lm_scored_builder); bigrams built in-array, per-doc aggregates
+    # partial-combine, the final join shuffles five-integer rows only
+    "moore_lewis_selection": dict(
+        must=[r"BroadcastHashJoin", r"TakeOrderedAndProject", r"partial_"],
+        must_not=[r"CartesianProduct", r"Window"],
+        hinted_broadcasts=2,  # in-domain unigram + bigram model tables
+    ),
     # winnow matching: codegen'd exploded winnowing core (per-doc
     # Window — the measured 17× choice over in-array lambdas) feeding
     # the df-capped posting aggregate + JVM pair explosion — no

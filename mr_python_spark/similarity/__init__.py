@@ -1339,3 +1339,96 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         partial=partial,
     )
+
+
+# --- SSL-prototype prototypicality ranking (D4-style pruning) -----------
+
+#: fixed-point scale for quantized cosines (the bitext device)
+PROTO_SCALE = 1 << 20
+
+
+@register("prototypicality_rank")  # udf-oracle in tools/udf_oracles.py
+def prototypicality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype prototypicality ranking — the cluster-based data
+    pruning metric of Sorscher et al. 2022 ("Beyond neural scaling
+    laws") as used by D4 (Tirumala et al. 2023) after SemDeDup: each
+    vector's cosine to its trained cluster centroid measures how
+    PROTOTYPICAL (easy/redundant) the example is; within every
+    cluster, the most-prototypical quarter is marked ``pruned`` — the
+    abundant-data policy (keep hard examples).  Completes the
+    embedding-curation family: SemDeDup removes near-duplicate
+    semantics, this removes redundant-but-not-duplicate core mass.
+
+    Determinism: the quantizer is the shared trained model
+    (:func:`_trained_model`, normalized tier — same sample, same
+    deterministic Lloyd as the oracle's independent numpy
+    reimplementation).  Per-row cosine is an IDENTICAL float64
+    sequence on both engines (normalize, 1-D ``np.dot`` against the
+    assigned centroid, one divide by the centroid norm), quantized
+    once via ``floor((1+cos)·2^20)``; ranking and the prune flag are
+    integer ``row_number``/count arithmetic with vec_id tie-breaks
+    from there on.
+
+    Scale: cell assignment + cosine ride one Arrow pass with the
+    ≤KM_MAX_CELLS×d centroid matrix shipped by closure (constant at
+    any corpus size); the only shuffle is the cell-keyed window over
+    three-integer rows.  At 100 TB the within-cell rank is exactly
+    the IVF partition layout, so the window runs partition-local
+    after the same bucket-by-cell step the ANN family documents.
+
+    Capability extension beyond the reference engine (SURVEY.md §6
+    selection tier).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    C = _trained_model(spark, sf_dir)["C_norm"]
+    cnorm = np.linalg.norm(C, axis=1)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("cos_fp", T.LongType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(list(pdf["embedding"]), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            cells = cell_distances(Mn, C).argmin(1)
+            # per-row 1-D dot (ddot), NOT a batch GEMM: the oracle
+            # mirrors this exact sequence, so cos bits match and the
+            # floor quantization cannot flip on a boundary
+            fps = [
+                int(math.floor((1.0 + float(np.dot(Mn[i], C[c])) / cnorm[c])
+                               * PROTO_SCALE))
+                for i, c in enumerate(cells)
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cell": cells.astype(np.int32),
+                    "cos_fp": fps,
+                }
+            )
+
+    scored = emb.mapInPandas(score, out_schema)
+    w = Window.partitionBy("cell")
+    wo = w.orderBy(F.desc("cos_fp"), F.asc("vec_id"))
+    return scored.select(
+        "vec_id",
+        "cell",
+        "cos_fp",
+        F.row_number().over(wo).cast("long").alias("proto_rank"),
+        F.count(F.lit(1)).over(w).alias("n_cell"),
+        (F.row_number().over(wo) * 4 <= F.count(F.lit(1)).over(w)).alias("pruned"),
+    )

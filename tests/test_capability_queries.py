@@ -776,3 +776,25 @@ def test_moore_lewis_prefers_target_lang(spark):
     # selects conservatively — require a clear multiplicative
     # preference, not an absolute gap (measured: 0.27 vs 0.08)
     assert en_rate > 2 * rest_rate and en_rate > 0.15, (en_rate, rest_rate)
+
+
+def test_prototypicality_prune_policy(spark):
+    """Purpose check: within every cluster, exactly floor(n/4) vectors
+    are pruned, and the pruned set is precisely the top-ranked
+    (most-prototypical) prefix — the abundant-data keep-hard policy."""
+    from collections import defaultdict
+
+    from mr_python_spark.similarity import prototypicality_rank
+
+    rows = prototypicality_rank(spark, SF).collect()
+    by_cell = defaultdict(list)
+    for r in rows:
+        by_cell[r.cell].append(r)
+    assert len(by_cell) > 1
+    for cell, rs in by_cell.items():
+        n = len(rs)
+        assert all(r.n_cell == n for r in rs)
+        pruned = {r.proto_rank for r in rs if r.pruned}
+        assert pruned == set(range(1, n // 4 + 1)), (cell, n, pruned)
+        # ranks are a permutation of 1..n (total order, no ties)
+        assert {r.proto_rank for r in rs} == set(range(1, n + 1))

@@ -673,6 +673,14 @@ AUDITS: dict[str, dict] = {
         # lm_scored_builder pseudo-entry below)
         hinted_broadcasts=0,
     ),
+    # prototypicality ranking: one Arrow assign+cosine pass (centroids
+    # by closure), then the cell-keyed rank/count window over
+    # three-integer rows — no joins; the Window partitions by cell
+    "prototypicality_rank": dict(
+        must=[r"MapInPandas", r"Window"],
+        must_not=[r"CartesianProduct", r"Join"],
+        hinted_broadcasts=0,
+    ),
     # perceptual-hash dedup: one Arrow decode+hash pass over the
     # spread scan, then the hash-keyed cluster window — no joins; the
     # Window is PARTITIONED by the hash pair (never single-partition)

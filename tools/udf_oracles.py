@@ -415,6 +415,12 @@ def register_udfs(con) -> None:
             duckdb.typing.DOUBLE,
         )
         con.create_function(
+            "cell_cos",
+            _cell_cos,
+            [duckdb.list_type(duckdb.typing.DOUBLE)],
+            duckdb.typing.DOUBLE,
+        )
+        con.create_function(
             "pq_adc",
             _pq_adc,
             [duckdb.list_type(duckdb.typing.DOUBLE), duckdb.list_type(INTEGER)],
@@ -821,6 +827,18 @@ def _pq_code(e) -> list:
         int(((vn[m * dsub : (m + 1) * dsub][None, :] - books[m]) ** 2).sum(-1).argmin())
         for m in range(PQ_M)
     ]
+
+
+
+def _cell_cos(e) -> float:
+    """Cosine to the assigned (normalized-trained) centroid — the
+    prototypicality metric.  IDENTICAL float64 sequence to the
+    engine's per-row scoring (normalize, 1-D dot, one divide), so the
+    downstream floor quantization matches bit-for-bit."""
+    C, _, _ = _pq_model()
+    vn = _normed(e)
+    cell = int(_cell_distances(vn, C).argmin())
+    return float(np.dot(vn, C[cell]) / np.linalg.norm(C[cell]))
 
 
 def _pq_adc(qe, code) -> float:
@@ -1292,6 +1310,29 @@ GROUP BY d.lang
 """
 
 
+
+def _proto_sql() -> str:
+    """Prototypicality oracle: pq_cell/cell_cos are the independent
+    numpy reimplementations of the engine's trained quantizer and
+    per-row centroid cosine; rank/count/prune are integer SQL."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), c AS (
+  SELECT vec_id, pq_cell(e) AS cell,
+         CAST(floor((1.0 + cell_cos(e)) * {1 << 20}) AS BIGINT) AS cos_fp
+  FROM v
+)
+SELECT vec_id, cell, cos_fp,
+  CAST(row_number() OVER w AS BIGINT) AS proto_rank,
+  CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell,
+  (row_number() OVER w * 4 <= COUNT(*) OVER (PARTITION BY cell)) AS pruned
+FROM c
+WINDOW w AS (PARTITION BY cell ORDER BY cos_fp DESC, vec_id ASC)
+"""
+
+
 def udf_oracles() -> dict[str, str]:
     """name -> DuckDB SQL requiring :func:`register_udfs` on the connection."""
     return {
@@ -1310,6 +1351,7 @@ def udf_oracles() -> dict[str, str]:
         "unigram_vocab": _unigram_vocab_sql(),
         "tokenizer_bakeoff_report": _bakeoff_sql(),
         "dedup_semantic": _sem_dedup_sql(),
+        "prototypicality_rank": _proto_sql(),
         "dedup_semantic_within_lang": _sem_lang_sql(),
         "dedup_lsh_eval_report": _lsh_eval_sql(),
         "dedup_rp_lsh_eval_report": _rp_lsh_eval_sql(),

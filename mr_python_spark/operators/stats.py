@@ -576,3 +576,67 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cms_estimate"), "tok")
         .limit(CMS_TOPK)
     )
+
+
+_TRANSPOSE_ORACLE = """
+WITH m AS (
+  SELECT r.r_name,
+         CAST(COUNT(DISTINCT n.n_nationkey) AS BIGINT) AS n_nations,
+         CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers
+  FROM region r
+  JOIN nation n ON n.n_regionkey = r.r_regionkey
+  LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+  GROUP BY r.r_name
+)
+SELECT 'n_nations' AS key,
+       CAST(SUM(CASE WHEN r_name = 'AFRICA' THEN n_nations END) AS BIGINT) AS "AFRICA",
+       CAST(SUM(CASE WHEN r_name = 'AMERICA' THEN n_nations END) AS BIGINT) AS "AMERICA",
+       CAST(SUM(CASE WHEN r_name = 'ASIA' THEN n_nations END) AS BIGINT) AS "ASIA",
+       CAST(SUM(CASE WHEN r_name = 'EUROPE' THEN n_nations END) AS BIGINT) AS "EUROPE",
+       CAST(SUM(CASE WHEN r_name = 'MIDDLE EAST' THEN n_nations END) AS BIGINT) AS "MIDDLE EAST"
+FROM m
+UNION ALL
+SELECT 'n_customers',
+       CAST(SUM(CASE WHEN r_name = 'AFRICA' THEN n_customers END) AS BIGINT),
+       CAST(SUM(CASE WHEN r_name = 'AMERICA' THEN n_customers END) AS BIGINT),
+       CAST(SUM(CASE WHEN r_name = 'ASIA' THEN n_customers END) AS BIGINT),
+       CAST(SUM(CASE WHEN r_name = 'EUROPE' THEN n_customers END) AS BIGINT),
+       CAST(SUM(CASE WHEN r_name = 'MIDDLE EAST' THEN n_customers END) AS BIGINT)
+FROM m
+"""
+
+
+@register("transpose_region_metrics", _TRANSPOSE_ORACLE)
+def transpose_region_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4.0 API surface): a per-region
+    metrics frame flipped so metrics become rows and region names
+    become columns — the report-matrix reshape analysts otherwise do
+    client-side.
+
+    Contract note (why this is safe and when it isn't): ``transpose``
+    must read the index column's VALUES to mint the output schema, so
+    it materializes the frame on the driver — correct ONLY for
+    bounded frames.  Here the input is a |regions|-row aggregate
+    (constant 5 rows at any sf, the nation/region broadcast-dim
+    class), the same bounded-frame rule the unpartitioned-window
+    audit enforces.  A corpus-keyed transpose would be a
+    driver-collect scale bug — use ``pivot`` (executor-side, schema
+    from an explicit value list) for anything that scales.
+
+    The aggregate itself: two broadcast-dim joins + a 5-group
+    count/count-distinct — partial-agged, one shuffle of 3-column
+    rows.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    m = (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey, "left")
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("n_nationkey").alias("n_nations"),
+            F.count("c_custkey").alias("n_customers"),
+        )
+    )
+    return m.transpose()

@@ -466,3 +466,106 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+# --- marketing attribution ----------------------------------------------
+
+#: attribution lookback: a purchase binds to its most recent touch at
+#: most this many hours earlier (the funnel family's window)
+ATTR_WINDOW_HOURS = 6
+
+_ATTR_ORACLE = f"""
+WITH p AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS v_fp
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'signup')
+),
+ranked AS (
+  SELECT p.event_id AS pid, t.event_type AS channel,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY t.ts DESC, t.event_id DESC) AS rn
+  FROM p JOIN t ON t.user_id = p.user_id
+   AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+   AND t.ts >= p.ts - INTERVAL {ATTR_WINDOW_HOURS} HOUR
+),
+attr AS (
+  SELECT p.event_id, p.v_fp, COALESCE(r.channel, 'direct') AS channel
+  FROM p LEFT JOIN ranked r ON r.pid = p.event_id AND r.rn = 1
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(v_fp) AS BIGINT) AS value_fp,
+       CAST(SUM(v_fp) AS DOUBLE) / 100.0 AS attributed_value
+FROM attr GROUP BY channel
+"""
+
+
+@register("attribution_last_touch", _ATTR_ORACLE)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent view/click/signup within the preceding
+    ``ATTR_WINDOW_HOURS``; purchases with no in-window touch credit
+    the 'direct' channel.  Completes the behavioral-analytics family
+    (funnel → cohort → transition matrix → attribution).
+
+    The engine formulation is join-free: ONE window per user over
+    (ts, event_id) total order carries the most recent touch struct
+    forward (``last(..., ignorenulls)`` over rows-preceding — the
+    suffix property makes "most recent touch" ≡ "most recent touch
+    within the window" once the age check is applied).  The oracle
+    states the same semantics relationally (touch join + ROW_NUMBER),
+    so the two engines cross-check each other's FORMULATION, not just
+    arithmetic.  Purchase values aggregate via the audited
+    ``fixed_point`` device (non-negative, 2-decimal inputs) so sums
+    are exact longs; ``attributed_value`` is the one IEEE division.
+
+    Scale: one shuffle on user_id, bounded per-key window state (the
+    carried struct is one row), then a |channels|-row aggregate —
+    never a corpus-sized join.  At 100 TB the events table is already
+    bucketed by user for the sessionization family; this window rides
+    the same layout exchange-free.
+    """
+    from mr_python_spark.operators.aggregates import fixed_point
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "signup", "purchase")
+    ).select("event_id", "user_id", "ts", "event_type", "value")
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct("ts", "event_type"),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    purchases = (
+        events.select("*", touch.alias("touch"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("touch").isNotNull()
+                & (
+                    F.col("touch.ts")
+                    >= F.col("ts") - F.expr(f"INTERVAL {ATTR_WINDOW_HOURS} HOURS")
+                ),
+                F.col("touch.event_type"),
+            )
+            .otherwise("direct")
+            .alias("channel"),
+            fixed_point(F.col("value"), 2).alias("v_fp"),
+        )
+    )
+    return purchases.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("v_fp").cast("long").alias("value_fp"),
+        (F.sum("v_fp").cast("double") / 100.0).alias("attributed_value"),
+    )

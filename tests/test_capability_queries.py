@@ -119,6 +119,8 @@ REPRESENTATIVE = [
     # round-14 additions
     "moore_lewis_selection",
     "multimodal_phash_dedup",
+    "attribution_last_touch",
+    "transpose_region_metrics",
 ]
 # dedup_lsh_eval_report is udf-oracle tier (covered by check_correctness)
 

@@ -673,6 +673,23 @@ AUDITS: dict[str, dict] = {
         # lm_scored_builder pseudo-entry below)
         hinted_broadcasts=0,
     ),
+    # last-touch attribution: JOIN-FREE — one user-keyed window
+    # carries the most recent touch struct, then a |channels|-row
+    # partial-agged aggregate
+    "attribution_last_touch": dict(
+        must=[r"Window", r"partial_"],
+        must_not=[r"CartesianProduct", r"Join"],
+        hinted_broadcasts=0,
+    ),
+    # Spark-4 transpose surface: the INPUT aggregate is the audited
+    # part (broadcast-dim joins + 5-group aggregate); transpose itself
+    # materializes the bounded frame by contract, so the final plan is
+    # a local relation — assert only that nothing cartesian slipped in
+    "transpose_region_metrics": dict(
+        must=[],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=0,
+    ),
     # prototypicality ranking: one Arrow assign+cosine pass (centroids
     # by closure), then the cell-keyed rank/count window over
     # three-integer rows — no joins; the Window partitions by cell

@@ -115,6 +115,7 @@ HEADLINE = [
     # decode through the spread Arrow pass)
     "moore_lewis_selection",
     "multimodal_phash_dedup",
+    "multimodal_phash_near",
 ]
 
 

@@ -742,7 +742,7 @@ _PHASH_SCHEMA = T.StructType(
 #: offset ``i`` is ``(seed + 31*y + 7*i) % 251``) — so a corrupted
 #: PNG inflate/unfilter or JPEG predictor decode on the Spark side
 #: flips hash bits and fails the value gate, not just the row count.
-_PHASH_ORACLE = """
+_PHASH_BITS_CTES = """
 WITH imgs AS (
   SELECT doc_id,
          1 + octet_length(encode(text)) % 64 AS w,
@@ -770,12 +770,18 @@ bits AS (
   WHERE a.gj < 8
   GROUP BY a.doc_id
 )
+"""
+
+_PHASH_ORACLE = (
+    _PHASH_BITS_CTES
+    + """
 SELECT doc_id, phash_hi, phash_lo,
        CAST(COUNT(*) OVER (PARTITION BY phash_hi, phash_lo) AS BIGINT)
          AS n_same,
        (COUNT(*) OVER (PARTITION BY phash_hi, phash_lo) > 1) AS is_dup
 FROM bits
 """
+)
 
 
 @register("multimodal_phash_dedup", _PHASH_ORACLE)
@@ -819,6 +825,36 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    hashed = _phash_frame(spark, sf_dir)
+    w = Window.partitionBy("phash_hi", "phash_lo")
+    return hashed.select(
+        "doc_id",
+        "phash_hi",
+        "phash_lo",
+        F.count(F.lit(1)).over(w).alias("n_same"),
+        (F.count(F.lit(1)).over(w) > 1).alias("is_dup"),
+    )
+
+
+#: (applicationId, documents file identity) → cached (doc_id,
+#: phash_hi, phash_lo) frame — the decode is the expensive part and
+#: both phash queries consume the same bits
+_PHASH_CACHE: dict = {}
+
+
+def _phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash_hi, phash_lo) over real decodes, keyed-cached
+    per (session, documents file identity) — see
+    :func:`multimodal_phash_dedup` for the hash definition."""
+    from mr_python_spark.dedup import _keyed_df_cache
+
+    def build() -> DataFrame:
+        return _phash_hashes(spark, sf_dir).cache()
+
+    return _keyed_df_cache(_PHASH_CACHE, spark, sf_dir, build)
+
+
+def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 4 != 0
     )
@@ -887,12 +923,107 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the broadcast-state counter-rule)
     from mr_python_spark.session import spread
 
-    hashed = spread(with_payload).mapInPandas(phash, _PHASH_SCHEMA)
-    w = Window.partitionBy("phash_hi", "phash_lo")
-    return hashed.select(
+    return spread(with_payload).mapInPandas(phash, _PHASH_SCHEMA)
+
+
+#: near-dup acceptance: dHash Hamming distance ≤ this (the standard
+#: dHash similarity threshold)
+PHASH_HAM_MAX = 10
+#: LSH-style bucket cap (the text family's posture: a band value
+#: shared by B images yields B² candidates, so bound per-bucket work)
+PHASH_BUCKET_CAP = 64
+
+_PHASH_NEAR_ORACLE = (
+    _PHASH_BITS_CTES
+    + f"""
+, bands AS (
+  SELECT doc_id, phash_hi, phash_lo, 0 AS band, phash_lo & 65535 AS bval FROM bits
+  UNION ALL
+  SELECT doc_id, phash_hi, phash_lo, 1, (phash_lo >> 16) & 65535 FROM bits
+  UNION ALL
+  SELECT doc_id, phash_hi, phash_lo, 2, phash_hi & 65535 FROM bits
+  UNION ALL
+  SELECT doc_id, phash_hi, phash_lo, 3, (phash_hi >> 16) & 65535 FROM bits
+),
+small AS (
+  SELECT band, bval FROM bands
+  GROUP BY band, bval HAVING COUNT(*) BETWEEN 2 AND {PHASH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.phash_hi, b.phash_hi))
+           + bit_count(xor(a.phash_lo, b.phash_lo)) AS hamming
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+  JOIN small s ON s.band = a.band AND s.bval = a.bval
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM cand WHERE hamming <= {PHASH_HAM_MAX}
+"""
+)
+
+
+@register("multimodal_phash_near", _PHASH_NEAR_ORACLE)
+def multimodal_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-NEAR image duplicates — the simhash banding trick
+    applied to the shared pHash frame: split each 64-bit dHash into
+    4 × 16-bit bands, bucket images by (band, value), explode
+    in-bucket pairs JVM-side (the text LSH family's one-shuffle
+    posting shape, never all-pairs), and accept pairs within
+    ``PHASH_HAM_MAX`` bits.  A pair differing in ≤ 10 of 64 bits
+    differs in at most 10 bands-worth of bits, so by pigeonhole it
+    collides in at least one 16-bit band whenever its flipped bits
+    cluster — the recall/cost trade every banded LSH makes, with
+    ``PHASH_BUCKET_CAP`` bounding boilerplate buckets exactly like
+    the text caps.
+
+    Exact-duplicate pairs (hamming 0) are included by construction —
+    this operator is the superset report; ``multimodal_phash_dedup``
+    is the exact-collision clustering view of the same frame (shared
+    keyed cache, one decode pass between them).
+
+    Verification is inline (each bucket's struct list carries both
+    hashes, so ``bit_count(hi⊕hi') + bit_count(lo⊕lo')`` needs no
+    join back), and the whole pipeline after the cached hash frame is
+    JVM codegen.  Hash-gated against the same closed-form raster law
+    as the parent.
+    """
+    hashed = _phash_frame(spark, sf_dir)
+    bands = hashed.select(
         "doc_id",
         "phash_hi",
         "phash_lo",
-        F.count(F.lit(1)).over(w).alias("n_same"),
-        (F.count(F.lit(1)).over(w) > 1).alias("is_dup"),
+        F.expr(
+            "stack(4,"
+            " 0, phash_lo & 65535L,"
+            " 1, shiftright(phash_lo, 16) & 65535L,"
+            " 2, phash_hi & 65535L,"
+            " 3, shiftright(phash_hi, 16) & 65535L) AS (band, bval)"
+        ),
+    )
+    buckets = (
+        bands.groupBy("band", "bval")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "phash_hi", "phash_lo"))
+            ).alias("ds")
+        )
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= PHASH_BUCKET_CAP))
+    )
+    pair = F.explode(
+        F.expr(
+            """
+            flatten(transform(ds, (x, i) ->
+              transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+                struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                       bit_count(x.phash_hi ^ y.phash_hi)
+                         + bit_count(x.phash_lo ^ y.phash_lo) AS hamming))))
+            """
+        )
+    )
+    return (
+        buckets.select(pair.alias("p"))
+        .select("p.doc_a", "p.doc_b", F.col("p.hamming").cast("long").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
     )

@@ -121,6 +121,7 @@ REPRESENTATIVE = [
     "multimodal_phash_dedup",
     "attribution_last_touch",
     "transpose_region_metrics",
+    "multimodal_phash_near",
 ]
 # dedup_lsh_eval_report is udf-oracle tier (covered by check_correctness)
 

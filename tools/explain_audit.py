@@ -690,6 +690,14 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=0,
     ),
+    # pHash near-dup: cached hash leaf → stack bands (Generate) →
+    # bucket aggregate with cap → JVM pair explosion; verification is
+    # inline popcount, so NO join of any kind appears
+    "multimodal_phash_near": dict(
+        must=[r"Generate", r"HashAggregate|SortAggregate"],
+        must_not=[r"CartesianProduct", r"Join"],
+        hinted_broadcasts=0,
+    ),
     # prototypicality ranking: one Arrow assign+cosine pass (centroids
     # by closure), then the cell-keyed rank/count window over
     # three-integer rows — no joins; the Window partitions by cell

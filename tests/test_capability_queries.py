@@ -122,6 +122,7 @@ REPRESENTATIVE = [
     "attribution_last_touch",
     "transpose_region_metrics",
     "multimodal_phash_near",
+    "zorder_bucket_stats",
 ]
 # dedup_lsh_eval_report is udf-oracle tier (covered by check_correctness)
 
@@ -801,3 +802,21 @@ def test_prototypicality_prune_policy(spark):
         assert pruned == set(range(1, n // 4 + 1)), (cell, n, pruned)
         # ranks are a permutation of 1..n (total order, no ties)
         assert {r.proto_rank for r in rs} == set(range(1, n + 1))
+
+
+def test_zorder_buckets_localize_both_dims(spark):
+    """Purpose check: z-ordering must give BOTH dimensions narrow
+    per-bucket envelopes (a single-column sort leaves the other
+    dimension full-range in every bucket)."""
+    from mr_python_spark.operators.bucketing import zorder_bucket_stats
+
+    rows = zorder_bucket_stats(spark, SF).collect()
+    assert len(rows) > 4
+    g_cust = max(r.max_cust for r in rows) - min(r.min_cust for r in rows)
+    g_day = max(r.max_day for r in rows) - min(r.min_day for r in rows)
+    # mean per-bucket span, weighted by rows
+    n = sum(r.n_orders for r in rows)
+    m_cust = sum((r.max_cust - r.min_cust) * r.n_orders for r in rows) / n
+    m_day = sum((r.max_day - r.min_day) * r.n_orders for r in rows) / n
+    assert m_cust < g_cust / 2, (m_cust, g_cust)
+    assert m_day < g_day / 2, (m_day, g_day)

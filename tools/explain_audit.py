@@ -690,6 +690,15 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=0,
     ),
+    # z-order layout stats: 1-row bounds aggregate broadcast back over
+    # the scan (the scalar-total BNLJ pattern — a deliberate hint of a
+    # CONSTANT-size frame), then codegen'd integer bit arithmetic +
+    # one partial-agged bucket groupBy — no Python, no equi-join
+    "zorder_bucket_stats": dict(
+        must=[r"partial_", r"HashAggregate", r"BroadcastNestedLoopJoin"],
+        must_not=[r"CartesianProduct", r"Window", r"MapInPandas"],
+        hinted_broadcasts=1,  # the 1-row min/max bounds frame
+    ),
     # pHash near-dup: cached hash leaf → stack bands (Generate) →
     # bucket aggregate with cap → JVM pair explosion; verification is
     # inline popcount, so NO join of any kind appears

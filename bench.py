@@ -116,6 +116,8 @@ HEADLINE = [
     "moore_lewis_selection",
     "multimodal_phash_dedup",
     "multimodal_phash_near",
+    "nb_calibration_report",
+    "zorder_bucket_stats",
 ]
 
 

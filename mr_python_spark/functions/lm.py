@@ -210,7 +210,7 @@ NB_STOP_PCT = 6
 
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
 
-_NB_ORACLE = f"""
+_NB_CTES = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
   FROM documents
@@ -254,15 +254,24 @@ prior AS (
   SELECT length(bin((n_good + 1) * {NB_SCALE} // (n_docs + 2)))
        - length(bin((n_bad + 1) * {NB_SCALE} // (n_docs + 2))) AS pbits
   FROM class_docs
+),
+nb_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(dbits) + (SELECT pbits FROM prior) AS BIGINT) AS score_bits,
+         CAST(CASE WHEN SUM(dbits) + (SELECT pbits FROM prior) >= 0
+                   THEN 1 ELSE 0 END AS INTEGER) AS pred_good
+  FROM scored
+  GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       CAST(SUM(dbits) + (SELECT pbits FROM prior) AS BIGINT) AS score_bits,
-       CAST(CASE WHEN SUM(dbits) + (SELECT pbits FROM prior) >= 0
-                 THEN 1 ELSE 0 END AS INTEGER) AS pred_good
-FROM scored
-GROUP BY doc_id
 """
+
+_NB_ORACLE = (
+    _NB_CTES
+    + """
+SELECT doc_id, n_tokens, score_bits, pred_good FROM nb_doc
+"""
+)
 
 
 @register("nb_quality_classifier", _NB_ORACLE)
@@ -663,6 +672,20 @@ def moore_lewis_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/docs.rst:137-176); data selection is the
     LLM-pipeline extension tier (SURVEY.md §6).
     """
+    from mr_python_spark.dedup import _keyed_df_cache
+
+    def build() -> DataFrame:
+        return _ml_scored(spark, sf_dir).cache()
+
+    return _keyed_df_cache(_ML_CACHE, spark, sf_dir, build)
+
+
+#: (applicationId, documents file identity) → cached Moore-Lewis
+#: per-doc frame; the LM-family cache convention
+_ML_CACHE: dict = {}
+
+
+def _ml_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", tokens_col().alias("toks")
     )
@@ -720,4 +743,89 @@ def moore_lewis_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in_bits",
         (F.col("in_bits") - F.col("gen_bits")).cast("long").alias("delta_bits"),
         (F.col("in_bits") < F.col("gen_bits")).alias("selected"),
+    )
+
+
+# --- classifier calibration ----------------------------------------------
+
+#: calibration bin width in score bits (scores span roughly ±30 on
+#: this corpus — width 8 gives a readable handful of bins and scales
+#: with nothing); the +2^20 shift keeps the integer division on
+#: POSITIVE operands so floor (DuckDB //) and trunc (Spark div) agree
+NB_CAL_BIN = 8
+NB_CAL_SHIFT = 1 << 20
+
+_NB_CAL_ORACLE = (
+    _NB_CTES
+    + f"""
+, weak AS (
+  SELECT doc_id,
+         CASE WHEN 100 * len(list_filter(t, x -> x IN ({_STOP_IN})))
+                   >= {NB_STOP_PCT} * len(t)
+              THEN 1 ELSE 0 END AS g
+  FROM toks
+)
+SELECT CAST(((score_bits + {NB_CAL_SHIFT}) // {NB_CAL_BIN})
+            - {NB_CAL_SHIFT // NB_CAL_BIN} AS BIGINT) AS score_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(g) AS BIGINT) AS n_weak_good,
+       CAST(SUM(pred_good) AS BIGINT) AS n_pred_good,
+       CAST(SUM(CASE WHEN pred_good = g THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+FROM nb_doc JOIN weak USING (doc_id)
+GROUP BY 1
+"""
+)
+
+
+@register("nb_calibration_report", _NB_CAL_ORACLE)
+def nb_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table for the NB quality classifier:
+    bucket the signed per-doc score into fixed bit-width bins and
+    report, per bin, how many documents the OUT-OF-SAMPLE weak-label
+    rule (the same stopword-mass heuristic, applied to the whole
+    corpus rather than the training sample) calls good, how many the
+    classifier calls good, and how often they agree.  A trustworthy
+    classifier's weak-good fraction rises monotonically with the
+    score bin — this table is how a pipeline decides where to put the
+    keep threshold, the same evaluation step the ablation curve does
+    for the heuristic quality score.
+
+    Determinism: scores are the NB family's exact signed integers;
+    binning shifts by ``NB_CAL_SHIFT`` before dividing so BOTH
+    engines divide positive operands (floor ≡ trunc — the
+    trunc-vs-floor divergence on negatives never arises), then
+    recenters.  Agreement counts are integer sums.
+
+    Scale: the NB per-doc frame is the parent's one-scan shape; the
+    weak-label pass is a second narrow scan (token arrays never
+    shuffle — the label is a per-row projection); the join shuffles
+    four-integer rows; the report frame is |bins| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    n_stop = F.size(F.expr(f"filter(toks, x -> x IN ({_STOP_IN}))"))
+    weak = docs.select(
+        "doc_id",
+        (100 * n_stop >= NB_STOP_PCT * F.size("toks")).cast("int").alias("g"),
+    )
+    nb_doc = nb_quality_classifier(spark, sf_dir).select(
+        "doc_id", "score_bits", "pred_good"
+    )
+    S, B = NB_CAL_SHIFT, NB_CAL_BIN
+    return (
+        nb_doc.join(weak, "doc_id")
+        .groupBy(
+            F.expr(f"((score_bits + {S}L) div {B}L) - {S // B}L")
+            .cast("long")
+            .alias("score_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("g").cast("long").alias("n_weak_good"),
+            F.sum("pred_good").cast("long").alias("n_pred_good"),
+            F.sum((F.col("pred_good") == F.col("g")).cast("long"))
+            .cast("long")
+            .alias("n_agree"),
+        )
     )

@@ -123,6 +123,7 @@ REPRESENTATIVE = [
     "transpose_region_metrics",
     "multimodal_phash_near",
     "zorder_bucket_stats",
+    "nb_calibration_report",
 ]
 # dedup_lsh_eval_report is udf-oracle tier (covered by check_correctness)
 

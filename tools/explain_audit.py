@@ -729,9 +729,19 @@ AUDITS: dict[str, dict] = {
     # lm_scored_builder); bigrams built in-array, per-doc aggregates
     # partial-combine, the final join shuffles five-integer rows only
     "moore_lewis_selection": dict(
-        must=[r"BroadcastHashJoin", r"TakeOrderedAndProject", r"partial_"],
+        must=[r"partial_"],
         must_not=[r"CartesianProduct", r"Window"],
-        hinted_broadcasts=2,  # in-domain unigram + bigram model tables
+        # keyed-cached (round 14): consumers plan an InMemoryTableScan
+        # leaf; the in-domain model hints are policed on the UNCACHED
+        # builder (ml_scored_builder below)
+        hinted_broadcasts=0,
+    ),
+    # NB calibration: cached-class per-doc NB frame + one narrow
+    # weak-label scan + a four-integer doc_id join + |bins| aggregate
+    "nb_calibration_report": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"Window"],
+        hinted_broadcasts=1,  # the NB vocab model table (parent's hint)
     ),
     # winnow matching: codegen'd exploded winnowing core (per-doc
     # Window — the measured 17× choice over in-array lambdas) feeding
@@ -1125,6 +1135,11 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"SortMergeJoin"],
         hinted_broadcasts=2,  # unigram + bigram model tables
     ),
+    "ml_scored_builder": dict(
+        must=[r"BroadcastHashJoin", r"TakeOrderedAndProject", r"partial_"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=2,  # in-domain unigram + bigram model tables
+    ),
 }
 
 
@@ -1149,11 +1164,23 @@ def _quality_fp_builder(spark, sf_dir):
     return pipeline._quality_fp(spark, sf_dir)
 
 
+def _ml_scored_builder(spark, sf_dir):
+    # same eviction rule as the LM builder (see above); the GENERAL-LM
+    # cache is deliberately left warm — its model hints are policed by
+    # lm_scored_builder, so this entry isolates the IN-DOMAIN hints
+    from mr_python_spark.functions import lm
+
+    for k in list(lm._ML_CACHE):
+        lm._ML_CACHE.pop(k).unpersist()
+    return lm._ml_scored(spark, sf_dir)
+
+
 #: pseudo-entries auditing UNCACHED builder frames that registry
 #: queries only ever consume through a keyed cache
 FRAME_BUILDERS = {
     "lm_scored_builder": _lm_scored_builder,
     "quality_fp_builder": _quality_fp_builder,
+    "ml_scored_builder": _ml_scored_builder,
 }
 
 

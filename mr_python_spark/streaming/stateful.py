@@ -437,3 +437,110 @@ def streaming_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = run_to_memory(spark, sessions, "stream_sessions_to")
     # sentinel users (negative ids) filtered from the materialized sink
     return result.filter(F.col("user_id") >= 0)
+
+
+@register("streaming_attribution_live")  # oracle registered below (shared)
+def streaming_attribution_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution AS a live stateful stream — the
+    streaming half of :func:`~mr_python_spark.operators.timeseries.
+    attribution_last_touch`, the cms/streaming_cms pairing pattern:
+    per-user state carries the most recent marketing touch across
+    micro-batches, and each purchase row emits its attribution the
+    moment it is processed (append mode — the online shape a
+    real-time marketing pipeline needs, where the batch window
+    recompute would mean hours of latency).
+
+    Semantics are IDENTICAL to the batch operator (most recent
+    view/click/signup within ``ATTR_WINDOW_HOURS``, else 'direct';
+    same (ts, event_id) total order, same ``fixed_point`` value
+    quantization), so the batch oracle gates the streamed result
+    value-for-value after the per-channel rollup.
+
+    Scale: state per user is ONE (touch_ts, touch_type) pair —
+    bounded by |users|, not stream length; on a production continuous
+    stream a watermark-driven state TTL evicts idle users.  Within a
+    batch each key's chunks are accumulated and sorted once (the
+    sessionizer's rule); across batches the carried state preserves
+    the order contract as long as the source respects event-time
+    chunking, which the staged single-file stream trivially does.
+    """
+    from mr_python_spark.operators.timeseries import ATTR_WINDOW_HOURS
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("channel", T.StringType()),
+            T.StructField("v_fp", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("touch_us", T.LongType()),
+            T.StructField("touch_type", T.StringType()),
+        ]
+    )
+    window_us = ATTR_WINDOW_HOURS * 3600 * 1_000_000
+
+    def attribute(key, pdf_iter, state: GroupState):
+        import math
+
+        touch_us, touch_type = state.get if state.exists else (-1, "")
+        chunks = []
+        for pdf in pdf_iter:
+            if not pdf.empty:
+                pdf = pdf.copy()
+                pdf["us"] = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+                chunks.append(pdf[["us", "event_id", "event_type", "value"]])
+        out: list[tuple[int, str, int]] = []
+        if chunks:
+            allrows = pd.concat(chunks).sort_values(["us", "event_id"])
+            for r in allrows.itertuples(index=False):
+                us = int(r.us)
+                if r.event_type == "purchase":
+                    if touch_us >= 0 and us - touch_us <= window_us:
+                        ch = touch_type
+                    else:
+                        ch = "direct"
+                    # the audited fixed_point device (floor(x*100+0.5))
+                    out.append(
+                        (int(r.event_id), ch, int(math.floor(r.value * 100 + 0.5)))
+                    )
+                else:
+                    touch_us, touch_type = us, str(r.event_type)
+        state.update((touch_us, touch_type))
+        if out:
+            yield pd.DataFrame(out, columns=["event_id", "channel", "v_fp"])
+
+    stream = (
+        staged_events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "click", "signup", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    attributed = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            attribute,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    mem = run_to_memory(spark, attributed, "stream_attr")
+    return mem.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("v_fp").cast("long").alias("value_fp"),
+        (F.sum("v_fp").cast("double") / 100.0).alias("attributed_value"),
+    )
+
+
+def _register_attr_oracle() -> None:
+    # the batch operator's oracle gates the streamed result verbatim
+    from mr_python_spark.operators.timeseries import _ATTR_ORACLE
+    from mr_python_spark.registry import ORACLES
+
+    ORACLES["streaming_attribution_live"] = _ATTR_ORACLE
+
+
+_register_attr_oracle()

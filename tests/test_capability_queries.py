@@ -124,6 +124,7 @@ REPRESENTATIVE = [
     "multimodal_phash_near",
     "zorder_bucket_stats",
     "nb_calibration_report",
+    "streaming_attribution_live",
 ]
 # dedup_lsh_eval_report is udf-oracle tier (covered by check_correctness)
 

@@ -344,3 +344,22 @@ def test_streaming_cdc_apply_matches_pure_python_log_fold(spark):
         if r.o_orderkey % 20 == 0 and r.o_orderkey % 13 != 0:
             assert got[r.o_orderkey][2] == cents(r.o_totalprice, 120)
             break
+
+
+def test_streaming_attribution_equals_batch(spark):
+    """The live stateful attribution and the batch window formulation
+    must agree value-for-value — the cms/streaming_cms pairing
+    contract."""
+    from mr_python_spark.operators.timeseries import attribution_last_touch
+    from mr_python_spark.streaming.stateful import streaming_attribution_live
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r.channel: (r.n_purchases, r.value_fp)
+        for r in attribution_last_touch(spark, sf).collect()
+    }
+    live = {
+        r.channel: (r.n_purchases, r.value_fp)
+        for r in streaming_attribution_live(spark, sf).collect()
+    }
+    assert batch == live and batch

@@ -1032,6 +1032,14 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"Join"],
         hinted_broadcasts=0,
     ),
+    # streaming attribution: the audited plan is the per-channel
+    # rollup over the stream-materialized per-purchase rows — a
+    # |channels|-row partial-agged aggregate, no joins
+    "streaming_attribution_live": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"Join", r"Window"],
+        hinted_broadcasts=0,
+    ),
     # streaming sketch probe: the audited plan is the batch probe over
     # the stream-materialized 1024-row counter frame (hinted)
     "streaming_cms_hitters": dict(

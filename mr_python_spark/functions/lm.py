@@ -765,7 +765,8 @@ _NB_CAL_ORACLE = (
               THEN 1 ELSE 0 END AS g
   FROM toks
 )
-SELECT CAST(((score_bits + {NB_CAL_SHIFT}) // {NB_CAL_BIN})
+SELECT CAST(((LEAST(GREATEST(score_bits, -{NB_CAL_SHIFT}), {NB_CAL_SHIFT})
+              + {NB_CAL_SHIFT}) // {NB_CAL_BIN})
             - {NB_CAL_SHIFT // NB_CAL_BIN} AS BIGINT) AS score_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(g) AS BIGINT) AS n_weak_good,
@@ -816,7 +817,14 @@ def nb_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         nb_doc.join(weak, "doc_id")
         .groupBy(
-            F.expr(f"((score_bits + {S}L) div {B}L) - {S // B}L")
+            # clamp to +-SHIFT before shifting: the shift guarantees a
+            # POSITIVE division operand (floor == trunc) only within
+            # that range, and a single ~35k-token extreme document
+            # could otherwise push score_bits past it
+            F.expr(
+                f"((least(greatest(score_bits, -{S}L), {S}L) + {S}L)"
+                f" div {B}L) - {S // B}L"
+            )
             .cast("long")
             .alias("score_bucket")
         )

@@ -858,8 +858,12 @@ def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 4 != 0
     )
+    # only the payload LENGTH reaches the fixture encoder (dims derive
+    # from it, seed/format from doc_id) — shipping just the length
+    # keeps the spread repartition from shuffling corpus bytes, which
+    # is also what makes the "payloads never shuffle" scale claim true
     with_payload = docs.select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+        "doc_id", F.octet_length(F.col("text").cast("binary")).alias("plen")
     )
 
     def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -881,10 +885,10 @@ def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             his, los = [], []
-            for d, p in zip(pdf["doc_id"], pdf["payload"]):
-                d = int(d)
+            for d, plen in zip(pdf["doc_id"], pdf["plen"]):
+                d, plen = int(d), int(plen)
                 fmt, seed = d % 4, d % 97
-                w, h = 1 + len(p) % 64, 1 + (len(p) * 3) % 64
+                w, h = 1 + plen % 64, 1 + (plen * 3) % 64
                 if fmt == 3:
                     payload = encode_jpeg_lossless(
                         w, h, rgb=law_raster(w, h, 3, seed), seed=seed

@@ -1386,7 +1386,6 @@ def prototypicality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     C = _trained_model(spark, sf_dir)["C_norm"]
-    cnorm = np.linalg.norm(C, axis=1)
 
     out_schema = T.StructType(
         [
@@ -1402,21 +1401,27 @@ def prototypicality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            M = np.array(list(pdf["embedding"]), dtype=np.float64)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            cells = cell_distances(Mn, C).argmin(1)
-            # per-row 1-D dot (ddot), NOT a batch GEMM: the oracle
-            # mirrors this exact sequence, so cos bits match and the
-            # floor quantization cannot flip on a boundary
-            fps = [
-                int(math.floor((1.0 + float(np.dot(Mn[i], C[c])) / cnorm[c])
-                               * PROTO_SCALE))
-                for i, c in enumerate(cells)
-            ]
+            # WHOLLY per-row numpy, matching the oracle's sequence
+            # op-for-op: 1-D np.linalg.norm (NOT the axis batch norm —
+            # measured 1-ulp different on ~16% of rows), GEMV cell
+            # assignment (NOT the batch GEMM), 1-D ddot, one divide.
+            # Bit-identical inputs to floor() on both engines is the
+            # whole quantization contract; at production scale the
+            # batch-GEMM variant needs a quantization-margin audit
+            # instead (the SemDeDup boundary-pinning approach).
+            vec_ids, cells, fps = [], [], []
+            for vid, e in zip(pdf["vec_id"], pdf["embedding"]):
+                v = np.asarray(e, dtype=np.float64)
+                vn = v / np.linalg.norm(v)
+                c = int(cell_distances(vn, C).argmin())
+                cos = float(np.dot(vn, C[c]) / np.linalg.norm(C[c]))
+                vec_ids.append(int(vid))
+                cells.append(c)
+                fps.append(int(math.floor((1.0 + cos) * PROTO_SCALE)))
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "cell": cells.astype(np.int32),
+                    "vec_id": np.array(vec_ids, dtype=np.int64),
+                    "cell": np.array(cells, dtype=np.int32),
                     "cos_fp": fps,
                 }
             )

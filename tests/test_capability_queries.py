@@ -726,9 +726,6 @@ def test_phash_dhash_hand_computed():
     """64-bit dHash of a hand-checkable raster: w=9, h=8, ch=1 makes
     the grid the identity (x_j = j, y_i = i), so bit (i,j) is simply
     law(i, j) < law(i, j+1) — verified against an independent loop."""
-    from mr_python_spark.registry import QUERIES, load_all_modules
-
-    load_all_modules()
     # independent law + dHash
     seed = 12
 

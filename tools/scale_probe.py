@@ -56,6 +56,18 @@ QUERIES = [
     "scd2_event_intervals",
     "cdc_latest_snapshot",
     "merge_upsert_orders",
+    # round-14: the new real-compute operators — two-model LM
+    # selection (cached-LM consumer), the real-decode pHash pair
+    # (shared cached hash frame: dedup pays the decode, near pays
+    # banding + pair explosion), prototype ranking, join-free
+    # attribution, z-order layout stats, and the NB calibration join
+    "moore_lewis_selection",
+    "multimodal_phash_dedup",
+    "multimodal_phash_near",
+    "prototypicality_rank",
+    "attribution_last_touch",
+    "zorder_bucket_stats",
+    "nb_calibration_report",
 ]
 
 

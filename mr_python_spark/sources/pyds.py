@@ -408,3 +408,178 @@ def pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey bigint, n_name string, n_regionkey bigint, name_len int"
     ).json(files)
     return back
+
+
+# --- streaming write side of the Python Data Source API ------------------
+
+from pyspark.sql.datasource import DataSourceStreamWriter  # noqa: E402
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming sink via Spark 4's ``DataSourceStreamWriter`` — the
+    fourth quadrant of the Python Data Source matrix (batch read,
+    stream read, batch write, and now stream write).
+
+    The batch committer's attempt-scoped-temp + driver-rename protocol
+    is reused PER MICRO-BATCH, with two streaming-specific twists:
+    file names carry the batch id (``part-<batch>-<pid>.jsonl``), so a
+    batch REPLAYED after a checkpoint restart overwrites exactly its
+    own files — the sink is idempotent per batch id, which is what
+    "effectively once" means for a file sink — and each commit writes
+    a ``_SUCCESS_<batch>`` manifest listing only that batch's files,
+    so a reader materializes the union of manifests and never sees a
+    torn batch.
+    """
+
+    def __init__(self, options):
+        import uuid
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyjsonl_stream sink requires option 'path'")
+        self.job_id = uuid.uuid4().hex[:12]
+
+    def write(self, iterator):
+        import json as _json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # the batch id is not exposed to write(); commit() renames into
+        # batch-scoped names, so the temp name only needs attempt scope
+        tmp_name = f"part-{pid:05d}.{self.job_id}.{ctx.taskAttemptId()}.inprogress"
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        with open(os.path.join(self.path, tmp_name), "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return _JsonlCommit(filename=f"part-{pid:05d}", tmp_name=tmp_name, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import glob
+        import json as _json
+        import os
+
+        manifest = {}
+        for m in messages:
+            if m is None:
+                continue  # failed/retried task: its attempt temp is swept below
+            final = f"{m.filename}-b{batchId}.jsonl"
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, final),
+            )
+            manifest[final] = m.n_rows
+        for stray in glob.glob(
+            os.path.join(self.path, f"*.{self.job_id}.*.inprogress")
+        ):
+            os.remove(stray)
+        tmp = os.path.join(self.path, f"_SUCCESS_{batchId}.inprogress")
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, f"_SUCCESS_{batchId}"))
+
+    def abort(self, messages, batchId: int) -> None:
+        import glob
+        import os
+
+        for stray in glob.glob(
+            os.path.join(self.path, f"*.{self.job_id}.*.inprogress")
+        ):
+            try:
+                os.remove(stray)
+            except FileNotFoundError:
+                pass
+
+
+class JsonlStreamSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl_stream"
+
+    def streamWriter(self, schema, overwrite: bool):
+        return JsonlStreamWriter(self.options)
+
+
+_PYDS_STREAM_SINK_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_fp
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("pyds_stream_sink_roundtrip", _PYDS_STREAM_SINK_ORACLE)
+def pyds_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream events through the custom PYTHON STREAMING SINK and read
+    the per-batch manifests back — Spark 4 ``DataSourceStreamWriter``
+    end-to-end: per-task attempt-scoped temps, per-batch driver
+    commit + ``_SUCCESS_<batch>`` manifest, batch-id-scoped file names
+    (idempotent replay after checkpoint restart).
+
+    The read-back unions exactly the files the committed manifests
+    list, so a torn batch is unreadable by construction, then rolls
+    the rows up per event type — gated by the direct SQL oracle over
+    the source table.  Scale: write parallelism is the stream's
+    partitioning; each commit is one tiny driver rename pass; manifest
+    count grows with batch count, not data.
+    """
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    from mr_python_spark.streaming import staged_events_stream
+
+    _ensure_source(spark, JsonlStreamSinkDataSource)
+
+    cutoff = _time.time() - 3600
+    for stale in _glob.glob(
+        os.path.join(tempfile.gettempdir(), "pyds_stream_sink_*")
+    ):
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
+    out = os.path.join(
+        tempfile.gettempdir(), f"pyds_stream_sink_{uuid.uuid4().hex[:8]}"
+    )
+    ckpt = out + "_ckpt"
+
+    stream = staged_events_stream(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v_fp"),
+    )
+    q = (
+        stream.writeStream.format("pyjsonl_stream")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("pyds stream sink did not finish in 180s")
+
+    files: list[str] = []
+    for man in sorted(_glob.glob(os.path.join(out, "_SUCCESS_*"))):
+        with open(man) as f:
+            files.extend(os.path.join(out, name) for name in _json.load(f))
+    if not files:
+        raise RuntimeError("stream sink committed no batches")
+    rows = spark.read.json(files).select(
+        "event_type", F.col("v_fp").cast("long").alias("v_fp")
+    )
+    return rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v_fp").cast("long").alias("value_fp"),
+    )

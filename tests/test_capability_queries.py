@@ -125,6 +125,7 @@ REPRESENTATIVE = [
     "zorder_bucket_stats",
     "nb_calibration_report",
     "streaming_attribution_live",
+    "pyds_stream_sink_roundtrip",
 ]
 # dedup_lsh_eval_report is udf-oracle tier (covered by check_correctness)
 
@@ -819,3 +820,44 @@ def test_zorder_buckets_localize_both_dims(spark):
     m_day = sum((r.max_day - r.min_day) * r.n_orders for r in rows) / n
     assert m_cust < g_cust / 2, (m_cust, g_cust)
     assert m_day < g_day / 2, (m_day, g_day)
+
+
+def test_pyjsonl_stream_commit_protocol(tmp_path):
+    """Streaming committer contract: per-batch commit renames winning
+    attempts into BATCH-ID-SCOPED names (a replayed batch overwrites
+    exactly its own files — idempotent), tolerates None messages,
+    writes the per-batch manifest atomically, and abort sweeps only
+    this job's temps."""
+    import json
+
+    from mr_python_spark.sources.pyds import JsonlStreamWriter, _JsonlCommit
+
+    w = JsonlStreamWriter({"path": str(tmp_path)})
+
+    def stage(pid, attempt, n):
+        tmp = f"part-{pid:05d}.{w.job_id}.{attempt}.inprogress"
+        (tmp_path / tmp).write_text('{"x": 1}\n' * n)
+        return _JsonlCommit(filename=f"part-{pid:05d}", tmp_name=tmp, n_rows=n)
+
+    w.commit([stage(0, 11, 3), None, stage(1, 2, 2)], batchId=7)
+    assert not list(tmp_path.glob("*.inprogress"))
+    manifest = json.loads((tmp_path / "_SUCCESS_7").read_text())
+    assert manifest == {"part-00000-b7.jsonl": 3, "part-00001-b7.jsonl": 2}
+
+    # checkpoint-restart replay of the SAME batch id: files are simply
+    # overwritten, the manifest re-written — no duplicates appear
+    w2 = JsonlStreamWriter({"path": str(tmp_path)})
+    tmp = f"part-00000.{w2.job_id}.44.inprogress"
+    (tmp_path / tmp).write_text('{"x": 2}\n')
+    w2.commit([_JsonlCommit(filename="part-00000", tmp_name=tmp, n_rows=1)], batchId=7)
+    manifest = json.loads((tmp_path / "_SUCCESS_7").read_text())
+    assert manifest == {"part-00000-b7.jsonl": 1}
+    assert (tmp_path / "part-00000-b7.jsonl").read_text() == '{"x": 2}\n'
+
+    # abort: None-tolerant, sweeps this job's temps only
+    tmp = f"part-00003.{w2.job_id}.9.inprogress"
+    (tmp_path / tmp).write_text("{}\n")
+    other = tmp_path / "part-00000.ffffffffffff.1.inprogress"
+    other.write_text("{}\n")
+    w2.abort([None], batchId=8)
+    assert [p.name for p in tmp_path.glob("*.inprogress")] == [other.name]

@@ -1032,6 +1032,14 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"Join"],
         hinted_broadcasts=0,
     ),
+    # pyds streaming sink: the audited plan is the read-back rollup
+    # over the manifest-listed json files — one partial-agged
+    # aggregate, no joins
+    "pyds_stream_sink_roundtrip": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"Join", r"Window"],
+        hinted_broadcasts=0,
+    ),
     # streaming attribution: the audited plan is the per-channel
     # rollup over the stream-materialized per-purchase rows — a
     # |channels|-row partial-agged aggregate, no joins

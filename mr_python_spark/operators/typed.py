@@ -130,3 +130,61 @@ def interval_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(lat).alias("min_latency"),
         )
     )
+
+
+_SQLVAR_ORACLE = """
+WITH q AS (
+  SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS quota
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_big,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue,
+       (SELECT quota FROM q) AS quota
+FROM orders, q
+WHERE o_totalprice >= quota
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_variables_quota", _SQLVAR_ORACLE)
+def sql_variables_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables + ``EXECUTE IMMEDIATE`` — the
+    scripting surface: ``DECLARE VARIABLE``, ``SET VAR`` from a scalar
+    subquery (the p90 order-value quota), then a parameterized
+    ``EXECUTE IMMEDIATE ... USING`` query consuming the variable —
+    the pattern SQL-only pipelines use for config-driven thresholds
+    without string interpolation (injection-safe parameter binding).
+
+    The quota uses ``percentile_disc`` (an actual data value, exact
+    cross-engine — the doc_length_quantiles precedent); money sums go
+    through the fixed-point device.  The variable round-trips through
+    the session, so the oracle states the same computation with a
+    plain scalar subquery.
+
+    Scale: the quota is one TakeOrdered-class aggregate; the main
+    query is one partial-agged scan with the variable folded in as a
+    literal by the parser — variables add zero distributed cost.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    view = "sqlvar_orders"
+    orders.createOrReplaceTempView(view)
+    spark.sql("DECLARE OR REPLACE VARIABLE mrps_quota DOUBLE DEFAULT 0.0")
+    spark.sql(
+        "SET VAR mrps_quota = (SELECT percentile_disc(0.9)"
+        f" WITHIN GROUP (ORDER BY o_totalprice) FROM {view})"
+    )
+    return spark.sql(
+        f"""
+        EXECUTE IMMEDIATE
+        'SELECT o_orderpriority,
+                COUNT(*) AS n_big,
+                CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                     AS DOUBLE) / 100.0 AS revenue,
+                ? AS quota
+         FROM {view} WHERE o_totalprice >= ?
+         GROUP BY o_orderpriority'
+        USING mrps_quota, mrps_quota
+        """
+    )

@@ -126,6 +126,7 @@ REPRESENTATIVE = [
     "nb_calibration_report",
     "streaming_attribution_live",
     "pyds_stream_sink_roundtrip",
+    "sql_variables_quota",
 ]
 # dedup_lsh_eval_report is udf-oracle tier (covered by check_correctness)
 

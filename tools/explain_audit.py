@@ -1032,6 +1032,14 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"Join"],
         hinted_broadcasts=0,
     ),
+    # SQL session variables: the parser folds the variable to a
+    # literal, so the plan is one filtered scan + partial-agged
+    # aggregate — no join, the filter pushed to the scan
+    "sql_variables_quota": dict(
+        must=[r"partial_", r"HashAggregate", r"PushedFilters"],
+        must_not=[r"CartesianProduct", r"Join", r"Window"],
+        hinted_broadcasts=0,
+    ),
     # pyds streaming sink: the audited plan is the read-back rollup
     # over the manifest-listed json files — one partial-agged
     # aggregate, no joins

@@ -2331,3 +2331,52 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jsum_fp"),
         )
     )
+
+
+@register("dedup_minhash_estimate_envelope")  # udf-oracle in tools/udf_oracles.py
+def dedup_minhash_estimate_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR-precision audit — the third leg of the
+    family's measured-accuracy tier: ``dedup_lsh_eval_report``
+    measures banding RECALL (did a true pair surface), this measures
+    the estimator's ERROR (how far the 64-position signature match
+    fraction sits from the exact Jaccard) on every verified pair, with
+    a per-pair binomial 3σ acceptance flag.  matches/64 is a
+    length-64 Bernoulli mean with variance j(1−j)/64, so
+    ``|est − j| ≤ 3σ + half-quantum`` should hold for ~99.7% of pairs
+    — a systematic violation means the hash family is broken (not
+    min-wise independent), which is exactly what this gate would
+    catch.
+
+    Determinism: ``matches`` is an exact integer (zip_with equality
+    fold over the shared cached signature arrays); ``jaccard`` is the
+    verified pairs' double, bit-identical cross-engine by the family's
+    established contract; est/err/bound are the same IEEE sequence on
+    both engines, so the boolean flag hash-gates.
+
+    Scale: two broadcast-free equi-joins of the pair frame (bounded by
+    the LSH candidate budget) against the keyed-cached signature
+    frame — nothing new scans the corpus.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sig = minhash_signatures(spark, sf_dir)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))"
+    ).cast("long")
+    joined = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "jaccard", matches.alias("matches"))
+    )
+    est = F.col("matches").cast("double") / 64.0
+    bound = 3.0 * F.sqrt(F.col("jaccard") * (1.0 - F.col("jaccard")) / 64.0) + (
+        1.0 / 128.0
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        "matches",
+        F.floor(F.col("jaccard") * (1 << 20)).cast("long").alias("true_fp"),
+        (F.abs(est - F.col("jaccard")) <= bound).alias("within_3sigma"),
+    )

@@ -1032,6 +1032,14 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"Join"],
         hinted_broadcasts=0,
     ),
+    # minhash estimator envelope: pair frame (candidate-budget
+    # bounded) equi-joined twice against the cached signature frame —
+    # nothing rescans the corpus; no cartesian, no window
+    "dedup_minhash_estimate_envelope": dict(
+        must=[r"HashAggregate|SortAggregate"],
+        must_not=[r"CartesianProduct", r"Window"],
+        hinted_broadcasts=0,
+    ),
     # SQL session variables: the parser folds the variable to a
     # literal, so the plan is one filtered scan + partial-agged
     # aggregate — no join, the filter pushed to the scan

@@ -990,6 +990,48 @@ WHERE rank <= {KM_TOP_K}
 """
 
 
+
+def _minhash_est_envelope_sql() -> str:
+    """Estimator-precision envelope: the LSH dedup's verified pairs
+    (nested CTE = the full _minhash_sql), signatures rebuilt with the
+    same affine family, matches counted position-for-position, and
+    the binomial 3-sigma flag via the engine's exact IEEE sequence."""
+    p = MERSENNE_PRIME
+    mins = ",\n    ".join(
+        f"MIN(({HASH_A[i]} * h + {HASH_B[i]}) % {p}) AS m{i}"
+        for i in range(MINHASH_HASHES)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_HASHES)
+    )
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+h AS (
+  SELECT doc_id, ((xxh64_str(shingle) % {p}) + {p}) % {p} AS h
+  FROM (WITH {_SHINGLES} SELECT * FROM sh)
+),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM h GROUP BY doc_id
+),
+m AS (
+  SELECT pr.doc_a, pr.doc_b, pr.jaccard,
+         CAST({match_sum} AS BIGINT) AS matches
+  FROM pairs pr
+  JOIN sig a ON pr.doc_a = a.doc_id
+  JOIN sig b ON pr.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b, matches,
+       CAST(floor(jaccard * 1048576) AS BIGINT) AS true_fp,
+       (abs(CAST(matches AS DOUBLE) / 64.0 - jaccard)
+          <= 3.0 * sqrt(jaccard * (1.0 - jaccard) / 64.0) + (1.0 / 128.0))
+         AS within_3sigma
+FROM m
+"""
+
+
 def _inc_minhash_sql() -> str:
     """Asymmetric batch-probes-corpus variant of :func:`_minhash_sql`:
     candidates pair batch docs (doc_id % 10 = 0) with corpus docs in
@@ -1337,6 +1379,7 @@ def udf_oracles() -> dict[str, str]:
     """name -> DuckDB SQL requiring :func:`register_udfs` on the connection."""
     return {
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_minhash_estimate_envelope": _minhash_est_envelope_sql(),
         "dedup_incremental_minhash": _inc_minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "doc_fingerprint": _fingerprint_sql(),

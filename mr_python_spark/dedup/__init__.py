@@ -2380,3 +2380,131 @@ def dedup_minhash_estimate_envelope(spark: SparkSession, sf_dir: str) -> DataFra
         F.floor(F.col("jaccard") * (1 << 20)).cast("long").alias("true_fp"),
         (F.abs(est - F.col("jaccard")) <= bound).alias("within_3sigma"),
     )
+
+
+# --- CCNet-style paragraph-level dedup (remove, don't just flag) ------
+
+#: tokens per pseudo-paragraph.  The CCNet pipeline (Wenzek et al.
+#: 2019, arXiv:1911.00359) hashes newline-delimited paragraphs; the
+#: driver corpus is single-line text, so the deterministic stand-in
+#: boundary is a fixed 20-token grid (the same segmentation trade
+#: dedup_exact_substring makes for its span grid).
+_CCNET_BLOCK = 20
+
+_CCNET_PARA_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+), pos AS (
+  -- generate_subscripts is itself row-generating: combining it with
+  -- unnest (the DISTINCT-shingle idiom above) would cross-product the
+  -- rows, which string_agg cannot tolerate
+  SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks
+), blocks AS (
+  SELECT doc_id,
+         CAST((i - 1) // {_CCNET_BLOCK} AS BIGINT) AS b,
+         string_agg(t[i], ' ' ORDER BY i) AS block
+  FROM pos GROUP BY doc_id, (i - 1) // {_CCNET_BLOCK}
+), keep AS (
+  SELECT doc_id, b, block,
+         ROW_NUMBER() OVER (PARTITION BY block ORDER BY doc_id, b) AS rnk
+  FROM blocks
+), per AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_paras,
+         CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         string_agg(CASE WHEN rnk = 1 THEN block END, ' ' ORDER BY b)
+           AS agg_text
+  FROM keep GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_paras, 0) AS n_paras,
+       COALESCE(n_kept, 0) AS n_kept,
+       COALESCE(agg_text, '') AS cleaned_text
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+@register("dedup_ccnet_paragraphs", _CCNET_PARA_ORACLE)
+def dedup_ccnet_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup: REMOVE corpus-duplicated paragraphs
+    and emit the reconstructed document, not just a dup score.
+
+    Wenzek et al. 2019 (CCNet) dedups Common Crawl by hashing each
+    paragraph and keeping exactly one copy corpus-wide; boilerplate
+    (cookie banners, navigation, license footers) disappears from
+    every document but the first.  Here the paragraph boundary is a
+    deterministic 20-token grid (driver corpus is single-line — see
+    ``_CCNET_BLOCK``), the keeper is the globally-least ``(doc_id,
+    block_idx)`` instance, and each document is re-assembled from its
+    surviving paragraphs in order — ``n_paras``/``n_kept``/
+    ``cleaned_text`` per document.
+
+    Cross-engine determinism: blocks are exact strings (no hashing in
+    the compared result), the winner rule is a total order, and the
+    rebuilt text is an order-pinned join — every output column is
+    exact.
+
+    100 TB posture: the paragraph grid is one JVM ``posexplode`` (no
+    self-join, no corpus window — the keeper comes from a map-side-
+    combined ``min(struct)`` aggregate, unlike the oracle's
+    ROW_NUMBER formulation which is DuckDB-side only).  Shuffles:
+    winner aggregate + keeper join (both keyed on the block) and the
+    per-doc rebuild — all linear.  At scale the block SHUFFLE key
+    would be ``xxhash64(block)`` with the text carried only on the
+    instance stream (the ``_span_frame`` idiom at
+    dedup_exact_substring); the string key is kept here so the result
+    stays plain-SQL-oracle-able.  Reference scope: tinymr.py's word
+    count (docs.rst:27-34) is the flat-map/group/reduce shape this
+    extends to reconstruction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select("doc_id", tokens_col().alias("t"))
+    blocks = toks.filter(F.expr("size(t) > 0")).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, "
+                f"cast(ceil(size(t) / {_CCNET_BLOCK}.0) as int) - 1), "
+                f"b -> array_join(slice(t, b * {_CCNET_BLOCK} + 1, "
+                f"{_CCNET_BLOCK}), ' '))"
+            )
+        ).alias("b", "block"),
+    )
+    win = blocks.groupBy("block").agg(
+        F.min(F.struct("doc_id", "b")).alias("w")
+    )
+    kept = blocks.join(win, "block").select(
+        "doc_id",
+        "b",
+        "block",
+        (
+            (F.col("doc_id") == F.col("w.doc_id")) & (F.col("b") == F.col("w.b"))
+        ).alias("is_kept"),
+    )
+    per = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("is_kept"), F.struct("b", "block"))
+                    )
+                ),
+                lambda x: x["block"],
+            ),
+            " ",
+        ).alias("agg_text"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("agg_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -60,6 +60,7 @@ REPRESENTATIVE = [
     "map_funcs_events",
     "lang_id_stopword",
     "dedup_ngram_jaccard_exact",
+    "dedup_ccnet_paragraphs",
     "grouped_map_top2_sharded",
     "agg_salted_skew",
     "median_price_by_priority",

@@ -309,6 +309,16 @@ AUDITS: dict[str, dict] = {
                   r"Exchange hashpartitioning.*text"],
         hinted_broadcasts=0,
     ),
+    # CCNet paragraph removal: block grid is ONE Generate (no window,
+    # no self-join); winner comes from a map-side-combined min(struct)
+    # aggregate, keeper join is block-keyed equi
+    "dedup_ccnet_paragraphs": dict(
+        must=[r"Generate", r"partial_min",
+              r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                  r"Window"],
+        hinted_broadcasts=0,
+    ),
     # SemDeDup: one hash-by-cell exchange between the two pandas ops;
     # no pair join, no corpus-sized broadcast
     "dedup_semantic": dict(

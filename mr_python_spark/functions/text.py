@@ -1131,3 +1131,107 @@ def vocab_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"n_hapax * {VOCAB_SCALE}L div n_types").alias("hapax_fp"),
         )
     )
+
+
+# --- PMI collocation mining (the canonical MapReduce "pairs" pattern) -
+
+#: co-occurrence window (tokens to the right) and minimum pair support
+_PMI_WINDOW = 3
+_PMI_MIN_COUNT = 5
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks
+), flat AS (
+  SELECT doc_id, i, t[i] AS w FROM pos
+), pr AS (
+  SELECT CASE WHEN a.w <= b.w THEN a.w ELSE b.w END AS w1,
+         CASE WHEN a.w <= b.w THEN b.w ELSE a.w END AS w2
+  FROM flat a JOIN flat b
+    ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND {_PMI_WINDOW}
+), pc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+  FROM pr GROUP BY w1, w2 HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM flat GROUP BY w
+)
+SELECT w1, w2, pair_cnt, u1.c AS c1, u2.c AS c2,
+       CAST((pair_cnt * 100000000) // (u1.c * u2.c) AS BIGINT) AS score_e8
+FROM pc JOIN uni u1 ON u1.w = pc.w1 JOIN uni u2 ON u2.w = pc.w2
+ORDER BY score_e8 DESC, pair_cnt DESC, w1, w2
+LIMIT 100
+"""
+
+
+@register("cooccurrence_pmi", _PMI_ORACLE)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: top co-occurring word pairs within a
+    ±3-token window, ranked by pointwise mutual information.
+
+    This is the textbook MapReduce "pairs" pattern (Lin & Dyer,
+    *Data-Intensive Text Processing with MapReduce* §3.2) — the shape
+    the reference's word count generalizes to when the unit becomes a
+    pair.  PMI = log N·c(a,b)/(c(a)c(b)); since N is constant across
+    pairs, ranking by the exact integer ``score_e8 =
+    ⌊10⁸·c(a,b)/(c(a)c(b))⌋`` IS the PMI ranking with zero
+    transcendental functions — the char-diversity lesson (JVM log vs
+    libm log disagree in the last ulp) applied to collocations.
+
+    100 TB posture: pair generation is pure JVM array code — one
+    ``zip_with`` per window offset and ONE explode, never a
+    positions self-join (the oracle's join formulation is the
+    DuckDB-side spelling only).  Pair counting is word-count-shaped
+    (partial+final); the two unigram joins key on a vocab-sized frame
+    (sublinear in corpus), and top-k is TakeOrderedAndProject, not a
+    global sort.  ``score_e8`` fits int64 while pair counts stay
+    below ~9·10¹⁰; past that, widen the numerator to DECIMAL(38,0) —
+    same plan, wider codegen type.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select("doc_id", tokens_col().alias("t"))
+    offsets = [
+        F.expr(
+            f"filter(zip_with(t, slice(t, {k + 1}, size(t)), (x, y) -> "
+            f"CASE WHEN y IS NOT NULL THEN "
+            f"IF(x <= y, concat(x, ' ', y), concat(y, ' ', x)) END), "
+            f"p -> p IS NOT NULL)"
+        )
+        for k in range(1, _PMI_WINDOW + 1)
+    ]
+    pairs = toks.select(F.explode(F.flatten(F.array(*offsets))).alias("pair"))
+    pc = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= _PMI_MIN_COUNT)
+        .select(
+            F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("pair"), F.lit(" "), F.lit(2)).alias("w2"),
+            "pair_cnt",
+        )
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = (
+        pc.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "pair_cnt",
+            "c1",
+            "c2",
+            F.expr("CAST((pair_cnt * 100000000) DIV (c1 * c2) AS BIGINT)").alias(
+                "score_e8"
+            ),
+        )
+    )
+    return out.orderBy(
+        F.desc("score_e8"), F.desc("pair_cnt"), "w1", "w2"
+    ).limit(100)

@@ -61,6 +61,7 @@ REPRESENTATIVE = [
     "lang_id_stopword",
     "dedup_ngram_jaccard_exact",
     "dedup_ccnet_paragraphs",
+    "cooccurrence_pmi",
     "grouped_map_top2_sharded",
     "agg_salted_skew",
     "median_price_by_priority",

@@ -580,6 +580,15 @@ AUDITS: dict[str, dict] = {
         must=[r"partial_"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # PMI collocations: pair stream is JVM array code + ONE explode
+    # (no positions self-join anywhere), counts combine map-side,
+    # top-k is TakeOrderedAndProject
+    "cooccurrence_pmi": dict(
+        must=[r"Generate", r"partial_count", r"TakeOrderedAndProject"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                  r"Window"],
+        hinted_broadcasts=0,
+    ),
     "xml_scan_nation": dict(must=[r"(?i)xml"], must_not=[r"CartesianProduct"]),
     # runtime bloom-filter injection must actually land in the big
     # side's scan (the query pins its plan inside the conf window —

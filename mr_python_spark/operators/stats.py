@@ -640,3 +640,93 @@ def transpose_region_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return m.transpose()
+
+
+# --- frequent-items sketch with exact containment envelope ------------
+
+_FREQ_ITEMS_ORACLE = """
+WITH c AS (
+  SELECT l_quantity, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_quantity
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c
+)
+SELECT (SELECT n FROM tot) AS n_rows,
+       CAST(COUNT(*) FILTER (cnt * 100 > (SELECT n FROM tot)) AS BIGINT)
+         AS n_true_frequent,
+       CAST(0 AS BIGINT) AS n_missed,
+       CAST(10000 AS INTEGER) AS support_ppm
+FROM c
+"""
+
+
+@register("freq_items_envelope", _FREQ_ITEMS_ORACLE)
+def freq_items_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent-items sketch with an exact containment gate.
+
+    ``df.stat.freqItems`` (Karp/Shenker/Papadimitriou one-pass counters,
+    the Spark surface for heavy hitters without a shuffle-wide exact
+    count) GUARANTEES every item with frequency > support·n appears in
+    its output — possibly with false positives, never false negatives.
+    That guarantee is the oracle-checkable fact: the exact frequent set
+    (here l_quantity values above 1% of lineitem) is computed
+    independently, anti-checked against the sketch output, and
+    ``n_missed`` must be exactly 0 on any engine, any partitioning,
+    any scale.  Same pattern as approx_distinct/approx_quantile
+    envelopes: the sketch is engine-specific, its CONTRACT is not.
+
+    100 TB posture: the sketch is single-pass and mergeable map-side
+    (no shuffle of the data — only 1/support counters per partition);
+    the driver materialization is the one-row freqItems result,
+    bounded at 1/support = 100 items by construction.  The exact side
+    is a word-count-shaped aggregate used only as the audit.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity")
+    support = 0.01
+    items = li.stat.freqItems(["l_quantity"], support).first()[0]
+    c = li.groupBy("l_quantity").agg(F.count(F.lit(1)).alias("cnt"))
+    n = li.count()
+    return c.agg(
+        F.lit(n).cast("long").alias("n_rows"),
+        F.sum((F.col("cnt") * 100 > n).cast("long")).alias("n_true_frequent"),
+        F.sum(
+            (
+                (F.col("cnt") * 100 > n)
+                & ~F.col("l_quantity").isin([float(x) for x in items])
+            ).cast("long")
+        ).alias("n_missed"),
+        F.lit(10000).cast("int").alias("support_ppm"),
+    )
+
+
+# --- contingency table (df.stat.crosstab) ------------------------------
+
+_CROSSTAB_ORACLE = """
+SELECT o_orderpriority AS o_orderpriority_o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("crosstab_orders", _CROSSTAB_ORACLE)
+def crosstab_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via ``df.stat.crosstab``: order priority ×
+    order status counts, one row per priority, one column per status.
+
+    crosstab is the pairwise-frequency reshape Spark plans as a single
+    partial+final pivot aggregate (distinct column values become
+    output columns) — the same plan shape as ``pivot_daily_event_
+    values`` but reached through the stat surface users actually call
+    for quick contingency checks.  Exact integer counts; the oracle
+    states the identical table as conditional aggregation.
+
+    Scale: one map-side-combined aggregate over (priority, status);
+    output is |priorities| × |statuses| — bounded by the column
+    domains, never by row count.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ct = orders.stat.crosstab("o_orderpriority", "o_orderstatus")
+    keep = ["o_orderpriority_o_orderstatus", "F", "O", "P"]
+    return ct.select(*[F.col(f"`{c}`").alias(c) for c in keep])

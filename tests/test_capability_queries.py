@@ -62,6 +62,8 @@ REPRESENTATIVE = [
     "dedup_ngram_jaccard_exact",
     "dedup_ccnet_paragraphs",
     "cooccurrence_pmi",
+    "freq_items_envelope",
+    "crosstab_orders",
     "grouped_map_top2_sharded",
     "agg_salted_skew",
     "median_price_by_priority",

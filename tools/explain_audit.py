@@ -113,6 +113,19 @@ AUDITS: dict[str, dict] = {
     "pivot_daily_event_values": dict(
         must=[r"partial_", r"HashAggregate"], must_not=[r"CartesianProduct"]
     ),
+    # contingency table: crosstab plans as one partial+final pivot agg
+    "crosstab_orders": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"Window"],
+        hinted_broadcasts=0,
+    ),
+    # freqItems envelope: the audited frame is the exact-count side
+    # (the sketch itself is a bounded one-row driver materialization)
+    "freq_items_envelope": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"Window", r"SortMergeJoin"],
+        hinted_broadcasts=0,
+    ),
     # UniMax allocation: one |langs|-row aggregate; the rank/prefix/
     # threshold windows all ride that bounded frame (three WindowExecs,
     # every one above the lang aggregate), no joins anywhere

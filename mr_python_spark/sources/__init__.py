@@ -448,3 +448,56 @@ def csv_corrupt_records_permissive(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(F.coalesce(F.col("n_nationkey").cast("long"), F.lit(0))).alias("key_sum"),
         )
     )
+
+
+# --- binaryFile source (multimodal raw-asset ingestion shape) ----------
+
+_BINARYFILE_ORACLE = """
+SELECT 'r' || CAST(r_regionkey AS VARCHAR) || '.bin' AS fname,
+       CAST(octet_length(encode(
+         CAST(r_regionkey AS VARCHAR) || '|' || r_name
+       )) AS BIGINT) AS n_bytes,
+       CAST(r_regionkey AS VARCHAR) || '|' || r_name AS payload
+FROM region
+"""
+
+
+@register("binaryfile_scan", _BINARYFILE_ORACLE)
+def binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file ingestion via Spark's built-in ``binaryFile`` source.
+
+    This is the front door for multimodal corpora: a directory of
+    opaque assets (images, audio, model shards) becomes a DataFrame of
+    ``(path, modificationTime, length, content)`` rows with NO custom
+    reader code, ready for the Arrow decode pass the multimodal family
+    runs downstream.  Here each region row is staged as one ``.bin``
+    file (region is the constant-size dim — 5 rows at every SF — so
+    the driver-side staging loop is bounded by the schema, not the
+    data), scanned back with ``pathGlobFilter``, and verified
+    byte-for-byte: filename, byte length, and UTF-8 payload must all
+    match the oracle's independent derivation from the parquet view.
+
+    Scale: binaryFile splits the FILE LIST across executors (one
+    task per file up to maxPartitionBytes packing); content bytes
+    never pass through the driver on the read side.  The staging
+    write is what a real pipeline replaces with its object store.
+    """
+    stage = _scratch("region_bin")
+    os.makedirs(stage, exist_ok=True)
+    rows = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    ).collect()
+    for r in rows:
+        payload = f"{r.r_regionkey}|{r.r_name}".encode()
+        with open(os.path.join(stage, f"r{r.r_regionkey}.bin"), "wb") as fh:
+            fh.write(payload)
+    scan = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(stage)
+    )
+    return scan.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.col("content").cast("string").alias("payload"),
+    )

@@ -64,6 +64,7 @@ REPRESENTATIVE = [
     "cooccurrence_pmi",
     "freq_items_envelope",
     "crosstab_orders",
+    "binaryfile_scan",
     "grouped_map_top2_sharded",
     "agg_salted_skew",
     "median_price_by_priority",

@@ -603,6 +603,13 @@ AUDITS: dict[str, dict] = {
         hinted_broadcasts=0,
     ),
     "xml_scan_nation": dict(must=[r"(?i)xml"], must_not=[r"CartesianProduct"]),
+    # raw-asset ingestion: the binaryFile source must appear as its
+    # own scan (file list split across executors, bytes never driver-side)
+    "binaryfile_scan": dict(
+        must=[r"Scan binaryFile"],
+        must_not=[r"CartesianProduct", r"Exchange"],
+        hinted_broadcasts=0,
+    ),
     # runtime bloom-filter injection must actually land in the big
     # side's scan (the query pins its plan inside the conf window —
     # a regression here means the filter silently planned away)

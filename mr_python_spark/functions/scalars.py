@@ -254,3 +254,53 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).cast("double").alias("first_component"),
         F.element_at("embedding", 64).cast("double").alias("last_component"),
     )
+
+
+# --- ANSI-safe arithmetic (Spark 4 try_* family) ------------------------
+
+_TRY_ARITH_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS div_by_zero_nulls,
+       CAST(SUM(CASE WHEN l_orderkey > 92 THEN 1 ELSE 0 END) AS BIGINT)
+         AS overflow_nulls
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("try_arith_lineitem", _TRY_ARITH_ORACLE)
+def try_arith_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-handling surface: ``try_divide``/``try_multiply`` under
+    ANSI mode.
+
+    The session runs ANSI SQL (Spark 4 default), where ÷0 and bigint
+    overflow are runtime ERRORS that kill the job; the ``try_``
+    family converts them to NULL row-locally — the production recipe
+    for dirty numeric data at scale (one poison row must not fail a
+    100 TB pass).  The engine counts the NULLs the try-ops actually
+    produced; the oracle independently states WHICH rows must have
+    nulled (quantity = 25 ⇒ zero divisor; orderkey > 92 ⇒
+    ``92·10¹⁷ < 2⁶³-1 < 93·10¹⁷``) — the two formulations cross-check
+    that try-arithmetic nulls exactly the contracted rows, no more,
+    no fewer.
+
+    Scale: row-local projections feeding one map-side-combined
+    aggregate; whole-stage codegen, no Python, no shuffle beyond the
+    group-by.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    div = F.expr(
+        "try_divide(CAST(l_extendedprice * 100 AS BIGINT), "
+        "CAST(l_quantity AS BIGINT) - 25)"
+    )
+    ovf = F.expr("try_multiply(l_orderkey, 100000000000000000L)")
+    return (
+        li.select("l_returnflag", div.alias("d"), ovf.alias("m"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("d").isNull().cast("long")).alias("div_by_zero_nulls"),
+            F.sum(F.col("m").isNull().cast("long")).alias("overflow_nulls"),
+        )
+    )

@@ -516,3 +516,48 @@ def cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         gid.alias("gid"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --- ordered string aggregation (Spark 4.0 listagg) ---------------------
+
+_LISTAGG_ORACLE = """
+SELECT r.r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@register("listagg_regions", _LISTAGG_ORACLE)
+def listagg_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation via Spark 4.0's ``listagg``.
+
+    ``listagg(expr, sep) WITHIN GROUP (ORDER BY ...)`` landed in Spark
+    4.0 (SPARK-42746) — before that, users hand-rolled
+    ``array_join(array_sort(collect_list(...)))``.  The WITHIN GROUP
+    ordering is what makes the result deterministic (an unordered
+    listagg is partitioning-dependent and would never hash-gate);
+    DuckDB states the same contract as ``string_agg(... ORDER BY)``.
+
+    Scale: collect-to-string aggregates are safe only over bounded
+    groups — here |nations| per region is schema-bounded (≤ 25).  An
+    unbounded listagg over a corpus-scaling group is the same
+    anti-pattern as an unpartitioned window; keep it to dimension
+    rollups.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations"),
+        )
+    )

@@ -65,6 +65,8 @@ REPRESENTATIVE = [
     "freq_items_envelope",
     "crosstab_orders",
     "binaryfile_scan",
+    "listagg_regions",
+    "try_arith_lineitem",
     "grouped_map_top2_sharded",
     "agg_salted_skew",
     "median_price_by_priority",

@@ -113,6 +113,22 @@ AUDITS: dict[str, dict] = {
     "pivot_daily_event_values": dict(
         must=[r"partial_", r"HashAggregate"], must_not=[r"CartesianProduct"]
     ),
+    # ordered listagg over a schema-bounded group; region is the
+    # constant-size dim (hinted broadcast), ordering is SortAggregate
+    # by nature — the objectagg buffer sorts within each tiny group
+    "listagg_regions": dict(
+        must=[r"BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"Window"],
+        hinted_broadcasts=1,
+    ),
+    # try_* arithmetic stays whole-stage-codegen projections feeding
+    # one partial+final aggregate — no Python, no extra exchange
+    "try_arith_lineitem": dict(
+        must=[r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"Window", r"BatchEvalPython",
+                  r"ArrowEvalPython"],
+        hinted_broadcasts=0,
+    ),
     # contingency table: crosstab plans as one partial+final pivot agg
     "crosstab_orders": dict(
         must=[r"partial_", r"HashAggregate"],

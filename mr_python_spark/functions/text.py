@@ -1235,3 +1235,72 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.desc("score_e8"), F.desc("pair_cnt"), "w1", "w2"
     ).limit(100)
+
+
+# --- compression-ratio quality filter (Gopher/RefinedWeb-style) --------
+
+#: documents compressing below this ratio (basis points) are flagged:
+#: zlib squeezing text under 25% of its raw size means machine-grade
+#: repetition, not natural prose
+_ZRATIO_FLAG_BP = 2500
+
+
+@register("compression_ratio_quality")
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio as a quality signal.
+
+    The classic cheap repetition detector (used by the Gopher /
+    RefinedWeb data pipelines alongside the explicit repetition
+    rules): natural text compresses to a stable band, while template
+    spam, padded boilerplate, and copy-loops compress far below it —
+    DEFLATE is effectively a free n-gram repetition model.  Emits
+    exact integers only: raw UTF-8 bytes, zlib(level 6) bytes, the
+    fixed-point ratio ``zip·10⁴ div raw``, and the flag at
+    ``_ZRATIO_FLAG_BP``.
+
+    Oracle tier: zlib is not portable SQL, so this is a udf-oracle
+    query (tools/udf_oracles.py registers the same CPython zlib as a
+    DuckDB scalar UDF — identical DEFLATE bytes by construction) plus
+    a pure-Python differential pytest; the driver records rows-only.
+
+    100 TB posture: one Arrow-batched ``mapInPandas`` pass (the
+    CPU-bound decode-like stage), ``spread`` pinning scan parallelism
+    the way the multimodal decode pass does; no shuffle at all — the
+    signal is row-local.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("raw_bytes", T.LongType()),
+            T.StructField("zip_bytes", T.LongType()),
+            T.StructField("ratio_bp", T.LongType()),
+            T.StructField("flag_repetitive", T.BooleanType()),
+        ]
+    )
+
+    def ratios(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].map(lambda s: s.encode("utf-8"))
+            raw_bytes = raw.map(len)
+            zip_bytes = raw.map(lambda b: len(zlib.compress(b, 6)))
+            ratio = zip_bytes * 10000 // raw_bytes.clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw_bytes,
+                    "zip_bytes": zip_bytes,
+                    "ratio_bp": ratio,
+                    "flag_repetitive": ratio < _ZRATIO_FLAG_BP,
+                }
+            )
+
+    return docs.mapInPandas(ratios, schema)

@@ -1185,3 +1185,30 @@ def test_unimax_matches_first_principles_threshold(spark):
     assert 0 < t_rnk < m
     # budget conservation: allocations never exceed the budget
     assert sum(a for a, _ in got.values()) <= budget
+
+
+def test_compression_ratio_matches_python(spark):
+    """Pure-Python zlib over the raw parquet must reproduce the
+    engine's mapInPandas ratios value-for-value."""
+    import zlib
+
+    import duckdb
+
+    from mr_python_spark.functions.text import (
+        _ZRATIO_FLAG_BP,
+        compression_ratio_quality,
+    )
+
+    got = {
+        r.doc_id: (r.raw_bytes, r.zip_bytes, r.ratio_bp, r.flag_repetitive)
+        for r in compression_ratio_quality(spark, SF).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    assert len(got) == len(rows)
+    for doc_id, text in rows:
+        raw = text.encode("utf-8")
+        zb = len(zlib.compress(raw, 6))
+        ratio = zb * 10000 // max(len(raw), 1)
+        assert got[doc_id] == (len(raw), zb, ratio, ratio < _ZRATIO_FLAG_BP), doc_id

@@ -609,6 +609,14 @@ AUDITS: dict[str, dict] = {
         must=[r"partial_"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # zlib quality signal: one Arrow-batched Python pass, row-local —
+    # no shuffle at all (the spread repartition is the only exchange)
+    "compression_ratio_quality": dict(
+        must=[r"MapInPandas"],
+        must_not=[r"CartesianProduct", r"Window", r"SortMergeJoin",
+                  r"Exchange hashpartitioning"],
+        hinted_broadcasts=0,
+    ),
     # PMI collocations: pair stream is JVM array code + ONE explode
     # (no positions self-join anywhere), counts combine map-side,
     # top-k is TakeOrderedAndProject

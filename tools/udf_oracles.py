@@ -453,6 +453,7 @@ def register_udfs(con) -> None:
             [VARCHAR],
             duckdb.list_type(INTEGER),
         )
+        con.create_function("zlib_bytes", _zlib_bytes, [VARCHAR], BIGINT)
     except Exception as e:  # already registered on this connection
         if "already" not in str(e).lower():
             raise
@@ -1398,4 +1399,33 @@ def udf_oracles() -> dict[str, str]:
         "dedup_semantic_within_lang": _sem_lang_sql(),
         "dedup_lsh_eval_report": _lsh_eval_sql(),
         "dedup_rp_lsh_eval_report": _rp_lsh_eval_sql(),
+        "compression_ratio_quality": _zratio_sql(),
     }
+
+
+def _zlib_bytes(s: str) -> int:
+    """Compressed size of the UTF-8 text under zlib level 6 — the same
+    CPython zlib the engine's mapInPandas pass calls, so the DEFLATE
+    byte stream (and its length) is identical by construction."""
+    import zlib
+
+    return len(zlib.compress(s.encode("utf-8"), 6))
+
+
+def _zratio_sql() -> str:
+    # mirrors mr_python_spark/functions/text.py::compression_ratio_quality
+    from mr_python_spark.functions.text import _ZRATIO_FLAG_BP
+
+    return f"""
+WITH z AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS raw_bytes,
+         zlib_bytes(text) AS zip_bytes
+  FROM documents
+)
+SELECT doc_id, raw_bytes, zip_bytes,
+       (zip_bytes * 10000) // GREATEST(raw_bytes, 1) AS ratio_bp,
+       ((zip_bytes * 10000) // GREATEST(raw_bytes, 1)) < {_ZRATIO_FLAG_BP}
+         AS flag_repetitive
+FROM z
+"""

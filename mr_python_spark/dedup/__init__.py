@@ -2508,3 +2508,107 @@ def dedup_ccnet_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("agg_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+# --- incremental dedup via a relational Bloom filter -------------------
+
+#: Bloom geometry: m = 2^20 bits, k = 5 hashes → FPP ≈ 0.1% at ~10⁵
+#: corpus keys (n/m ≈ 0.1); positions are pmod(xxhash64(fp, i), m)
+_BLOOM_M = 1 << 20
+_BLOOM_K = 5
+
+_BLOOM_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')[1:8],
+           ' ')) AS lead_fp
+  FROM documents
+), corpus AS (
+  SELECT DISTINCT lead_fp FROM fp WHERE doc_id % 10 <> 0
+), batch AS (
+  SELECT doc_id, lead_fp FROM fp WHERE doc_id % 10 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(SUM(CASE WHEN c.lead_fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_dups,
+       CAST(0 AS BIGINT) AS n_missed
+FROM batch b LEFT JOIN corpus c ON b.lead_fp = c.lead_fp
+"""
+
+
+def _bloom_flag_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch-row Bloom verdicts: (doc_id, lead_fp, bloom_hit,
+    in_corpus).  Shared by the registered aggregate and the FP-rate
+    bound test in tests/test_hash_pipelines.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(tokens_col(), 1, 8))).alias("lead_fp"),
+    )
+    is_batch = F.col("doc_id") % 10 == 0
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("lead_fp"), F.lit(i)), F.lit(_BLOOM_M))
+            for i in range(_BLOOM_K)
+        ]
+    )
+    corpus_fp = fp.filter(~is_batch).select("lead_fp").distinct()
+    bits = corpus_fp.select(F.explode(positions).alias("bit")).distinct()
+    batch = fp.filter(is_batch)
+    probe = batch.select("doc_id", "lead_fp", F.explode(positions).alias("bit"))
+    hits = (
+        probe.join(bits, "bit")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+    )
+    flagged = batch.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "lead_fp",
+        (F.coalesce("k_hit", F.lit(0)) == _BLOOM_K).alias("bloom_hit"),
+    )
+    return flagged.join(
+        corpus_fp.withColumn("in_corpus", F.lit(True)), "lead_fp", "left"
+    )
+
+
+@register("dedup_incremental_bloom", _BLOOM_ORACLE)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup through a DISTRIBUTED Bloom filter, gated on
+    the sketch's no-false-negative contract.
+
+    The production shape when even a fingerprint→winner index is too
+    big to join every ingest batch against: the corpus membership set
+    is compressed into a Bloom filter (m = 2²⁰ bits, k = 5
+    ``xxhash64(fp, i)`` probes) and each batch row pays k integer
+    lookups.  Spark's own ``bloom_filter_agg`` is not exposed as a
+    SQL routine, so the filter is built AS RELATIONAL ALGEBRA: the
+    set-bit positions form a distinct-int frame (the sparse form of
+    the bitmap — a dense per-range bitmap aggregate is the constant
+    -factor refinement, same plan shape), and the probe is an
+    int-keyed join counting k hits.  A key present in the corpus
+    matches all k of its own bits BY CONSTRUCTION, so the oracle-
+    gateable fact is exact: among the batch rows that truly duplicate
+    the corpus (independent distinct-join), the Bloom missed
+    ``n_missed = 0`` — the same contract-envelope pattern as
+    ``freq_items_envelope``.  False positives exist (that is the
+    trade) and are bounded in tests/test_hash_pipelines.py, not
+    hashed here, since their count is geometry-specific.
+
+    100 TB posture: only md5 fingerprints, 8-byte bit positions, and
+    doc ids shuffle — never text; every stage is linear
+    (distinct-agg, int equi-join, rollup) and the batch side, not the
+    corpus, drives the probe volume.
+    """
+    truth = _bloom_flag_frame(spark, sf_dir)
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.coalesce("in_corpus", F.lit(False)).cast("long")).alias(
+            "n_true_dups"
+        ),
+        F.sum(
+            (F.coalesce("in_corpus", F.lit(False)) & ~F.col("bloom_hit")).cast(
+                "long"
+            )
+        ).alias("n_missed"),
+    )

@@ -67,6 +67,7 @@ REPRESENTATIVE = [
     "binaryfile_scan",
     "listagg_regions",
     "try_arith_lineitem",
+    "dedup_incremental_bloom",
     "grouped_map_top2_sharded",
     "agg_salted_skew",
     "median_price_by_priority",

@@ -1212,3 +1212,20 @@ def test_compression_ratio_matches_python(spark):
         zb = len(zlib.compress(raw, 6))
         ratio = zb * 10000 // max(len(raw), 1)
         assert got[doc_id] == (len(raw), zb, ratio, ratio < _ZRATIO_FLAG_BP), doc_id
+
+
+def test_bloom_incremental_contract(spark):
+    """No false negatives row-for-row, and the false-positive count
+    stays within the m=2^20 / k=5 geometry's budget."""
+    from mr_python_spark.dedup import _BLOOM_K, _BLOOM_M, _bloom_flag_frame
+
+    rows = _bloom_flag_frame(spark, SF).collect()
+    assert rows, "batch split produced no rows"
+    fps = 0
+    for r in rows:
+        if r.in_corpus:
+            assert r.bloom_hit, f"false negative on doc {r.doc_id}"
+        elif r.bloom_hit:
+            fps += 1
+    # theoretical FPP at n~corpus keys is <<1%; allow generous slack
+    assert fps <= max(2, len(rows) // 100), (fps, len(rows))

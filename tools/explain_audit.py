@@ -338,6 +338,15 @@ AUDITS: dict[str, dict] = {
                   r"Exchange hashpartitioning.*text"],
         hinted_broadcasts=0,
     ),
+    # relational Bloom: only md5 fps / bit ints / ids shuffle; the
+    # probe is an int equi-join, the truth check a fp equi-join —
+    # never text, never a pair explosion
+    "dedup_incremental_bloom": dict(
+        must=[r"Generate", r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                  r"Window", r"Exchange hashpartitioning.*text"],
+        hinted_broadcasts=0,
+    ),
     # CCNet paragraph removal: block grid is ONE Generate (no window,
     # no self-join); winner comes from a map-side-combined min(struct)
     # aggregate, keeper join is block-keyed equi

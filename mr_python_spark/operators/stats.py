@@ -730,3 +730,76 @@ def crosstab_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = orders.stat.crosstab("o_orderpriority", "o_orderstatus")
     keep = ["o_orderpriority_o_orderstatus", "F", "O", "P"]
     return ct.select(*[F.col(f"`{c}`").alias(c) for c in keep])
+
+
+# --- robust outlier detection: median absolute deviation ----------------
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT lang, quantile_disc(CAST(n_chars AS BIGINT), 0.5) AS med
+  FROM documents GROUP BY lang
+), dev AS (
+  SELECT d.lang, med,
+         abs(CAST(n_chars AS BIGINT) - med) AS dev
+  FROM documents d JOIN med USING (lang)
+), mad AS (
+  SELECT lang, quantile_disc(dev, 0.5) AS mad FROM dev GROUP BY lang
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(d.med) AS BIGINT) AS median_chars,
+       CAST(MAX(m.mad) AS BIGINT) AS mad_chars,
+       CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m ON d.lang = m.lang
+GROUP BY d.lang
+"""
+
+
+@register("doc_length_mad_outliers", _MAD_ORACLE)
+def doc_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length outliers: |len − median| > 3·MAD.
+
+    Mean/stddev outlier fences are themselves dragged by the outliers
+    they hunt; the median-absolute-deviation fence is the robust
+    standard for data-cleaning cutoffs (50% breakdown point).  Both
+    medians are DISCRETE (value-picking, zero float arithmetic), the
+    deviations are exact BIGINTs, and the 3·MAD fence is an integer
+    comparison — bit-deterministic cross-engine, the same
+    no-transcendentals discipline as char_diversity_quality.
+
+    Scale: two |langs|-bounded aggregates and two joins against
+    |langs|-row frames (stats-broadcast — adaptively, not hinted,
+    since lang cardinality is data not schema); no window over the
+    corpus, no sort.  At 100 TB swap ``percentile_disc`` for
+    ``approx_percentile`` with a rank-error budget — the fence moves
+    by at most the sketch error, the plan is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("long").alias("len")
+    )
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY len)")
+        .cast("long")
+        .alias("med")
+    )
+    dev = docs.join(med, "lang").select(
+        "lang", "med", F.abs(F.col("len") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("lang").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+        .cast("long")
+        .alias("mad")
+    )
+    return (
+        dev.join(mad, "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("med").alias("median_chars"),
+            F.max("mad").alias("mad_chars"),
+            F.sum((F.col("dev") > 3 * F.col("mad")).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+    )

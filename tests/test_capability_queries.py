@@ -68,6 +68,7 @@ REPRESENTATIVE = [
     "listagg_regions",
     "try_arith_lineitem",
     "dedup_incremental_bloom",
+    "doc_length_mad_outliers",
     "grouped_map_top2_sharded",
     "agg_salted_skew",
     "median_price_by_priority",

@@ -129,6 +129,14 @@ AUDITS: dict[str, dict] = {
                   r"ArrowEvalPython"],
         hinted_broadcasts=0,
     ),
+    # MAD fence: two |langs|-bounded percentile aggregates + joins on
+    # the bounded frames; no corpus window, no global sort
+    "doc_length_mad_outliers": dict(
+        must=[r"HashAggregate|SortAggregate|ObjectHashAggregate"],
+        must_not=[r"CartesianProduct", r"Window",
+                  r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
     # contingency table: crosstab plans as one partial+final pivot agg
     "crosstab_orders": dict(
         must=[r"partial_", r"HashAggregate"],

@@ -139,3 +139,56 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     return customer.exceptAll(supplier)
+
+
+# --- schema-evolution union (unionByName, allowMissingColumns) ----------
+
+_UNION_BY_NAME_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+), v2 AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 1
+), u AS (
+  SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_from_v1,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_price
+FROM u
+"""
+
+
+@register("union_by_name_evolution", _UNION_BY_NAME_ORACLE)
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level schema evolution: ``unionByName(...,
+    allowMissingColumns=True)`` across two generations of a feed.
+
+    The batch counterpart of schema_evolution_read: generation 1
+    lacks a column generation 2 added, and their column ORDERS differ
+    — positional UNION would silently mis-align, by-name union is the
+    correct tool (DuckDB spells the identical semantics UNION ALL BY
+    NAME).  Missing columns land as NULLs; the aggregate pins row
+    provenance (NULL-priority rows ≡ v1) and an exact fixed-point
+    price total over the merged frame.
+
+    Scale: the union is a plan concatenation (no shuffle of its own);
+    one map-side-combined aggregate follows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    from mr_python_spark.operators.aggregates import dec_sum
+
+    return u.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderpriority").isNull().cast("long")).alias("n_from_v1"),
+        dec_sum("o_totalprice").alias("sum_price"),
+    )

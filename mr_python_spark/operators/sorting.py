@@ -155,3 +155,34 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+# --- keyset-free pagination (LIMIT ... OFFSET) --------------------------
+
+_OFFSET_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+"""
+
+
+@register("paged_orders_offset", _OFFSET_ORACLE)
+def paged_orders_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 3 of the price-ranked orders: ``offset(40).limit(20)``.
+
+    OFFSET landed in Spark 3.4; with a TOTAL order (price desc, key
+    as unique tiebreaker) the page is deterministic on any engine.
+    Scale note: OFFSET is shallow-page tooling — the plan still
+    evaluates the global top-(offset+limit) (a 60-row
+    TakeOrderedAndProject here, fine); for deep pagination use keyset
+    predicates (``WHERE (price, key) < last_seen``) so the scan
+    prunes instead.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(40)
+        .limit(20)
+    )

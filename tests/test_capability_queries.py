@@ -69,6 +69,8 @@ REPRESENTATIVE = [
     "try_arith_lineitem",
     "dedup_incremental_bloom",
     "doc_length_mad_outliers",
+    "union_by_name_evolution",
+    "paged_orders_offset",
     "grouped_map_top2_sharded",
     "agg_salted_skew",
     "median_price_by_priority",

@@ -129,6 +129,18 @@ AUDITS: dict[str, dict] = {
                   r"ArrowEvalPython"],
         hinted_broadcasts=0,
     ),
+    # by-name union is plan concatenation + one combined aggregate
+    "union_by_name_evolution": dict(
+        must=[r"Union", r"partial_", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"Window", r"SortMergeJoin"],
+        hinted_broadcasts=0,
+    ),
+    # OFFSET page rides the top-k machinery, not a global sort
+    "paged_orders_offset": dict(
+        must=[r"TakeOrderedAndProject"],
+        must_not=[r"CartesianProduct", r"Window", r"Sort\b.*global"],
+        hinted_broadcasts=0,
+    ),
     # MAD fence: two |langs|-bounded percentile aggregates + joins on
     # the bounded frames; no corpus window, no global sort
     "doc_length_mad_outliers": dict(

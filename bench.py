@@ -118,6 +118,15 @@ HEADLINE = [
     "multimodal_phash_near",
     "nb_calibration_report",
     "zorder_bucket_stats",
+    # round-15: the block-reconstruction dedup (CCNet paragraph grid —
+    # one Generate + two block-keyed shuffles), the PMI pair explosion
+    # (3 zip_with offsets, word-count-shaped counting), the zlib Arrow
+    # pass (Python-CPU-bound, spread-pinned), and the relational Bloom
+    # probe (int-keyed join chain)
+    "dedup_ccnet_paragraphs",
+    "cooccurrence_pmi",
+    "compression_ratio_quality",
+    "dedup_incremental_bloom",
 ]
 
 

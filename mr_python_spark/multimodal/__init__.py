@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mr_python_spark.registry import register
-from mr_python_spark.session import load_table
+from mr_python_spark.session import load_table, spread
 
 
 def _pillow():
@@ -1031,3 +1031,134 @@ def multimodal_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= PHASH_HAM_MAX)
     )
+
+
+# --- nearest-neighbor resize (the feature-extract/resize pipeline step) -
+
+_RESIZE_N = 16
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("pix_min", T.IntegerType()),
+        T.StructField("pix_max", T.IntegerType()),
+    ]
+)
+
+#: the oracle resamples the fixtures' closed-form raster law on the
+#: SAME nearest-neighbor grid (x_j = (j*w)//16, y_i = (i*h)//16), so
+#: any off-by-one in the engine's decode OR its sampling arithmetic
+#: shifts a pixel and fails the value gate
+_RESIZE_ORACLE = f"""
+WITH imgs AS (
+  SELECT doc_id,
+         1 + octet_length(encode(text)) % 64 AS w,
+         1 + (octet_length(encode(text)) * 3) % 64 AS h,
+         CASE CAST(doc_id % 4 AS INTEGER) WHEN 1 THEN 1 WHEN 2 THEN 4
+              ELSE 3 END AS ch,
+         doc_id % 97 AS seed
+  FROM documents WHERE doc_id % 4 <> 0
+),
+samples AS (
+  SELECT doc_id,
+         (seed + 31 * ((gi.i * h) // {_RESIZE_N})
+               + 7 * (((gj.j * w) // {_RESIZE_N}) * ch)) % 251 AS g
+  FROM imgs,
+       generate_series(0, {_RESIZE_N - 1}) gi(i),
+       generate_series(0, {_RESIZE_N - 1}) gj(j)
+)
+SELECT doc_id,
+       CAST({_RESIZE_N} AS INTEGER) AS out_w,
+       CAST({_RESIZE_N} AS INTEGER) AS out_h,
+       CAST(SUM(g) AS BIGINT) AS pix_sum,
+       CAST(MIN(g) AS INTEGER) AS pix_min,
+       CAST(MAX(g) AS INTEGER) AS pix_max
+FROM samples GROUP BY doc_id
+"""
+
+
+@register("multimodal_resize_nearest", _RESIZE_ORACLE)
+def multimodal_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed image RESIZE over real decodes: every fixture image
+    is decoded (PNG inflate/unfilter or lossless-JPEG predictor — the
+    same real-codec path as the phash family) and downsampled to
+    16×16 by nearest neighbor, the standard cheap thumbnail/
+    feature-extract step of a multimodal ingest pipeline.
+
+    The compared columns are the resized raster's exact first-channel
+    statistics (sum/min/max over the 256 samples); the oracle
+    recomputes them from the fixtures' closed-form raster law on the
+    identical sampling grid, so a flipped byte anywhere in decode or
+    an off-by-one in the resample arithmetic fails the VALUE gate.
+
+    100 TB posture: one spread Arrow pass; only the payload LENGTH is
+    shuffled to the workers (dims/seed derive from it — the same
+    "payloads never shuffle" trick as `_phash_hashes`); per-image
+    work is O(w·h) decode + O(256) sampling, no shuffle after the
+    map.  With a real object store the pass reads bytes via
+    ``binaryfile_scan``'s source instead of synthesizing them.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 != 0
+    )
+    with_len = spread(docs.select(
+        "doc_id", F.octet_length(F.col("text").cast("binary")).alias("plen")
+    ))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mr_python_spark.multimodal.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg_lossless,
+        )
+
+        def law_raster(w: int, h: int, ch: int, seed: int) -> bytes:
+            import numpy as np
+
+            idx = np.arange(w * ch, dtype=np.int64)
+            return np.concatenate(
+                [((seed + 31 * y + 7 * idx) % 251).astype(np.uint8)
+                 for y in range(h)]
+            ).tobytes()
+
+        n = _RESIZE_N
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {
+                "doc_id": [], "out_w": [], "out_h": [],
+                "pix_sum": [], "pix_min": [], "pix_max": [],
+            }
+            for d, plen in zip(pdf["doc_id"], pdf["plen"]):
+                d, plen = int(d), int(plen)
+                fmt, seed = d % 4, d % 97
+                w, h = 1 + plen % 64, 1 + (plen * 3) % 64
+                if fmt == 3:
+                    payload = encode_jpeg_lossless(
+                        w, h, rgb=law_raster(w, h, 3, seed), seed=seed
+                    )
+                    dec = decode_jpeg_pixels(payload)
+                else:
+                    ch = 1 if fmt == 1 else 4
+                    payload = _encode_png(w, h, ch, seed=seed)
+                    dec = _decode_png_pixels(payload)
+                if dec is None:
+                    raise ValueError(f"decode failed for doc {d}")
+                dw, dh, dch, raster = dec
+                stride = dw * dch
+                vals = [
+                    raster[((i * dh) // n) * stride + ((j * dw) // n) * dch]
+                    for i in range(n)
+                    for j in range(n)
+                ]
+                rows["doc_id"].append(d)
+                rows["out_w"].append(n)
+                rows["out_h"].append(n)
+                rows["pix_sum"].append(sum(vals))
+                rows["pix_min"].append(min(vals))
+                rows["pix_max"].append(max(vals))
+            yield pd.DataFrame(rows)
+
+    return with_len.mapInPandas(resize, _RESIZE_SCHEMA)

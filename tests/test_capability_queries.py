@@ -71,6 +71,7 @@ REPRESENTATIVE = [
     "doc_length_mad_outliers",
     "union_by_name_evolution",
     "paged_orders_offset",
+    "multimodal_resize_nearest",
     "grouped_map_top2_sharded",
     "agg_salted_skew",
     "median_price_by_priority",

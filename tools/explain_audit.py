@@ -815,6 +815,14 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"Join"],
         hinted_broadcasts=0,
     ),
+    # nearest-neighbor resize: one spread Arrow decode pass, only the
+    # payload length shuffles, nothing after the map
+    "multimodal_resize_nearest": dict(
+        must=[r"MapInPandas"],
+        must_not=[r"CartesianProduct", r"Join", r"Window",
+                  r"Exchange hashpartitioning"],
+        hinted_broadcasts=0,
+    ),
     # Moore-Lewis contrastive selection: in-domain model tables are
     # sample-bounded (safe hints: in_uni + in_bi); the general per-doc
     # frame is the cached LM leaf (its hints policed on

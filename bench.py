@@ -127,6 +127,11 @@ HEADLINE = [
     "cooccurrence_pmi",
     "compression_ratio_quality",
     "dedup_incremental_bloom",
+    # round-15 second wave: the real-decode resize pass and the
+    # Cavnar-Trenkle langid (two partitioned rank windows + the
+    # |langs|-broadcast classify join)
+    "multimodal_resize_nearest",
+    "lang_id_ngram_profile",
 ]
 
 

@@ -1304,3 +1304,137 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(ratios, schema)
+
+
+# --- n-gram-profile language ID (Cavnar–Trenkle) ------------------------
+
+#: profile geometry: top-20 trigrams per language, top-10 per document,
+#: out-of-profile penalty = K+1
+_LANGID_K = 20
+_LANGID_M = 10
+_LANGID_PENALTY = _LANGID_K + 1
+
+_LANGID_NGRAM_ORACLE = f"""
+WITH pos AS (
+  -- generate_series as a SCALAR returns a list (lateral table-function
+  -- column args are a DuckDB binder error); unnest it in the SELECT
+  SELECT doc_id, lang, lower(text) AS lt,
+         unnest(generate_series(1, length(text) - 2)) AS p
+  FROM documents WHERE length(text) >= 3
+), tri AS (
+  SELECT doc_id, lang, substr(lt, CAST(p AS INTEGER), 3) AS tri FROM pos
+), lp AS (
+  SELECT lang, tri, COUNT(*) AS c FROM tri GROUP BY lang, tri
+), prof AS (
+  SELECT lang, tri, r FROM (
+    SELECT lang, tri,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tri) AS r
+    FROM lp
+  ) WHERE r <= {_LANGID_K}
+), dp AS (
+  SELECT doc_id, tri, COUNT(*) AS c FROM tri GROUP BY doc_id, tri
+), dtop AS (
+  SELECT doc_id, tri, r FROM (
+    SELECT doc_id, tri,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, tri) AS r
+    FROM dp
+  ) WHERE r <= {_LANGID_M}
+), langs AS (
+  SELECT DISTINCT lang FROM documents
+), dist AS (
+  SELECT d.doc_id, l.lang,
+         CAST(SUM(CASE WHEN p.r IS NULL THEN {_LANGID_PENALTY}
+                       ELSE abs(d.r - p.r) END) AS BIGINT) AS dist
+  FROM dtop d CROSS JOIN langs l
+  LEFT JOIN prof p ON p.lang = l.lang AND p.tri = d.tri
+  GROUP BY d.doc_id, l.lang
+), pred AS (
+  SELECT doc_id, lang AS pred_lang FROM (
+    SELECT doc_id, lang, dist,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rr
+    FROM dist
+  ) WHERE rr = 1
+)
+SELECT t.lang AS true_lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, lang FROM documents WHERE length(text) >= 3) t
+JOIN pred p ON p.doc_id = t.doc_id
+GROUP BY t.lang, p.pred_lang
+"""
+
+
+@register("lang_id_ngram_profile", _LANGID_NGRAM_ORACLE)
+def lang_id_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar–Trenkle n-gram language ID: rank-order trigram profiles,
+    classified by the out-of-place measure, reported as a confusion
+    matrix against the corpus labels.
+
+    The 1994 method every lightweight langid tool descends from: a
+    language is its top-K character-trigram RANKING; a document is
+    classified to the profile minimizing Σ |doc_rank − profile_rank|
+    (out-of-profile trigrams pay K+1).  Beside the stopword-mass
+    tier (``lang_id_stopword``) this is the model-free second opinion
+    — and everything is counts, ranks with total tie-breaks, and
+    integer distances: bit-deterministic cross-engine.
+
+    100 TB posture: trigram extraction is one JVM transform+explode;
+    profiles are word-count-shaped aggregates; the two rank windows
+    are PARTITIONED (per lang / per doc, never corpus-global); the
+    classify join fans each doc's 10 profile rows out by the
+    |langs|-bounded broadcast (the scalar-frame crossJoin idiom) and
+    probes the K·|langs|-row profile — cost |docs|·M·|langs|, linear
+    in the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.char_length("text") >= 3
+    )
+    tri = spread(docs).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(text) - 2), "
+                "p -> substring(lower(text), p, 3))"
+            )
+        ).alias("tri"),
+    )
+    w_lang = Window.partitionBy("lang").orderBy(F.desc("c"), "tri")
+    prof = (
+        tri.groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("r", F.row_number().over(w_lang))
+        .filter(F.col("r") <= _LANGID_K)
+        .select("lang", "tri", F.col("r").alias("pr"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("c"), "tri")
+    dtop = (
+        tri.groupBy("doc_id", "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("r", F.row_number().over(w_doc))
+        .filter(F.col("r") <= _LANGID_M)
+    )
+    langs = docs.select("lang").distinct().select(F.col("lang").alias("cand"))
+    dist = (
+        dtop.crossJoin(F.broadcast(langs))
+        .join(
+            prof,
+            (F.col("cand") == prof["lang"]) & (dtop["tri"] == prof["tri"]),
+            "left",
+        )
+        .groupBy("doc_id", "cand")
+        .agg(
+            F.sum(
+                F.when(F.col("pr").isNull(), F.lit(_LANGID_PENALTY)).otherwise(
+                    F.abs(F.col("r") - F.col("pr"))
+                )
+            ).alias("dist")
+        )
+    )
+    pred = dist.groupBy("doc_id").agg(
+        F.min(F.struct("dist", "cand")).alias("w")
+    ).select("doc_id", F.col("w.cand").alias("pred_lang"))
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

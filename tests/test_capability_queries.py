@@ -72,6 +72,7 @@ REPRESENTATIVE = [
     "union_by_name_evolution",
     "paged_orders_offset",
     "multimodal_resize_nearest",
+    "lang_id_ngram_profile",
     "grouped_map_top2_sharded",
     "agg_salted_skew",
     "median_price_by_priority",

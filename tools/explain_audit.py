@@ -638,6 +638,14 @@ AUDITS: dict[str, dict] = {
         must=[r"partial_"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # Cavnar–Trenkle langid: JVM trigram explode, word-count-shaped
+    # profile aggregates, PARTITIONED rank windows (per lang / per
+    # doc), |langs|-bounded broadcast fan-out for the classify join
+    "lang_id_ngram_profile": dict(
+        must=[r"Generate", r"partial_", r"Window"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=1,
+    ),
     # zlib quality signal: one Arrow-batched Python pass, row-local —
     # no shuffle at all (the spread repartition is the only exchange)
     "compression_ratio_quality": dict(

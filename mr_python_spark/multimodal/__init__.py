@@ -1099,8 +1099,22 @@ def multimodal_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "payloads never shuffle" trick as `_phash_hashes`); per-image
     work is O(w·h) decode + O(256) sampling, no shuffle after the
     map.  With a real object store the pass reads bytes via
-    ``binaryfile_scan``'s source instead of synthesizing them.
+    ``binaryfile_scan``'s source instead of synthesizing them.  The
+    result frame is keyed-cached per (session, file identity) like
+    ``_phash_frame`` — repeated consumers pay the decode once.
     """
+    from mr_python_spark.dedup import _keyed_df_cache
+
+    def build() -> DataFrame:
+        return _resize_stats(spark, sf_dir).cache()
+
+    return _keyed_df_cache(_RESIZE_CACHE, spark, sf_dir, build)
+
+
+_RESIZE_CACHE: dict = {}
+
+
+def _resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 4 != 0
     )

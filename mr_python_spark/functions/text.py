@@ -1438,3 +1438,90 @@ def lang_id_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion ---------------------------
+
+#: RRF constant (Cormack et al. 2009's k = 60) and fixed-point scale
+_RRF_K = 60
+_RRF_SCALE = 1_000_000
+_RRF_PHRASE = "hash join"
+
+_HYBRID_RRF_ORACLE = f"""
+WITH bm AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS r_bm
+  FROM ({_BM25_ORACLE})
+), ph AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY phrase_count DESC, doc_id) AS r_ph
+  FROM ({_PHRASE_ORACLE})
+  WHERE phrase = '{_RRF_PHRASE}'
+), u AS (
+  SELECT COALESCE(bm.doc_id, ph.doc_id) AS doc_id, r_bm, r_ph
+  FROM bm FULL JOIN ph ON bm.doc_id = ph.doc_id
+)
+SELECT doc_id,
+       r_bm IS NOT NULL AS in_bm25,
+       r_ph IS NOT NULL AS in_phrase,
+       COALESCE({_RRF_SCALE} // ({_RRF_K} + r_bm), 0)
+         + COALESCE({_RRF_SCALE} // ({_RRF_K} + r_ph), 0) AS rrf_fp
+FROM u
+ORDER BY rrf_fp DESC, doc_id
+"""
+
+
+@register("search_hybrid_rrf", _HYBRID_RRF_ORACLE)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009): the bag-of-words ranker and the positional ranker merged
+    by ``Σ 1/(k + rank)`` with k = 60.
+
+    The modern hybrid-search shape: candidate lists from DIFFERENT
+    backends (lexical BM25 + an exact-phrase/positional — or in dense
+    stacks an ANN — system, each with its own query analyzer) are
+    fused WITHOUT score calibration, because ranks compose where raw
+    scores from different scoring functions don't.  The operator
+    under test is the fusion: both source rankings are the registered
+    rankers exactly as shipped (their own fixed queries), each rank
+    read off its already-bounded top-k frame, RRF as the exact
+    integer ``⌊10⁶/(60+r)⌋`` sum — no floats, total order, and the
+    oracle composes the two rankers' oracle texts verbatim.
+
+    Scale: both inputs are top-k frames (≤ 10 rows each, bounded by
+    the rankers' own LIMITs), so the rank windows, the full-outer
+    merge, and the final sort all ride constant-size frames; the
+    corpus-scaling work lives — and is audited — in the source
+    rankers.
+    """
+    bm = search_bm25_topk(spark, sf_dir)
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_fp"), "doc_id"))
+        .alias("r_bm"),
+    )
+    # the phrase ranker's top-k is a QUALIFY-style window filter (<= 10
+    # rows semantically); the explicit no-op limit makes the bound
+    # STRUCTURAL so the unbounded-window guard can prove it
+    ph = (
+        search_phrase_topk(spark, sf_dir)
+        .filter(F.col("phrase") == _RRF_PHRASE)
+        .limit(PHRASE_TOPK)
+    )
+    phr = ph.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("phrase_count"), "doc_id"))
+        .alias("r_ph"),
+    )
+    u = bmr.join(phr, "doc_id", "full")
+    rrf = F.coalesce(
+        F.expr(f"{_RRF_SCALE}L div ({_RRF_K} + r_bm)"), F.lit(0)
+    ) + F.coalesce(F.expr(f"{_RRF_SCALE}L div ({_RRF_K} + r_ph)"), F.lit(0))
+    return u.select(
+        "doc_id",
+        F.col("r_bm").isNotNull().alias("in_bm25"),
+        F.col("r_ph").isNotNull().alias("in_phrase"),
+        rrf.cast("long").alias("rrf_fp"),
+    ).orderBy(F.desc("rrf_fp"), "doc_id")

@@ -73,6 +73,7 @@ REPRESENTATIVE = [
     "paged_orders_offset",
     "multimodal_resize_nearest",
     "lang_id_ngram_profile",
+    "search_hybrid_rrf",
     "grouped_map_top2_sharded",
     "agg_salted_skew",
     "median_price_by_priority",

@@ -638,6 +638,15 @@ AUDITS: dict[str, dict] = {
         must=[r"partial_"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # RRF fusion: both rank windows ride limit-bounded top-k frames;
+    # corpus-scaling work lives in (and is audited on) the source
+    # rankers
+    "search_hybrid_rrf": dict(
+        must=[r"Window", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=1,  # bm25's constant |query|-row idf frame
+        unpartitioned_windows=["limit", "limit"],
+    ),
     # Cavnar–Trenkle langid: JVM trigram explode, word-count-shaped
     # profile aggregates, PARTITIONED rank windows (per lang / per
     # doc), |langs|-bounded broadcast fan-out for the classify join

@@ -1525,3 +1525,81 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_ph").isNotNull().alias("in_phrase"),
         rrf.cast("long").alias("rrf_fp"),
     ).orderBy(F.desc("rrf_fp"), "doc_id")
+
+
+# --- document coherence: half-vs-half vocabulary overlap ----------------
+
+#: flag threshold: halves sharing under 20% of their vocabulary
+_COHERENCE_FLAG_E6 = 200_000
+
+_COHERENCE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+), halves AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         list_distinct(t[1 : len(t) // 2]) AS d1,
+         list_distinct(t[len(t) // 2 + 1 : len(t)]) AS d2
+  FROM toks WHERE len(t) >= 2
+), ov AS (
+  SELECT doc_id, n_tokens,
+         CAST(len(list_intersect(d1, d2)) AS BIGINT) AS inter,
+         CAST(len(d1) + len(d2) - len(list_intersect(d1, d2)) AS BIGINT)
+           AS un
+  FROM halves
+)
+SELECT doc_id, n_tokens,
+       CAST(inter * 1000000 // un AS BIGINT) AS half_jaccard_e6,
+       (inter * 1000000 // un) < {_COHERENCE_FLAG_E6} AS flag_incoherent
+FROM ov
+"""
+
+
+@register("doc_halves_coherence", _COHERENCE_ORACLE)
+def doc_halves_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-coherence check: vocabulary Jaccard between the two
+    halves of each document.
+
+    Web-scraped "documents" are often two unrelated things glued
+    together (template + payload, or a language switch mid-page); a
+    coherent document's halves share vocabulary, a concatenation's
+    don't.  This is the split-half consistency screen run before
+    expensive per-doc models — and a cheap mixed-language detector
+    when the corpus langs share no stopwords.
+
+    Everything happens IN the row's arrays (slice → distinct →
+    intersect → exact integer Jaccard): zero shuffles, zero joins,
+    whole-corpus linear scan, bit-deterministic fixed-point output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = spread(docs).select("doc_id", tokens_col().alias("t")).filter(
+        F.size("t") >= 2
+    )
+    halves = toked.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.array_distinct(
+            F.expr("slice(t, 1, size(t) div 2)")
+        ).alias("d1"),
+        F.array_distinct(
+            F.expr("slice(t, size(t) div 2 + 1, size(t))")
+        ).alias("d2"),
+    )
+    inter = F.size(F.array_intersect("d1", "d2")).cast("long")
+    union = (F.size("d1") + F.size("d2")).cast("long") - inter
+    jacc = F.expr(
+        f"CAST(inter * 1000000 DIV un AS BIGINT)"
+    )
+    return halves.select(
+        "doc_id",
+        "n_tokens",
+        inter.alias("inter"),
+        union.alias("un"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        jacc.alias("half_jaccard_e6"),
+        (jacc < _COHERENCE_FLAG_E6).alias("flag_incoherent"),
+    )

@@ -686,3 +686,52 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --- null-safe equi-join (<=> / IS NOT DISTINCT FROM) -------------------
+
+_NULLSAFE_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS k FROM orders
+), b AS (
+  SELECT DISTINCT NULLIF(o_orderpriority, '1-URGENT') AS k FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_pairs,
+       CAST(SUM(CASE WHEN a.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_value_pairs
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+@register("join_null_safe", _NULLSAFE_ORACLE)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join: ``eqNullSafe`` (SQL ``<=>``), where NULL
+    keys MATCH each other instead of silently dropping.
+
+    The join shape for dimension keys with a real "unknown" bucket:
+    a plain ``=`` join discards every NULL-keyed row (NULL = NULL is
+    NULL), which under-counts exactly the rows a data-quality rollup
+    most needs to see.  NULLs are injected deterministically
+    (``NULLIF`` on the urgent priority) so the oracle can state the
+    same join with ``IS NOT DISTINCT FROM`` and pin the null-bucket
+    row count exactly.
+
+    Scale: ``<=>`` is still a HASH-dispatchable equi-predicate (NULL
+    hashes like a value) — the plan is a normal shuffled/broadcast
+    hash join, NOT the nested-loop fallback a general null-tolerant
+    predicate would force; that plan property is the audit.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select(
+        "o_orderkey",
+        F.expr("NULLIF(o_orderpriority, '1-URGENT')").alias("ka"),
+    )
+    b = a.select(F.col("ka").alias("kb")).distinct()
+    j = a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum(F.col("ka").isNull().cast("long")).alias("n_null_pairs"),
+        F.sum(F.col("ka").isNotNull().cast("long")).alias("n_value_pairs"),
+    )

@@ -74,6 +74,8 @@ REPRESENTATIVE = [
     "multimodal_resize_nearest",
     "lang_id_ngram_profile",
     "search_hybrid_rrf",
+    "join_null_safe",
+    "doc_halves_coherence",
     "grouped_map_top2_sharded",
     "agg_salted_skew",
     "median_price_by_priority",

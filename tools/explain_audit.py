@@ -638,6 +638,22 @@ AUDITS: dict[str, dict] = {
         must=[r"partial_"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # null-safe <=> stays a HASH join (NULL hashes like a value) —
+    # the nested-loop fallback a general null predicate forces is the
+    # failure mode this audit exists to catch
+    "join_null_safe": dict(
+        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
+    # split-half coherence: everything in the row's arrays — no
+    # shuffle, no join, no window
+    "doc_halves_coherence": dict(
+        must=[r"Scan parquet"],
+        must_not=[r"CartesianProduct", r"Join", r"Window",
+                  r"Exchange hashpartitioning"],
+        hinted_broadcasts=0,
+    ),
     # RRF fusion: both rank windows ride limit-bounded top-k frames;
     # corpus-scaling work lives in (and is audited on) the source
     # rankers

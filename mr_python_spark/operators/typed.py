@@ -188,3 +188,50 @@ def sql_variables_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING mrps_quota, mrps_quota
         """
     )
+
+
+# --- Spark 4.0 SQL pipe syntax ------------------------------------------
+
+_PIPE_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue
+FROM lineitem
+WHERE l_quantity >= 30
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("sql_pipe_syntax", _PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.0 SQL pipe syntax (SPARK-49555): the same logical plan
+    a DataFrame chain builds, written as ``FROM … |> WHERE … |>
+    AGGREGATE … |> ORDER BY``.
+
+    Pipe operators compose top-to-bottom the way transformations
+    actually apply — the SQL-text counterpart of the DataFrame API,
+    and new surface area in Spark 4.  The parser lowers it to the
+    identical Catalyst plan as the classic form (the oracle states
+    that classic form), so filters still push to the scan and the
+    aggregate still splits partial/final — syntax, not semantics, is
+    what this query pins.
+
+    Money sums ride the fixed-point device; `floor(x*100 + 0.5)`
+    matches DuckDB's round-half-up on these positive prices.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    view = "pipe_lineitem"
+    li.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        FROM {view}
+        |> WHERE l_quantity >= 30
+        |> AGGREGATE COUNT(*) AS n_items,
+                     CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 100.0 AS revenue
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """
+    )

@@ -76,6 +76,7 @@ REPRESENTATIVE = [
     "search_hybrid_rrf",
     "join_null_safe",
     "doc_halves_coherence",
+    "sql_pipe_syntax",
     "grouped_map_top2_sharded",
     "agg_salted_skew",
     "median_price_by_priority",

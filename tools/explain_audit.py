@@ -638,6 +638,14 @@ AUDITS: dict[str, dict] = {
         must=[r"partial_"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # pipe syntax lowers to the identical classic plan: pushed filter,
+    # partial+final aggregate — syntax, not semantics
+    "sql_pipe_syntax": dict(
+        must=[r"partial_", r"HashAggregate",
+              r"PushedFilters: \[.*l_quantity"],
+        must_not=[r"CartesianProduct", r"Window", r"Join"],
+        hinted_broadcasts=0,
+    ),
     # null-safe <=> stays a HASH join (NULL hashes like a value) —
     # the nested-loop fallback a general null predicate forces is the
     # failure mode this audit exists to catch

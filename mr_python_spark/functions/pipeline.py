@@ -1779,3 +1779,90 @@ from mr_python_spark.dedup import _survivors_oracle as _dedup_survivors_oracle  
 from mr_python_spark.registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["dedup_cluster_survivors"] = _dedup_survivors_oracle()
+
+
+# --- word2vec-style negative-sampling table -----------------------------
+
+#: table geometry: unigram^0.75 flattening (Mikolov et al. 2013), the
+#: vocabulary capped to the top rows by frequency, min count 5
+_NEG_TABLE_CAP = 1024
+_NEG_MIN_COUNT = 5
+
+_NEG_TABLE_ORACLE = f"""
+WITH u AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+    FROM documents
+  )
+  WHERE word <> '' GROUP BY word HAVING COUNT(*) >= {_NEG_MIN_COUNT}
+), w AS (
+  SELECT word, c,
+         CAST(FLOOR(CAST(c AS DOUBLE)
+              / SQRT(SQRT(CAST(c AS DOUBLE))) * 1000) AS BIGINT) AS weight_fp
+  FROM u ORDER BY c DESC, word LIMIT {_NEG_TABLE_CAP}
+), tot AS (
+  SELECT CAST(SUM(weight_fp) AS BIGINT) AS t FROM w
+)
+SELECT word, c, weight_fp,
+       weight_fp * 1000000 // (SELECT t FROM tot) AS prob_ppm,
+       CAST(SUM(weight_fp) OVER (
+         ORDER BY c DESC, word ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS cum_end
+FROM w
+"""
+
+
+@register("negative_sampling_table", _NEG_TABLE_ORACLE)
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table: unigram counts flattened by
+    the ^0.75 power law (Mikolov et al. 2013) into an inverse-CDF
+    sampling table — ``cum_end`` ranges let a trainer draw negatives
+    with one integer uniform and one binary search.
+
+    The ^0.75 is computed WITHOUT ``pow``: ``c^{3/4} = c /
+    sqrt(sqrt(c))``, and IEEE sqrt and division are CORRECTLY ROUNDED
+    operations — the same input bits give the same output bits on
+    every engine (the mixture_temperature exact-isqrt precedent,
+    extended).  ``pow``/``exp``/``log`` carry no such guarantee, which
+    is exactly why the formula is spelled this way.  Scaled, floored,
+    then everything downstream is exact integers.
+
+    Scale: one word-count aggregate (partial+final), a top-K
+    TakeOrderedAndProject to the capped vocabulary, and the
+    cumulative window rides the LIMIT-bounded frame — never corpus
+    rows.  The total is a bounded (≤ cap rows) driver scalar.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        docs.select(F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _NEG_MIN_COUNT)
+    )
+    w = (
+        u.select(
+            "word",
+            "c",
+            F.floor(
+                F.col("c").cast("double")
+                / F.sqrt(F.sqrt(F.col("c").cast("double")))
+                * 1000
+            )
+            .cast("long")
+            .alias("weight_fp"),
+        )
+        .orderBy(F.desc("c"), "word")
+        .limit(_NEG_TABLE_CAP)
+    )
+    total = int(w.agg(F.sum("weight_fp")).first()[0])
+    win = Window.orderBy(F.desc("c"), "word").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return w.select(
+        "word",
+        "c",
+        "weight_fp",
+        F.expr(f"weight_fp * 1000000L div {total}L").alias("prob_ppm"),
+        F.sum("weight_fp").over(win).cast("long").alias("cum_end"),
+    )

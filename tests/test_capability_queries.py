@@ -77,6 +77,7 @@ REPRESENTATIVE = [
     "join_null_safe",
     "doc_halves_coherence",
     "sql_pipe_syntax",
+    "negative_sampling_table",
     "grouped_map_top2_sharded",
     "agg_salted_skew",
     "median_price_by_priority",

@@ -638,6 +638,14 @@ AUDITS: dict[str, dict] = {
         must=[r"partial_"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
+    # negative-sampling table: word-count aggregate → top-K cut; the
+    # cumulative window rides the LIMIT-bounded frame only
+    "negative_sampling_table": dict(
+        must=[r"partial_", r"TakeOrderedAndProject", r"Window"],
+        must_not=[r"CartesianProduct", r"Join"],
+        hinted_broadcasts=0,
+        unpartitioned_windows=["limit"],
+    ),
     # pipe syntax lowers to the identical classic plan: pushed filter,
     # partial+final aggregate — syntax, not semantics
     "sql_pipe_syntax": dict(

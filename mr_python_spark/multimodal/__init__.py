@@ -1176,3 +1176,102 @@ def _resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return with_len.mapInPandas(resize, _RESIZE_SCHEMA)
+
+
+# --- audio decimation (sample-rate conversion shape) --------------------
+
+_RESAMPLE_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples_in", T.IntegerType()),
+        T.StructField("n_samples_out", T.IntegerType()),
+        T.StructField("resampled_sum", T.LongType()),
+        T.StructField("resampled_peak", T.IntegerType()),
+    ]
+)
+
+_RESAMPLE_AUDIO_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, text, i
+  FROM documents CROSS JOIN generate_series(1, 1024) AS t(i)
+  WHERE i <= least(octet_length(encode(text)), 1024)
+),
+g AS (
+  SELECT doc_id, (i - 1) // 4 AS j,
+         CAST(SUM(ascii(substr(text, CAST(i AS INTEGER), 1))) AS BIGINT) AS s,
+         COUNT(*) AS k
+  FROM pos GROUP BY doc_id, (i - 1) // 4
+),
+o AS (
+  SELECT doc_id, s // 4 AS v FROM g WHERE k = 4
+),
+per AS (
+  SELECT doc_id,
+         CAST(SUM(v) AS BIGINT) AS resampled_sum,
+         CAST(MAX(v) AS INTEGER) AS resampled_peak,
+         CAST(COUNT(*) AS INTEGER) AS n_samples_out
+  FROM o GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(least(octet_length(encode(d.text)), 1024) AS INTEGER)
+         AS n_samples_in,
+       COALESCE(n_samples_out, 0) AS n_samples_out,
+       COALESCE(resampled_sum, 0) AS resampled_sum,
+       COALESCE(resampled_peak, 0) AS resampled_peak
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+@register("multimodal_audio_resample", _RESAMPLE_AUDIO_ORACLE)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decimation: 4:1 downsampling by mean pooling over the
+    PCM-like byte samples — the sample-rate-conversion step of an
+    audio ingest pipeline, beside the windowed-energy and keyframe
+    passes.
+
+    Each complete group of 4 unsigned 8-bit samples becomes one
+    output sample ``(s₀+s₁+s₂+s₃) div 4`` (exact integer floor — no
+    float filter kernel, so the oracle can restate every output
+    sample with ``ascii(substr(...))`` arithmetic); the compared
+    columns are the per-document resampled checksum/peak/counts.  A
+    real pipeline swaps the byte view for a codec decode and the
+    box filter for a windowed-sinc — the distributed shape (Arrow
+    batch in, vectorized numpy per batch, typed rows out) is
+    identical.
+
+    Scale: one spread Arrow pass, no shuffle after the map; per-doc
+    work is O(min(bytes, 1024)).
+    """
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = spread(docs).select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_samples_in": [], "n_samples_out": [],
+                "resampled_sum": [], "resampled_peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(payload[:1024]), dtype=np.uint8)
+                n_in = len(samples)
+                n_out = n_in // 4
+                out = (
+                    samples[: n_out * 4]
+                    .astype(np.int64)
+                    .reshape(-1, 4)
+                    .sum(axis=1)
+                    // 4
+                )
+                rows["doc_id"].append(doc_id)
+                rows["n_samples_in"].append(n_in)
+                rows["n_samples_out"].append(n_out)
+                rows["resampled_sum"].append(int(out.sum()) if n_out else 0)
+                rows["resampled_peak"].append(int(out.max()) if n_out else 0)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return with_payload.mapInPandas(resample, _RESAMPLE_AUDIO_SCHEMA)

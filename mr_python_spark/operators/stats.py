@@ -803,3 +803,54 @@ def doc_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- single-pass data-quality metrics via observe() ---------------------
+
+_OBSERVE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_short,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_english
+FROM documents
+"""
+
+
+@register("observed_quality_metrics", _OBSERVE_ORACLE)
+def observed_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality counters via ``DataFrame.observe`` — metrics
+    collected ON THE SIDE of a pass that is doing other work, without
+    a second scan.
+
+    Production pipelines attach observe() metrics (row counts, null
+    rates, domain counters) to their main write so quality monitoring
+    is free; the driver reads the observed values after the action.
+    Here the observed pass runs into the no-op sink and the four
+    counters come back as one bounded driver row, restated by the
+    oracle as a plain aggregate — the point under test is that the
+    observation's aggregate semantics are EXACTLY the SQL aggregate's.
+
+    Scale: observe compiles to an AggregatingAccumulator attached to
+    the existing pass — zero extra shuffle, zero extra scan; the
+    driver materialization is one metrics row.
+    """
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation()
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        F.sum((F.col("n_chars") < 100).cast("long")).alias("n_short"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("n_english"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_docs"]), int(m["total_chars"]), int(m["n_short"]),
+          int(m["n_english"]))],
+        "n_docs bigint, total_chars bigint, n_short bigint, n_english bigint",
+    )

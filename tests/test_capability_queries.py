@@ -78,6 +78,8 @@ REPRESENTATIVE = [
     "doc_halves_coherence",
     "sql_pipe_syntax",
     "negative_sampling_table",
+    "multimodal_audio_resample",
+    "observed_quality_metrics",
     "grouped_map_top2_sharded",
     "agg_salted_skew",
     "median_price_by_priority",

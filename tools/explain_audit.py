@@ -141,6 +141,21 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"Window", r"Sort\b.*global"],
         hinted_broadcasts=0,
     ),
+    # observe(): the returned frame is the one-row driver metrics
+    # table (LocalTableScan); the observed pass itself carries the
+    # accumulator — no join, no window, no shuffle in the result
+    "observed_quality_metrics": dict(
+        must=[r"LocalTableScan|Scan ExistingRDD"],
+        must_not=[r"CartesianProduct", r"Join", r"Window", r"Exchange"],
+        hinted_broadcasts=0,
+    ),
+    # audio decimation: one spread Arrow pass, nothing after the map
+    "multimodal_audio_resample": dict(
+        must=[r"MapInPandas"],
+        must_not=[r"CartesianProduct", r"Window",
+                  r"Exchange hashpartitioning"],
+        hinted_broadcasts=0,
+    ),
     # MAD fence: two |langs|-bounded percentile aggregates + joins on
     # the bounded frames; no corpus window, no global sort
     "doc_length_mad_outliers": dict(

@@ -2446,10 +2446,13 @@ def dedup_ccnet_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt text is an order-pinned join — every output column is
     exact.
 
-    100 TB posture: the paragraph grid is one JVM ``posexplode`` (no
-    self-join, no corpus window — the keeper comes from a map-side-
-    combined ``min(struct)`` aggregate, unlike the oracle's
-    ROW_NUMBER formulation which is DuckDB-side only).  Shuffles:
+    100 TB posture: the paragraph grid is a JVM ``posexplode``
+    regenerated on EACH side of the keeper join (cheap codegen work —
+    the bigram_fluency trade: recomputing the exploded stream beats
+    materializing it), with no self-pairing and no corpus window —
+    the keeper comes from a map-side-combined ``min(struct)``
+    aggregate, unlike the oracle's ROW_NUMBER formulation which is
+    DuckDB-side only.  Shuffles:
     winner aggregate + keeper join (both keyed on the block) and the
     per-doc rebuild — all linear.  At scale the block SHUFFLE key
     would be ``xxhash64(block)`` with the text carried only on the

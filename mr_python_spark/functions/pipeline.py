@@ -1855,14 +1855,27 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), "word")
         .limit(_NEG_TABLE_CAP)
     )
-    total = int(w.agg(F.sum("weight_fp")).first()[0])
+    # both the total and the cumulative ride windows over the SAME
+    # LIMIT-bounded frame — no second driver job re-running the corpus
+    # aggregate, and an empty capped vocabulary yields an empty table
+    # instead of a None-total crash
     win = Window.orderBy(F.desc("c"), "word").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
+    )
+    win_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     return w.select(
         "word",
         "c",
         "weight_fp",
-        F.expr(f"weight_fp * 1000000L div {total}L").alias("prob_ppm"),
+        F.expr("weight_fp * 1000000L").alias("num"),
+        F.sum("weight_fp").over(win_tot).alias("total"),
         F.sum("weight_fp").over(win).cast("long").alias("cum_end"),
+    ).select(
+        "word",
+        "c",
+        "weight_fp",
+        F.expr("num div total").alias("prob_ppm"),
+        "cum_end",
     )

@@ -1376,7 +1376,11 @@ def lang_id_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     — and everything is counts, ranks with total tie-breaks, and
     integer distances: bit-deterministic cross-engine.
 
-    100 TB posture: trigram extraction is one JVM transform+explode;
+    100 TB posture: the trigram stream is regenerated for each of its
+    two consumers (profile aggregate, per-doc tops) — measured
+    back-to-back against a single-aggregate reuse variant and an
+    in-array fold, both slower (docs/ROUND_NOTES.md round 15 wave 2);
+    trigram extraction is one JVM transform+explode per consumer;
     profiles are word-count-shaped aggregates; the two rank windows
     are PARTITIONED (per lang / per doc, never corpus-global); the
     classify join fans each doc's 10 profile rows out by the
@@ -1445,7 +1449,11 @@ def lang_id_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: RRF constant (Cormack et al. 2009's k = 60) and fixed-point scale
 _RRF_K = 60
 _RRF_SCALE = 1_000_000
-_RRF_PHRASE = "hash join"
+#: fused phrase = the registered phrase ranker's second query; deriving
+#: it (instead of re-hardcoding the literal) means an edit to
+#: PHRASE_QUERIES cannot silently empty the phrase side of the fusion
+_RRF_PHRASE = PHRASE_QUERIES[1]
+assert _RRF_PHRASE == "hash join"  # oracle text below embeds it
 
 _HYBRID_RRF_ORACLE = f"""
 WITH bm AS (
@@ -1589,9 +1597,9 @@ def doc_halves_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("d1", "d2")).cast("long")
     union = (F.size("d1") + F.size("d2")).cast("long") - inter
-    jacc = F.expr(
-        f"CAST(inter * 1000000 DIV un AS BIGINT)"
-    )
+    # names the intermediate select's aliases on purpose (plain string,
+    # no interpolation): DIV keeps the quotient exact-integer
+    jacc = F.expr("CAST(inter * 1000000 DIV un AS BIGINT)")
     return halves.select(
         "doc_id",
         "n_tokens",

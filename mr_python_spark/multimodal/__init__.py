@@ -854,6 +854,44 @@ def _phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _keyed_df_cache(_PHASH_CACHE, spark, sf_dir, build)
 
 
+def _fixture_image_decode(d: int, plen: int):
+    """Encode-then-REAL-decode one fixture image: format/seed derive
+    from doc_id, dimensions from the payload length, pixels from the
+    raster law ``(seed + 31y + 7i) % 251``.  THE single definition of
+    the fixture law on the engine side (the phash and resize passes
+    both call it; the SQL CTEs restate it independently — that pair
+    is the cross-check).  Returns (w, h, channels, raster_bytes);
+    raises on decode failure (the gate's whole point: loud)."""
+    import numpy as np
+
+    from mr_python_spark.multimodal.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_lossless,
+    )
+
+    def law_raster(w: int, h: int, ch: int, seed: int) -> bytes:
+        idx = np.arange(w * ch, dtype=np.int64)
+        return np.concatenate(
+            [((seed + 31 * y + 7 * idx) % 251).astype(np.uint8)
+             for y in range(h)]
+        ).tobytes()
+
+    fmt, seed = d % 4, d % 97
+    w, h = 1 + plen % 64, 1 + (plen * 3) % 64
+    if fmt == 3:
+        payload = encode_jpeg_lossless(
+            w, h, rgb=law_raster(w, h, 3, seed), seed=seed
+        )
+        dec = decode_jpeg_pixels(payload)
+    else:
+        ch = 1 if fmt == 1 else 4
+        payload = _encode_png(w, h, ch, seed=seed)
+        dec = _decode_png_pixels(payload)
+    if dec is None:
+        raise ValueError(f"decode failed for doc {d}")
+    return dec
+
+
 def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 4 != 0
@@ -867,41 +905,13 @@ def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from mr_python_spark.multimodal.jpeg import (
-            decode_jpeg_pixels,
-            encode_jpeg_lossless,
-        )
-
-        def law_raster(w: int, h: int, ch: int, seed: int) -> bytes:
-            import numpy as np
-
-            idx = np.arange(w * ch, dtype=np.int64)
-            return np.concatenate(
-                [((seed + 31 * y + 7 * idx) % 251).astype(np.uint8)
-                 for y in range(h)]
-            ).tobytes()
-
         for pdf in batches:
             if pdf.empty:
                 continue
             his, los = [], []
             for d, plen in zip(pdf["doc_id"], pdf["plen"]):
                 d, plen = int(d), int(plen)
-                fmt, seed = d % 4, d % 97
-                w, h = 1 + plen % 64, 1 + (plen * 3) % 64
-                if fmt == 3:
-                    payload = encode_jpeg_lossless(
-                        w, h, rgb=law_raster(w, h, 3, seed), seed=seed
-                    )
-                    dec = decode_jpeg_pixels(payload)
-                else:
-                    ch = 1 if fmt == 1 else 4
-                    payload = _encode_png(w, h, ch, seed=seed)
-                    dec = _decode_png_pixels(payload)
-                if dec is None:
-                    # the gate's whole point: a decode failure is loud
-                    raise ValueError(f"decode failed for doc {d}")
-                dw, dh, dch, raster = dec
+                dw, dh, dch, raster = _fixture_image_decode(d, plen)
                 stride = dw * dch
                 hi = lo = 0
                 for i in range(8):
@@ -1123,20 +1133,6 @@ def _resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from mr_python_spark.multimodal.jpeg import (
-            decode_jpeg_pixels,
-            encode_jpeg_lossless,
-        )
-
-        def law_raster(w: int, h: int, ch: int, seed: int) -> bytes:
-            import numpy as np
-
-            idx = np.arange(w * ch, dtype=np.int64)
-            return np.concatenate(
-                [((seed + 31 * y + 7 * idx) % 251).astype(np.uint8)
-                 for y in range(h)]
-            ).tobytes()
-
         n = _RESIZE_N
         for pdf in batches:
             if pdf.empty:
@@ -1147,20 +1143,7 @@ def _resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for d, plen in zip(pdf["doc_id"], pdf["plen"]):
                 d, plen = int(d), int(plen)
-                fmt, seed = d % 4, d % 97
-                w, h = 1 + plen % 64, 1 + (plen * 3) % 64
-                if fmt == 3:
-                    payload = encode_jpeg_lossless(
-                        w, h, rgb=law_raster(w, h, 3, seed), seed=seed
-                    )
-                    dec = decode_jpeg_pixels(payload)
-                else:
-                    ch = 1 if fmt == 1 else 4
-                    payload = _encode_png(w, h, ch, seed=seed)
-                    dec = _decode_png_pixels(payload)
-                if dec is None:
-                    raise ValueError(f"decode failed for doc {d}")
-                dw, dh, dch, raster = dec
+                dw, dh, dch, raster = _fixture_image_decode(d, plen)
                 stride = dw * dch
                 vals = [
                     raster[((i * dh) // n) * stride + ((j * dw) // n) * dch]

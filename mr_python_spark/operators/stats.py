@@ -729,7 +729,18 @@ def crosstab_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     ct = orders.stat.crosstab("o_orderpriority", "o_orderstatus")
     keep = ["o_orderpriority_o_orderstatus", "F", "O", "P"]
-    return ct.select(*[F.col(f"`{c}`").alias(c) for c in keep])
+    # crosstab only materializes columns for values PRESENT in the
+    # data; a slice missing a status must yield the oracle's zero
+    # column, not an unresolved-column error
+    have = set(ct.columns)
+    return ct.select(
+        *[
+            F.col(f"`{c}`").alias(c)
+            if c in have
+            else F.lit(0).cast("long").alias(c)
+            for c in keep
+        ]
+    )
 
 
 # --- robust outlier detection: median absolute deviation ----------------

@@ -1217,7 +1217,7 @@ def test_compression_ratio_matches_python(spark):
 def test_bloom_incremental_contract(spark):
     """No false negatives row-for-row, and the false-positive count
     stays within the m=2^20 / k=5 geometry's budget."""
-    from mr_python_spark.dedup import _BLOOM_K, _BLOOM_M, _bloom_flag_frame
+    from mr_python_spark.dedup import _bloom_flag_frame
 
     rows = _bloom_flag_frame(spark, SF).collect()
     assert rows, "batch split produced no rows"

@@ -659,7 +659,8 @@ AUDITS: dict[str, dict] = {
         must=[r"partial_", r"TakeOrderedAndProject", r"Window"],
         must_not=[r"CartesianProduct", r"Join"],
         hinted_broadcasts=0,
-        unpartitioned_windows=["limit"],
+        # total + cumulative, both over the top-K LIMIT frame
+        unpartitioned_windows=["limit", "limit"],
     ),
     # pipe syntax lowers to the identical classic plan: pushed filter,
     # partial+final aggregate — syntax, not semantics

@@ -694,7 +694,7 @@ WITH toks AS (
 )
 SELECT p.doc_id,
        COUNT(*) AS n_tokens,
-       list(COALESCE(v.id, {VOCAB_SIZE})::INTEGER ORDER BY p.i) AS ids
+       string_agg(COALESCE(v.id, {VOCAB_SIZE})::VARCHAR, ',' ORDER BY p.i) AS ids_csv
 FROM pos p
 LEFT JOIN vocab v ON v.tok = p.tok
 GROUP BY p.doc_id
@@ -717,6 +717,13 @@ def encode_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; AQE decides).  Sequence re-assembly sorts (position,
     id) structs inside each doc's aggregate — JVM-side, one shuffle on
     doc_id.
+
+    The sequence is emitted as a comma-joined string (``ids_csv``) —
+    byte-identical information to the raw ``array<int>`` but scalar, so
+    every comparison harness (including pandas canonicalization, which
+    cannot hash numpy arrays) can sort/hash it.  A trainer-facing
+    variant would keep the array; ``tests/test_hash_pipelines.py``
+    still gates the full sequence values.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = spread(docs).select(
@@ -737,7 +744,10 @@ def encode_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         encoded.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.expr("transform(array_sort(collect_list(struct(i, id))), s -> s.id)").alias("ids"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(i, id))),"
+                " s -> cast(s.id as string)), ',')"
+            ).alias("ids_csv"),
         )
     )
 

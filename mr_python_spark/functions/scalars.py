@@ -179,7 +179,7 @@ def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAP_ORACLE = """
 SELECT
   event_id,
-  list_sort(json_keys(props)) AS prop_keys,
+  array_to_string(list_sort(json_keys(props)), ',') AS prop_keys_csv,
   CAST(len(json_keys(props)) AS INTEGER) AS n_entries,
   CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
 FROM events
@@ -190,12 +190,15 @@ FROM events
 def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type functions: parse JSON into ``map<string,bigint>`` and
     operate on it (keys, cardinality, lookup) — the map-column toolkit
-    the §2c checklist calls for, JVM-side end to end."""
+    the §2c checklist calls for, JVM-side end to end.
+
+    The key list is emitted comma-joined (``prop_keys_csv``) so the
+    output stays all-scalar for order-insensitive hash harnesses."""
     events = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     return events.select(
         "event_id",
-        F.sort_array(F.map_keys(m)).alias("prop_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("prop_keys_csv"),
         F.size(m).alias("n_entries"),
         F.element_at(m, "k").alias("k_val"),
     )

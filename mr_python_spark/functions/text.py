@@ -790,47 +790,81 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same expression moves to DECIMAL(38,0), the engine's stock
     recipe.
 
-    Plan: doc lengths are a pure projection (``size(tokens)``, no
-    explode); the token explode is filtered to the query terms BEFORE
-    any shuffle, so the per-(doc,term) aggregate carries only matching
-    postings; the idf frame (|query| rows, constant) broadcast-joins;
-    dl rides the posting aggregate via ``max`` instead of a second
-    corpus join; the final top-k is one TakeOrderedAndProject.  100 TB:
-    one filtered posting shuffle keyed by doc_id + a constant
-    broadcast — the inverted-index probe shape.
+    Plan: ONE Spark action — the corpus statistics N/T/df(term) are a
+    single map-side-combined 1-row aggregate (``size``/``array_
+    contains`` projections, all codegen'd), with idf folded in, then
+    broadcast-crossJoined into the filtered posting aggregate (no
+    ``.first()`` driver job re-running the corpus scan — the r13
+    per-call-scalar fix).  The token explode is filtered to the query
+    terms BEFORE any shuffle; per-posting idf is a constant 3-arm CASE
+    on the broadcast columns, so the separate idf frame and its join
+    are gone entirely.  The only ordering work is one
+    TakeOrderedAndProject.  100 TB: two column-pruned scans + one
+    matching-postings shuffle — the inverted-index probe shape.
+
+    Measured at sf0.1 (best-of-3, noop sink): this shape 0.77s vs the
+    r13 driver-scalar shape 0.94s.  Two rejected alternatives, kept as
+    negative results: per-doc ``size(filter(toks, = term))`` tf columns
+    with a stats crossJoin over ALL docs (1.12s — the BNLJ pays per
+    corpus row, and the interpreted lambdas beat explode only on the
+    narrow stats side); routing per-doc rows through a ``repartition``
+    exchange hoping both consumers reuse it (0.97s — column pruning +
+    filter pushdown specialize the two exchange copies, so
+    ReusedExchange never engages).
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens_col().alias("toks")
     )
-    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    trow = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).first()
-    n_docs, t_toks = int(trow["n"]), int(trow["t"])
-
+    nq = len(BM25_QUERY)
+    per_lite = docs.select(
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            F.array_contains("toks", t).cast("long").alias(f"c{i}")
+            for i, t in enumerate(BM25_QUERY)
+        ],
+    )
+    stats = per_lite.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("t"),
+        *[F.sum(f"c{i}").alias(f"df{i}") for i in range(nq)],
+    ).select(
+        "n",
+        "t",
+        *[
+            F.length(
+                F.bin(
+                    F.expr(
+                        f"(2 * n - 2 * df{i} + 1) * {BM25_IDF_SCALE}L"
+                        f" div (2 * df{i} + 1)"
+                    )
+                )
+            )
+            .cast("long")
+            .alias(f"idf{i}")
+            for i in range(nq)
+        ],
+    )
     terms = F.array(*[F.lit(t) for t in BM25_QUERY])
     tf = (
-        docs.select("doc_id", F.size("toks").cast("long").alias("dl"),
-                    F.explode("toks").alias("tok"))
+        docs.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("tok"),
+        )
         .filter(F.array_contains(terms, F.col("tok")))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
-    idf = tf.groupBy("tok").agg(
-        F.length(
-            F.bin(
-                F.expr(
-                    f"(2 * {n_docs}L - 2 * count(*) + 1) * {BM25_IDF_SCALE}L"
-                    f" div (2 * count(*) + 1)"
-                )
-            )
-        )
-        .cast("long")
-        .alias("idf_bits")
+    idf_case = (
+        "CASE tok "
+        + " ".join(f"WHEN '{t}' THEN idf{i}" for i, t in enumerate(BM25_QUERY))
+        + " END"
     )
-    scored = tf.join(F.broadcast(idf), "tok").select(
+    scored = tf.crossJoin(F.broadcast(stats)).select(
         "doc_id",
         F.expr(
-            f"idf_bits * ((22 * tf * {t_toks}L * {BM25_SCALE}L)"
-            f" div (10 * tf * {t_toks}L + 3 * {t_toks}L + 9 * dl * {n_docs}L))"
+            f"({idf_case}) * ((22 * tf * t * {BM25_SCALE}L)"
+            f" div (10 * tf * t + 3 * t + 9 * dl * n))"
         ).alias("s"),
     )
     return (
@@ -1379,7 +1413,12 @@ def lang_id_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB posture: the trigram stream is regenerated for each of its
     two consumers (profile aggregate, per-doc tops) — measured
     back-to-back against a single-aggregate reuse variant and an
-    in-array fold, both slower (docs/ROUND_NOTES.md round 15 wave 2);
+    in-array fold, both slower (docs/ROUND_NOTES.md round 15 wave 2),
+    and against ``tri.persist()`` shared across both consumers (r14:
+    2.33s cached vs 2.20–3.27s uncached at sf0.1 — inside the noise
+    band, i.e. writing+reading a corpus-sized cache costs what the
+    cheap explode recomputation costs, and a corpus-sized persist is
+    against the house scale rules anyway; kept uncached);
     trigram extraction is one JVM transform+explode per consumer;
     profiles are word-count-shaped aggregates; the two rank windows
     are PARTITIONED (per lang / per doc, never corpus-global); the

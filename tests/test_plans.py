@@ -95,3 +95,26 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def test_no_top_level_complex_output_columns(spark, entrymod):
+    """Driver-harness canonicalization guard: pandas ``sort_values``
+    over all columns cannot hash numpy arrays, so a registered query
+    returning a top-level array/map/struct column crashes the official
+    grading the moment rotation reaches it (encode_tokens_to_ids, r13).
+    Sequence-valued results must be projected to a scalar (CSV-join or
+    digest) before registration.  Builds every registry frame lazily —
+    schema only, no execution beyond what frame construction needs."""
+    from pyspark.sql import types as T
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        schema = fn(spark, SF).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"complex top-level output columns: {offenders}"

@@ -692,7 +692,7 @@ AUDITS: dict[str, dict] = {
     "search_hybrid_rrf": dict(
         must=[r"Window", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
         must_not=[r"CartesianProduct"],
-        hinted_broadcasts=1,  # bm25's constant |query|-row idf frame
+        hinted_broadcasts=1,  # bm25's 1-row corpus-stats frame
         unpartitioned_windows=["limit", "limit"],
     ),
     # Cavnar–Trenkle langid: JVM trigram explode, word-count-shaped
@@ -906,7 +906,7 @@ AUDITS: dict[str, dict] = {
     "nb_calibration_report": dict(
         must=[r"partial_", r"HashAggregate"],
         must_not=[r"CartesianProduct", r"Window"],
-        hinted_broadcasts=1,  # the NB vocab model table (parent's hint)
+        hinted_broadcasts=5,  # the NB parent's model + constant frames
     ),
     # winnow matching: codegen'd exploded winnowing core (per-doc
     # Window — the measured 17× choice over in-array lambdas) feeding
@@ -947,7 +947,11 @@ AUDITS: dict[str, dict] = {
     "nb_quality_classifier": dict(
         must=[r"BroadcastHashJoin", r"TakeOrderedAndProject", r"partial_"],
         must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window"],
-        hinted_broadcasts=1,  # the per-token class-count model table
+        # model table + the 1-row constant frames (sample-agg, consts
+        # feeding the model, consts feeding the final projection — the
+        # consts subtree materializes per consumer): no driver .first()
+        # jobs — every scalar rides a broadcast crossJoin
+        hinted_broadcasts=5,
     ),
     # dynamic-gap sessions: same stateful session operator as the
     # fixed-gap query; the per-row gap is an expression, not state
@@ -1239,10 +1243,15 @@ AUDITS: dict[str, dict] = {
     # BM25: postings filtered to the query terms BEFORE the shuffle,
     # |query|-row idf frame broadcast, dl rides the posting aggregate
     # (no second corpus join), top-k is TakeOrderedAndProject
+    # constant-query BM25: per-doc tf projection (no explode), 1-row
+    # stats aggregate broadcast back via crossJoin (BroadcastNestedLoop
+    # over exactly one build row — not a data-sized cartesian), map-only
+    # scoring, one TakeOrderedAndProject
     "search_bm25_topk": dict(
-        must=[r"BroadcastHashJoin", r"TakeOrderedAndProject", r"partial_"],
-        must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window"],
-        hinted_broadcasts=1,  # the constant-size idf frame
+        must=[r"BroadcastNestedLoopJoin", r"TakeOrderedAndProject", r"partial_"],
+        must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window",
+                  r"BroadcastHashJoin"],
+        hinted_broadcasts=1,  # the 1-row corpus-stats frame
     ),
     # CCNet terciles: the LM scorer's two model broadcasts, then ONE
     # per-language window over narrow integer rows (text never enters

@@ -1296,6 +1296,12 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (tools/udf_oracles.py registers the same CPython zlib as a
     DuckDB scalar UDF — identical DEFLATE bytes by construction) plus
     a pure-Python differential pytest; the driver records rows-only.
+    Same-zlib-build precondition: "identical by construction" holds
+    because the Spark workers and the DuckDB-UDF host are the same
+    CPython linking one zlib build; different zlib versions may emit
+    different (equally valid) DEFLATE streams at level 6, so a
+    cross-machine comparison must compare ratio BANDS, not exact
+    compressed byte counts.
 
     100 TB posture: one Arrow-batched ``mapInPandas`` pass (the
     CPU-bound decode-like stage), ``spread`` pinning scan parallelism

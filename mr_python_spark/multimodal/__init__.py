@@ -1222,6 +1222,14 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch in, vectorized numpy per batch, typed rows out) is
     identical.
 
+    ASCII-corpus precondition: the oracle indexes ``text`` by CODE
+    POINT (``substr``/``ascii``) while the engine reads raw UTF-8
+    BYTES — equivalent only because the fixture corpus is pure ASCII
+    (octet_length == length for every document; pinned by
+    ``tests/test_testdata_schema.py::test_documents_text_is_ascii``).
+    A non-ASCII corpus needs the oracle respelled over
+    ``encode(text)`` blob bytes (hex-nibble arithmetic) instead.
+
     Scale: one spread Arrow pass, no shuffle after the map; per-doc
     work is O(min(bytes, 1024)).
     """

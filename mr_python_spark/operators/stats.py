@@ -846,6 +846,15 @@ def observed_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: observe compiles to an AggregatingAccumulator attached to
     the existing pass — zero extra shuffle, zero extra scan; the
     driver materialization is one metrics row.
+
+    EAGER-EXECUTION EXCEPTION (unique in the registry): calling this
+    builder RUNS the observed noop-write scan and returns a
+    driver-local one-row LocalTableScan frame — Observation values
+    only exist after an action.  Any timing or plan inspection of the
+    RETURNED frame therefore sees none of the real work; it is
+    deliberately kept off bench.py's HEADLINE set, and its
+    explain-audit spec pins only the trivial result frame.  The
+    correctness gates are unaffected (they compare materialized rows).
     """
     from pyspark.sql import Observation
 

@@ -91,59 +91,54 @@ PRIORITY: list[str] = [
     # §2a parity gates — permanent window anchors
     "parity_word_count",
     "parity_secondary_sort",
-    # --- Round-14 note: CORRECTNESS_r13.json was never delivered, so
-    # the 18 round-13 first-timers were never officially graded — they
-    # KEEP their slots for the r14 grading (one exception:
-    # dedup_embedding_lsh carries only a udf-tier oracle, so the driver
-    # would record it rows-only; it rotates back to the sweep/udf tier
-    # and a hash-gateable dedup rep takes the slot).  Beyond those,
-    # TWENTY-THREE entries never graded in r01–r12 replace
-    # repeatedly-graded ones, every swap leaving same-category kin
-    # in-window and every rotated-out entry hash-gated in the full
-    # sweep (r12-graded unless noted): q13/q1_decimal → q15/q17
-    # (TPC-H), salted-skew + null-aware NOT IN → right-outer +
-    # shuffle-hash-hint (joins), moving-avg → top3-per-customer
-    # (windows), EXCEPT ALL → EXCEPT distinct (setops), variant →
-    # date-arith (scalar/typed row), distinct-users →
-    # approx-distinct envelope (distinct row), schema-evolution +
-    # dynamic-overwrite → streaming parquet sink (sources keep the
-    # pyds pair; sinks keep the streaming sink), stateful-sessions +
-    # join-outer-live → sessions-tws + join-semi-live (streaming),
-    # bakeoff-envelope + pandas-udaf → grouped-map-sharded +
-    # arrow-python-udf (UDF surface), winnow + lexical-semantic
-    # agreement → winnow_fingerprint_report + text_normalize (dedup
-    # keeps 3 reps; text analysis gains), decode_real →
-    # multimodal_probe_arrow (multimodal), hard-negative →
-    # bigram_lm_perplexity (LM; GEMM eval keeps ann_filtered + the
-    # sweep), bitext + ablation + pagerank →
-    # split_train_val_test + decontaminate_against_eval +
-    # encode_tokens_to_ids + shuffle_shard_order (pipeline passes).
+    # --- Round-14 rotation (r13 verdict orders #1/#3): EIGHTEEN swaps.
+    # In: the judge's eleven zero-window-history round-15 operators
+    # (binaryfile_scan, listagg_regions, sql_pipe_syntax,
+    # join_null_safe, cooccurrence_pmi, lang_id_ngram_profile,
+    # search_hybrid_rrf, dedup_ccnet_paragraphs, dedup_incremental_bloom,
+    # negative_sampling_table, multimodal_resize_nearest — the judge's
+    # own 9-query re-run already passed most), the two latent
+    # array-output queries reshaped this round so the driver confirms
+    # the fix (embedding_int8_quantize, map_funcs_events),
+    # nb_calibration_report (rewritten this round — driver confirmation
+    # wanted), and three more never-graded entries
+    # (multimodal_audio_resample, moore_lewis_selection,
+    # attribution_last_touch, try_arith_lineitem).  encode_tokens_to_ids
+    # KEEPS its slot — it is the round's one red row and must be graded
+    # green (order #1).  Out (grade counts from CORRECTNESS_r01–r13;
+    # every leaver has same-category kin in-window and stays hash-gated
+    # in the full sweep): q1_pricing_summary (13×; q8/q12 keep TPC-H),
+    # filter_project_lineitem (13×; try_arith_lineitem is the
+    # projection+predicates kin), pipeline_rekey_bands (12×),
+    # pyds_sink_roundtrip (7×; pyds_calendar_scan + streaming sink keep
+    # the source/sink rows), pipeline_curate_report (7×; four pipeline
+    # passes remain), dedup_cross_source_matrix (5×; four dedup reps
+    # remain), q15/q17 (1×; q8/q12 remain), join_cross_product +
+    # join_right_outer (1×; asof/shuffle-hash/null-safe remain),
+    # window_ntile_distribution (1×; lag_delta/top3 remain),
+    # setop_intersect_all (1×; setop_except remains),
+    # corr_quantity_price + histogram_prices + agg_minmax_by (1×;
+    # approx_quantile/approx_distinct keep stats+envelopes),
+    # streaming_incremental_mv (1×; four streaming reps remain),
+    # pii_scrub_canaries + shuffle_shard_order (1×; split/decontaminate/
+    # encode keep pipeline).
     # TPC-H composites
-    "q1_pricing_summary",
     "q8_market_share",
     "q12_priority_shipping",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "pipeline_rekey_bands",
     "ann_filtered_topk",
     # join shapes
-    "join_cross_product",
     "join_asof_forward",
-    "join_right_outer",
     "join_shuffle_hash_hint",
+    "join_null_safe",
     # window functions
-    "window_ntile_distribution",
     "window_lag_delta",
     "window_top3_per_customer",
-    # streaming (CDC apply + incremental MV from r13; tws sessions,
-    # semi join, parquet sink first-graded r14)
+    # streaming (tws sessions, semi join, parquet sink first-graded r14)
     "streaming_cdc_apply",
-    "streaming_incremental_mv",
     "streaming_sessions_tws",
     "streaming_join_semi_live",
     "streaming_parquet_sink",
     # set ops
-    "setop_intersect_all",
     "setop_except",
     # sorts / limits
     "topk_orders",
@@ -151,35 +146,42 @@ PRIORITY: list[str] = [
     "cube_grouping_id",
     # scalar function families + typed surfaces
     "date_arith_orders",
-    # statistics + distinct + accuracy envelopes
-    "corr_quantity_price",
-    "histogram_prices",
+    "sql_pipe_syntax",
+    "map_funcs_events",
+    "try_arith_lineitem",
+    # aggregates (listagg row) + statistics + accuracy envelopes
+    "listagg_regions",
     "approx_quantile_envelope",
-    "agg_minmax_by",
     "approx_distinct_envelope",
-    # projection/filter
-    "filter_project_lineitem",
     # sources + sinks
     "pyds_calendar_scan",
-    "pyds_sink_roundtrip",
+    "binaryfile_scan",
     # UDF / UDTF / UDAF surface
     "arrow_grouped_map_langstats",
     "grouped_map_top2_sharded",
     "arrow_python_udf",
     # LLM-pipeline families
     "unimax_language_budgets",
-    "dedup_cross_source_matrix",
+    "negative_sampling_table",
+    "moore_lewis_selection",
     "dedup_incremental_prefix",
+    "dedup_ccnet_paragraphs",
+    "dedup_incremental_bloom",
     "winnow_fingerprint_report",
-    "pii_scrub_canaries",
     "text_normalize",
+    "cooccurrence_pmi",
+    "lang_id_ngram_profile",
+    "search_hybrid_rrf",
     "bigram_lm_perplexity",
+    "nb_calibration_report",
     "split_train_val_test",
     "decontaminate_against_eval",
     "encode_tokens_to_ids",
-    "shuffle_shard_order",
+    "embedding_int8_quantize",
     "multimodal_probe_arrow",
-    "pipeline_curate_report",  # capstone composed pipeline (round-5)
+    "multimodal_resize_nearest",
+    "multimodal_audio_resample",
+    "attribution_last_touch",
 ]
 
 

@@ -25,6 +25,7 @@ Scale notes (100 TB posture):
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -483,6 +484,9 @@ def binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     write is what a real pipeline replaces with its object store.
     """
     stage = _scratch("region_bin")
+    # fresh stage every call: leftover .bin files from a prior run with
+    # different fixtures would be scanned back in and corrupt the check
+    shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage, exist_ok=True)
     rows = load_table(spark, sf_dir, "region").select(
         "r_regionkey", "r_name"

@@ -235,3 +235,22 @@ def test_staged_events_stream_is_watermarkable(spark):
     assert dict(stream.dtypes)["ts"] == "timestamp"
     # withWatermark is exactly what round 4 lost; prove it resolves
     stream.withWatermark("ts", "1 hour")
+
+
+def test_documents_text_is_ascii():
+    """The byte-view operators (multimodal_audio_resample and kin) and
+    their DuckDB oracles agree only while the corpus is pure ASCII:
+    the oracles index text by CODE POINT (substr/ascii) while the
+    engine reads raw UTF-8 BYTES.  Pin the invariant so a future
+    fixture change points here instead of silently diverging."""
+    import duckdb
+
+    for sf_dir in SF_DIRS:
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet' "
+            "WHERE octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert n == 0, (
+            f"{sf_dir}: {n} non-ASCII documents — respell the byte-view "
+            "oracles over encode(text) blob bytes before trusting them"
+        )

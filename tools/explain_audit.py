@@ -1240,13 +1240,11 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         hinted_broadcasts=1,
     ),
-    # BM25: postings filtered to the query terms BEFORE the shuffle,
-    # |query|-row idf frame broadcast, dl rides the posting aggregate
-    # (no second corpus join), top-k is TakeOrderedAndProject
-    # constant-query BM25: per-doc tf projection (no explode), 1-row
-    # stats aggregate broadcast back via crossJoin (BroadcastNestedLoop
-    # over exactly one build row — not a data-sized cartesian), map-only
-    # scoring, one TakeOrderedAndProject
+    # BM25: postings filtered to the query terms BEFORE the shuffle;
+    # corpus stats + idf fold into ONE 1-row frame broadcast back via
+    # crossJoin (BroadcastNestedLoop over exactly one build row — not a
+    # data-sized cartesian); dl rides the posting aggregate (no second
+    # corpus join); top-k is TakeOrderedAndProject
     "search_bm25_topk": dict(
         must=[r"BroadcastNestedLoopJoin", r"TakeOrderedAndProject", r"partial_"],
         must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window",

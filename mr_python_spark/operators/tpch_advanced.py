@@ -79,6 +79,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     one extra shuffle on partkey, never a per-row re-scan.  region and
     nation are constant-size broadcast hints; supplier and part are
     stats/AQE-planned.
+
+    Selective-dimension-first (the q5 lesson, applied to the WINDOW
+    input): the ``p_size = 15`` part filter joins BEFORE the
+    per-partkey window, not after — an inner join on the window's own
+    partition key commutes with the per-partition min, and it shrinks
+    the window shuffle by the part-filter selectivity (~50×).
+    supplier likewise pre-shrinks against the EUROPE nation⋈region
+    broadcast before meeting the rollup.
     """
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
@@ -90,16 +98,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
-    europe_ps = (
-        ps.join(supplier, ps.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    sup_europe = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    europe_ps = ps.join(part, ps.l_partkey == part.p_partkey).join(
+        sup_europe, ps.l_suppkey == F.col("s_suppkey")
     )
     best = F.min("cost_fp").over(Window.partitionBy("l_partkey"))
     return (
         europe_ps.withColumn("best_fp", best)
         .filter(F.col("cost_fp") == F.col("best_fp"))
-        .join(part, F.col("l_partkey") == part.p_partkey)
         .select(
             "s_acctbal",
             "s_name",
@@ -145,9 +153,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Seven joins, one CASE-conditional ratio.  lineitem is filtered via
     the part join (p_type pushed to the part scan) and shuffles once
     per SF-scaling join; the two nation aliases and region are
-    broadcast-hinted constants.  Numerator and denominator are both
-    fixed-point sums, so the final share is one IEEE division on exact
-    operands — partitioning-independent.
+    broadcast-hinted constants.  customer pre-shrinks against the
+    AMERICA nation⋈region broadcast BEFORE entering the fact chain
+    (the q5 selective-dimension-first lesson: Spark without CBO stats
+    keeps the written join order, so the ~5× region cut must be
+    applied to customer upfront, not after the orders join).
+    Numerator and denominator are both fixed-point sums, so the final
+    share is one IEEE division on exact operands —
+    partitioning-independent.
     """
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     li = load_table(spark, sf_dir, "lineitem")
@@ -168,12 +181,16 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol_fp = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000, 0
     ).cast("long")
+    cust_america = customer.join(
+        F.broadcast(
+            cn.join(region, F.col("cn_region") == F.col("r_regionkey"))
+        ),
+        F.col("c_nationkey") == F.col("cn_key"),
+    )
     joined = (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(cust_america, orders.o_custkey == F.col("c_custkey"))
         .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
     )

@@ -101,7 +101,7 @@ PRIORITY: list[str] = [
     # array-output queries reshaped this round so the driver confirms
     # the fix (embedding_int8_quantize, map_funcs_events),
     # nb_calibration_report (rewritten this round — driver confirmation
-    # wanted), and three more never-graded entries
+    # wanted), and four more never-graded entries
     # (multimodal_audio_resample, moore_lewis_selection,
     # attribution_last_touch, try_arith_lineitem).  encode_tokens_to_ids
     # KEEPS its slot — it is the round's one red row and must be graded

@@ -1026,7 +1026,7 @@ AUDITS: dict[str, dict] = {
     "q8_market_share": dict(
         must=[r"partial_sum", r"BroadcastHashJoin"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
-        hinted_broadcasts=3,  # cust-nation, region, supp-nation aliases
+        hinted_broadcasts=2,  # (cust-nation⋈AMERICA-region), supp-nation
     ),
     "q9_product_profit": dict(
         must=[r"partial_sum", r"BroadcastHashJoin"],

@@ -338,7 +338,12 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("g"),
         )
-        .persist()  # bounded: ≤ LM_SAMPLE_CAP docs, shared by 2 consumers
+        # bounded (≤ LM_SAMPLE_CAP docs) and shared by the model +
+        # constants subtrees.  Deliberately never unpersisted: the
+        # builder returns a LAZY frame, so there is no post-action
+        # hook; the cache manager keys on the canonicalized plan, so a
+        # long session holds at most one small entry per sf_dir.
+        .persist()
     )
     tok_class = (
         sample.select("g", F.explode("toks").alias("tok"))

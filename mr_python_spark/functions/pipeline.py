@@ -722,8 +722,10 @@ def encode_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical information to the raw ``array<int>`` but scalar, so
     every comparison harness (including pandas canonicalization, which
     cannot hash numpy arrays) can sort/hash it.  A trainer-facing
-    variant would keep the array; ``tests/test_hash_pipelines.py``
-    still gates the full sequence values.
+    variant would keep the array; the full sequence values are gated
+    by the DuckDB oracle (ordered ``string_agg``) and re-derived
+    from scratch in ``tests/test_hash_pipelines.py::
+    test_encode_tokens_to_ids_pure_python_mirror``.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = spread(docs).select(

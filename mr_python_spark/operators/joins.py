@@ -103,16 +103,28 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimizer does not reorder joins without CBO stats, so the
     DataFrame order IS the join order; the r13 shape joined
     lineitem⋈orders FIRST (the largest join, unfiltered) and paid a
-    full SortMergeJoin of both fact tables (measured 1.3–1.5s at
-    sf0.1 vs 1.03s for this order, which AQE plans all-broadcast).
-    At 100 TB the same ordering cuts the big shuffle's probe volume
-    by the dimension selectivity before it happens.
+    full SortMergeJoin of both fact tables.  At 100 TB this ordering
+    cuts the big shuffle's probe volume by the dimension selectivity
+    before it happens.
+
+    The lineitem⋈ord_asia join carries a ``merge`` hint: without it
+    the STATIC planner sizes tables by compressed file bytes, and on
+    the highly-repetitive synthetic sf1 fixture lineitem's parquet
+    squeezes under the 10 MB broadcast threshold — Spark then
+    broadcasts the 6M-row FACT side and builds a multi-second hash
+    relation (measured 5.3s at sf1 vs 1.9s hinted; at sf0.1 the hint
+    is cost-neutral, 0.8–1.0s vs 1.0s all-broadcast).  A shuffle join
+    on the biggest join is the only strategy that is never
+    catastrophically wrong at any estimate quality, and it is the
+    plan a CBO would pick at real scale anyway; the estimate lie is a
+    fixture artifact, but "never let a fact table reach the build
+    side of a static broadcast decision" is the durable rule.
 
     Only the constant-size dims (region, nation — 5/25 rows at ANY
-    scale factor) carry explicit broadcast hints.  customer and
-    supplier grow linearly with SF, so their join strategy is left to
-    stats + AQE: broadcast at small SF, shuffle join at 100 TB —
-    forcing the hint would OOM every executor there.
+    scale factor) carry explicit broadcast hints.  customer, orders
+    and supplier grow linearly with SF, so their join strategy is
+    left to stats + AQE: broadcast at small SF, shuffle join at
+    100 TB — forcing a broadcast hint would OOM every executor there.
     """
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
@@ -127,7 +139,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_asia = customer.join(
         F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey")
     )
-    ord_asia = orders.join(cust_asia, F.col("o_custkey") == F.col("c_custkey"))
+    ord_asia = orders.join(
+        cust_asia, F.col("o_custkey") == F.col("c_custkey")
+    ).hint("merge")
     return (
         lineitem.join(ord_asia, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(

@@ -414,7 +414,6 @@ def csv_corrupt_records_permissive(spark: SparkSession, sf_dir: str) -> DataFram
     NULL schema + the raw line while healthy rows parse fully.
     """
     import glob
-    import shutil
 
     path = _scratch("nation_corrupt_csv")
     nation = load_table(spark, sf_dir, "nation")
@@ -483,9 +482,11 @@ def binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     never pass through the driver on the read side.  The staging
     write is what a real pipeline replaces with its object store.
     """
-    stage = _scratch("region_bin")
-    # fresh stage every call: leftover .bin files from a prior run with
-    # different fixtures would be scanned back in and corrupt the check
+    # keyed per sf_dir (the events_by_type pattern) so frames built for
+    # two fixtures never share a directory, AND cleared before staging
+    # so leftover .bin files from a prior run with different fixture
+    # content can't be scanned back in
+    stage = _scratch(f"region_bin_{os.path.basename(sf_dir.rstrip('/'))}")
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage, exist_ok=True)
     rows = load_table(spark, sf_dir, "region").select(

@@ -1229,3 +1229,34 @@ def test_bloom_incremental_contract(spark):
             fps += 1
     # theoretical FPP at n~corpus keys is <<1%; allow generous slack
     assert fps <= max(2, len(rows) // 100), (fps, len(rows))
+
+
+def test_encode_tokens_to_ids_pure_python_mirror(spark):
+    """The distributed token→id encoding must equal a from-scratch
+    pure-Python re-derivation (same frequency vocabulary, same
+    count-desc/token-asc total order, same OOV id, same in-doc
+    position order) at every document — the full-sequence gate the
+    scalar ``ids_csv`` projection still has to honor."""
+    from collections import Counter
+
+    from mr_python_spark.functions.pipeline import VOCAB_SIZE, encode_tokens_to_ids
+    from mr_python_spark.session import load_table
+
+    docs = {
+        r.doc_id: [t for t in r.text.lower().split() if t]
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    counts = Counter(t for toks in docs.values() for t in toks)
+    top = sorted(counts, key=lambda t: (-counts[t], t))[:VOCAB_SIZE]
+    tok_id = {t: i for i, t in enumerate(top)}
+
+    got = {
+        r.doc_id: (r.n_tokens, r.ids_csv)
+        for r in encode_tokens_to_ids(spark, SF).collect()
+    }
+    assert set(got) == {d for d, toks in docs.items() if toks}
+    for d, toks in docs.items():
+        if not toks:
+            continue
+        want = ",".join(str(tok_id.get(t, VOCAB_SIZE)) for t in toks)
+        assert got[d] == (len(toks), want), d

@@ -68,6 +68,14 @@ QUERIES = [
     "attribution_last_touch",
     "zorder_bucket_stats",
     "nb_calibration_report",
+    # round-16: the rewritten single-action scorers (constants ride
+    # broadcast crossJoins instead of driver jobs) and the
+    # selective-dimension-first join reorders must hold under 10x data
+    "search_bm25_topk",
+    "nb_quality_classifier",
+    "q8_market_share",
+    "q2_min_cost_supplier",
+    "encode_tokens_to_ids",
 ]
 
 

@@ -69,6 +69,12 @@ QUERIES = [
     "streaming_cdc_apply",
     "unimax_language_budgets",
     "tokenizer_bakeoff_report",
+    # round-16: the single-action rewrites (constants ride broadcast
+    # crossJoins, model-side dbits) get their third corpus-scale point
+    "search_bm25_topk",
+    "nb_quality_classifier",
+    "nb_calibration_report",
+    "encode_tokens_to_ids",
 ]
 
 #: every table the probe queries touch; synthesized per-dst on demand

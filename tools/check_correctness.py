@@ -58,10 +58,24 @@ def duck_connection():
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name, canonicalize cell values, sort rows."""
+    """Sort columns by name, canonicalize cell values, sort rows.
+
+    Complex cells (list/ndarray/dict) are REJECTED, not stringified:
+    the driver's harness sorts RAW values and crashes on unhashable
+    numpy arrays (encode_tokens_to_ids, round 13) — a local gate that
+    quietly canonicalizes them would pass queries the official grading
+    cannot grade.  tests/test_plans.py guards the registry's output
+    schemas; this guards whatever actually reaches a comparison.
+    """
     df = df.reindex(sorted(df.columns), axis=1)
 
     def canon(v):
+        if isinstance(v, (list, np.ndarray, dict)):
+            raise TypeError(
+                "complex cell value reached the comparison — the driver's "
+                "canonicalizer cannot sort/hash these; project the column "
+                f"to a scalar (CSV-join or digest): {type(v).__name__}"
+            )
         if v is None or v is pd.NaT:
             return "<NULL>"
         if isinstance(v, float):
@@ -74,8 +88,6 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             return str(int(v))
         if isinstance(v, (np.floating,)):
             return repr(float(v))
-        if isinstance(v, (list, np.ndarray)):
-            return "[" + ",".join(canon(x) for x in v) + "]"
         return str(v)
 
     out = df.map(canon)

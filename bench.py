@@ -132,6 +132,10 @@ HEADLINE = [
     # |langs|-broadcast classify join)
     "multimodal_resize_nearest",
     "lang_id_ngram_profile",
+    # round-16: the window-input join reorder (part filter before the
+    # per-partkey window) — benched so a join-order regression in the
+    # Q2 shape is visible round-over-round; bm25/nb/q5/q8 are above
+    "q2_min_cost_supplier",
 ]
 
 

@@ -483,9 +483,20 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrive already partitioned by l_partkey so AQE reuses the
     exchange.  The threshold (0.2 × mean) is one multiply on a
     decimal-sum-derived mean: bit-identical across engines.
+
+    The brand filter pushes BELOW the rollup as a left-semi join (the
+    round-16 q2 lesson): the per-part mean is independent of every
+    other part, so the threshold aggregate hashes only the brand
+    slice instead of the corpus — at 100 TB the difference between
+    aggregating everything and aggregating ~1/brand-cardinality of it
+    (measured 0.55–0.73s vs 0.59–0.97s at sf0.1, identical output).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li3 = li.join(
+        part.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    avg_qty = li3.groupBy(F.col("l_partkey").alias("ak")).agg(
         (
             F.lit(0.2)
             * (
@@ -495,10 +506,9 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("threshold")
     )
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(avg_qty, li.l_partkey == F.col("ak"))
+        li3.join(part, li3.l_partkey == part.p_partkey)
+        .join(avg_qty, li3.l_partkey == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("threshold"))
         .agg(
             (

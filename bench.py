@@ -303,6 +303,44 @@ def main() -> None:
                 f"WARNING: git add {detail_path} failed: {res.stderr.strip()}",
                 file=sys.stderr,
             )
+    # --- quiet-window pin (round 15, r14 verdict order #1) -----------
+    # BENCH_r14 shipped a contention-spiked isolated pass reading "2x
+    # slower than r13" while paired DuckDB pins showed parity: the
+    # artifact that ships must be a QUIET-window measurement, and a
+    # noisy end-of-round refresh must never overwrite it.  Quietness
+    # gate: the two steady-state in-suite passes (pass 1 carries
+    # residual JIT/GC warm-up by construction) agree within 15% — the
+    # r14 noisy run fails it at 192% (56.3s vs 164.5s pass totals)
+    # while quiet runs measure ~10%.  A quiet run always becomes the
+    # new pin (code may have changed); a noisy run ships the existing
+    # pin unchanged (flagged via pinned=true, with its own totals in
+    # current_run_* for transparency), falling back to its own numbers
+    # only when no same-query-set pin exists yet.
+    pin_path = os.path.join(REPO, "docs", "bench_pin.json")
+    t2, t3 = (sum(r.values()) for r in runs[1:])
+    steady_spread = round(abs(t3 - t2) / min(t2, t3), 3)
+    quiet = steady_spread <= 0.15
+    pin = None
+    if os.path.exists(pin_path):
+        with open(pin_path) as f:
+            pin = json.load(f)
+    current = {
+        "value": total,
+        "value_isolated": total_isolated,
+        "queries": isolated,
+        "sf": sf_from_dir(SF_DIR),
+        "steady_pass_spread": steady_spread,
+        "pinned_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    if quiet:
+        pin = current
+        with open(pin_path, "w") as f:
+            json.dump(pin, f, indent=1)
+    elif pin is None or set(pin["queries"]) != set(isolated):
+        # no comparable pin (first run ever, or the headline set
+        # changed under a noisy window): ship the current run, flagged
+        pin = current
+    shipped_pin = pin is not current
     # "value" stays the in-suite total (comparable to BENCH_r≤12, whose
     # queries column was in-suite best-of-3); the per-query map is the
     # ISOLATED column from r13 on — the stable one a regression hunt
@@ -310,14 +348,46 @@ def main() -> None:
     # are in docs/bench_detail.json#queries_in_suite.
     out = {
         "metric": "headline_queries_total_wall",
-        "value": total,
-        "value_isolated": total_isolated,
+        "value": pin["value"],
+        "value_isolated": pin["value_isolated"],
         "unit": "sec",
-        "queries": isolated,
+        "queries": {k: round(v, 2) for k, v in pin["queries"].items()},
         "queries_col": "isolated_best_of_3",
-        "sf": sf_from_dir(SF_DIR),
+        "sf": pin["sf"],
+        # pin provenance: quiet_window=this run qualified and IS the
+        # pin; pinned=true means a noisy run shipped the stored pin
+        "quiet_window": quiet,
+        "pinned": shipped_pin,
+        "current_run_value": total,
+        "current_run_value_isolated": total_isolated,
     }
-    print(json.dumps(out))
+    # The driver parses the FINAL stdout line from a 2000-char tail
+    # capture: BENCH_r13/r14 both recorded parsed=None because the
+    # 68-query map pushed the line to ~2.2 KB and the head was clipped.
+    # Keep the line parseable by dropping the CHEAPEST queries from the
+    # printed map until it fits (the full map always ships in the
+    # committed docs/bench_pin.json + docs/bench_detail.json); totals
+    # stay exact regardless of what the printed map omits.
+    budget = 1900
+    line = json.dumps(out, separators=(",", ":"))
+    omitted = 0
+    while len(line) > budget and out["queries"]:
+        cheapest = min(out["queries"], key=out["queries"].get)
+        del out["queries"][cheapest]
+        omitted += 1
+        out["queries_omitted_cheapest"] = omitted
+        out["queries_full_in"] = "docs/bench_pin.json"
+        line = json.dumps(out, separators=(",", ":"))
+    if quiet and not os.environ.get("SPARK_GRAFT_NO_STAGE"):
+        import subprocess
+
+        subprocess.run(
+            ["git", "-C", REPO, "add", pin_path],
+            check=False,
+            capture_output=True,
+            text=True,
+        )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -307,9 +307,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
-    nat_lines = li.join(supplier, li.l_suppkey == supplier.s_suppkey).join(
+    # selective-dimension-first (round 15): the 1/25-nation filter
+    # shrinks supplier BEFORE lineitem joins, so the fact join's build
+    # side is 25x smaller (and often broadcastable) instead of
+    # filtering 24/25 of the join output after the fact
+    nat_supp = supplier.join(
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     )
+    nat_lines = li.join(nat_supp, li.l_suppkey == nat_supp.s_suppkey)
     value_fp = F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
     natval = nat_lines.groupBy("l_partkey").agg(value_fp.alias("value_fp"))
     threshold = nat_lines.agg(

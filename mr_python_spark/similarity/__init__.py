@@ -32,6 +32,28 @@ from mr_python_spark.session import load_table, spread
 QUERY_STRIDE = 25
 TOP_K = 5
 
+#: hard cap on the probe/query set (round 15).  An ANN deployment's
+#: query WORKLOAD is an external bounded input; the fixture derives it
+#: by striding the corpus — a fixed FRACTION, which still scales with
+#: SF — so every query set is additionally capped at a fixed SIZE: the
+#: broadcast build side each ANN query ships to executors must be
+#: constant at any corpus size (the r15 fact-broadcast audit rule —
+#: same posture as the trained-model sample caps).  4096 exceeds the
+#: stride yield at every locally checked tier (sf3 yields 2400 at
+#: stride 25), so results are unchanged wherever a gate runs; the
+#: recall pair additionally assume the brute set is untruncated, so
+#: keep the cap above corpus/QUERY_STRIDE at the largest checked tier.
+ANN_QUERY_CAP = 4096
+#: injected into every oracle's query CTE so both engines cap alike
+_Q_CAP_SQL = f"ORDER BY vec_id LIMIT {ANN_QUERY_CAP}"
+
+
+def _cap_queries(df: DataFrame) -> DataFrame:
+    """Deterministic fixed-size query set: stride subset, then top-cap
+    by vec_id (plans TakeOrderedAndProject — bounded by a literal, so
+    the downstream broadcast is constant-size at any SF)."""
+    return df.orderBy("vec_id").limit(ANN_QUERY_CAP)
+
 
 _BRUTE_ORACLE = f"""
 WITH v AS (
@@ -40,7 +62,7 @@ WITH v AS (
 ), n AS (
   SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
 ), q AS (
-  SELECT * FROM n WHERE vec_id % {QUERY_STRIDE} = 0
+  SELECT * FROM n WHERE vec_id % {QUERY_STRIDE} = 0 ORDER BY vec_id LIMIT {ANN_QUERY_CAP}
 ), scored AS (
   SELECT
     q.vec_id AS query_id,
@@ -75,9 +97,9 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     global-rank window.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        "vec_id", "embedding"
-    )
+    queries = _cap_queries(
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    ).select("vec_id", "embedding")
     return _blocked_topk(emb.select("vec_id", "embedding"), queries)
 
 
@@ -181,7 +203,7 @@ WITH v AS (
 ), n AS (
   SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
 ), q AS (
-  SELECT * FROM n WHERE vec_id % {QUERY_STRIDE} = 0
+  SELECT * FROM n WHERE vec_id % {QUERY_STRIDE} = 0 ORDER BY vec_id LIMIT {ANN_QUERY_CAP}
 ), c AS (
   SELECT * FROM n WHERE label < {FILTER_MAX_LABEL}
 ), scored AS (
@@ -220,9 +242,9 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps one audited GEMM core for both.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        "vec_id", "embedding"
-    )
+    queries = _cap_queries(
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    ).select("vec_id", "embedding")
     candidates = emb.filter(F.col("label") < FILTER_MAX_LABEL).select(
         "vec_id", "embedding"
     )
@@ -236,7 +258,7 @@ WITH v AS (
 ), n AS (
   SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
 ), q AS (
-  SELECT * FROM n WHERE vec_id % 50 = 0
+  SELECT * FROM n WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 4096
 ), scored AS (
   SELECT
     q.vec_id AS query_id,
@@ -264,7 +286,7 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", "label", to_double(F.col("embedding")).alias("e"))
-    q = v.filter(F.col("vec_id") % 50 == 0).select(
+    q = _cap_queries(v.filter(F.col("vec_id") % 50 == 0)).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("e").alias("qe"),
@@ -431,6 +453,20 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # the probe emits the query vector ALONGSIDE its probed cells
+    # (float32→float64 widening is exact, so these doubles are
+    # bit-identical to the JVM cast the corpus side uses): the capped
+    # query frame is self-contained, so the broadcast build subtree
+    # never touches the corpus-scaling embeddings scan — the r15
+    # fact-broadcast audit rule, and one corpus scan + join fewer
+    probe_q_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("qe", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
@@ -439,24 +475,20 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             d = cell_distances(M, C)
             near = np.argsort(d, axis=1, kind="stable")[:, :KM_PROBE_CELLS]
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            rep = np.repeat(np.arange(len(ids)), near.shape[1])
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(ids, near.shape[1]),
+                    "query_id": np.repeat(ids, near.shape[1]),
                     "cell": near.reshape(-1).astype(np.int32),
+                    "qe": [M[i].tolist() for i in rep],
                 }
             )
 
     v = emb.select("vec_id", to_double(F.col("embedding")).alias("e"))
     cells = spread(emb).mapInPandas(assign, _CELL_SCHEMA).join(v, "vec_id")
-    queries = (
+    queries = _cap_queries(
         emb.filter(F.col("vec_id") % KM_QUERY_STRIDE == 0)
-        .mapInPandas(probe, _CELL_SCHEMA)
-        .join(
-            v.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")),
-            F.col("vec_id") == F.col("qid"),
-        )
-        .select(F.col("vec_id").alias("query_id"), "cell", "qe")
-    )
+    ).mapInPandas(probe, probe_q_schema)
     scored = (
         F.broadcast(queries)
         .join(cells, (queries.cell == cells.cell) & (F.col("query_id") != cells.vec_id))
@@ -609,7 +641,9 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     enc = spread(emb).mapInPandas(encode, _ENC_SCHEMA)
-    queries = emb.filter(F.col("vec_id") % KM_QUERY_STRIDE == 0).mapInPandas(
+    queries = _cap_queries(
+        emb.filter(F.col("vec_id") % KM_QUERY_STRIDE == 0)
+    ).mapInPandas(
         probe_with_table, _PROBE_TABLE_SCHEMA
     )
     # candidate scoring: pure JVM lookup-sum over the broadcast queries
@@ -668,7 +702,7 @@ WITH v AS (
 ), n AS (
   SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
 ), q AS (
-  SELECT * FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0
+  SELECT * FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0 ORDER BY vec_id LIMIT {ANN_QUERY_CAP}
 ), truth AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -792,7 +826,7 @@ WITH v AS (
 ), n AS (
   SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
 ), q AS (
-  SELECT * FROM n WHERE vec_id % {{km_stride}} = 0
+  SELECT * FROM n WHERE vec_id % {{km_stride}} = 0 ORDER BY vec_id LIMIT {ANN_QUERY_CAP}
 ), scored AS (
   SELECT
     q.vec_id AS query_id,
@@ -863,7 +897,7 @@ WITH v AS (
 ), n AS (
   SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
 ), q AS (
-  SELECT * FROM n WHERE vec_id % {QUERY_STRIDE} = 0
+  SELECT * FROM n WHERE vec_id % {QUERY_STRIDE} = 0 ORDER BY vec_id LIMIT {ANN_QUERY_CAP}
 ), scored AS (
   SELECT
     q.vec_id AS query_id,
@@ -921,7 +955,7 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     are equi-joins on vec_id, AQE-planned, nothing forced.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    queries = _cap_queries(emb.filter(F.col("vec_id") % QUERY_STRIDE == 0))
     topk = _blocked_topk(
         emb.select("vec_id", "embedding"),
         queries.select("vec_id", "embedding"),
@@ -972,7 +1006,7 @@ WITH v AS (
 ), n AS (
   SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
 ), q AS (
-  SELECT * FROM n WHERE vec_id % {QUERY_STRIDE} = 0
+  SELECT * FROM n WHERE vec_id % {QUERY_STRIDE} = 0 ORDER BY vec_id LIMIT {ANN_QUERY_CAP}
 ), scored AS (
   SELECT
     q.vec_id AS anchor_id,
@@ -1020,7 +1054,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe, same downstream shape.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    queries = _cap_queries(emb.filter(F.col("vec_id") % QUERY_STRIDE == 0))
     topk = _blocked_topk(
         emb.select("vec_id", "embedding"),
         queries.select("vec_id", "embedding"),

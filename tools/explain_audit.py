@@ -191,11 +191,13 @@ AUDITS: dict[str, dict] = {
     # autoBroadcastJoinThreshold=-1 — i.e. ONLY the explicit hints on
     # constant-size dims; SF-scaling tables must NOT be hinted.
     "q3_shipping_priority": dict(
+        selective_dim_first=True,
         must=[r"BroadcastHashJoin", r"TakeOrderedAndProject"],
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=0,
     ),
     "q5_local_supplier": dict(
+        selective_dim_first=True,
         must=[r"BroadcastHashJoin"],
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=2,  # region→nation, (nation⋈region)→customer
@@ -536,6 +538,7 @@ AUDITS: dict[str, dict] = {
         must=[r"partial_sum"], must_not=[r"CartesianProduct"], hinted_broadcasts=1
     ),
     "q17_small_quantity": dict(
+        selective_dim_first=True,
         must=[r"partial_"], must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         hinted_broadcasts=0,
     ),
@@ -901,12 +904,16 @@ AUDITS: dict[str, dict] = {
         # builder (ml_scored_builder below)
         hinted_broadcasts=0,
     ),
-    # NB calibration: cached-class per-doc NB frame + one narrow
-    # weak-label scan + a four-integer doc_id join + |bins| aggregate
+    # NB calibration: keyed-cached per-doc NB frame (r15 — shared with
+    # the classifier, so this query no longer re-runs the corpus pass)
+    # + one narrow weak-label scan + a four-integer doc_id join +
+    # |bins| aggregate
     "nb_calibration_report": dict(
         must=[r"partial_", r"HashAggregate"],
         must_not=[r"CartesianProduct", r"Window"],
-        hinted_broadcasts=5,  # the NB parent's model + constant frames
+        # the NB parent plans as an InMemoryTableScan leaf; its model +
+        # constant hints are policed on nb_scored_builder below
+        hinted_broadcasts=0,
     ),
     # winnow matching: codegen'd exploded winnowing core (per-doc
     # Window — the measured 17× choice over in-array lambdas) feeding
@@ -947,11 +954,12 @@ AUDITS: dict[str, dict] = {
     "nb_quality_classifier": dict(
         must=[r"BroadcastHashJoin", r"TakeOrderedAndProject", r"partial_"],
         must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window"],
-        # model table + the 1-row constant frames (sample-agg, consts
-        # feeding the model, consts feeding the final projection — the
-        # consts subtree materializes per consumer): no driver .first()
-        # jobs — every scalar rides a broadcast crossJoin
-        hinted_broadcasts=5,
+        # keyed-cached (round 15): consumers plan an InMemoryTableScan
+        # leaf (the must regexes still match on the printed cached
+        # plan), so the walk sees ZERO hints; the model + constant
+        # hints are policed on the UNCACHED builder instead (the
+        # nb_scored_builder pseudo-entry below)
+        hinted_broadcasts=0,
     ),
     # dynamic-gap sessions: same stateful session operator as the
     # fixed-gap query; the per-row gap is an expression, not state
@@ -1019,16 +1027,19 @@ AUDITS: dict[str, dict] = {
     # ---------------- round-3 additions: remaining TPC-H shapes ----------------
     # correlated min via window over the rollup; only region+nation hinted
     "q2_min_cost_supplier": dict(
+        selective_dim_first=True,
         must=[r"Window", r"BroadcastHashJoin", r"partial_min"],
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=2,  # region (5 rows), nation (25 rows)
     ),
     "q8_market_share": dict(
+        selective_dim_first=True,
         must=[r"partial_sum", r"BroadcastHashJoin"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         hinted_broadcasts=2,  # (cust-nation⋈AMERICA-region), supp-nation
     ),
     "q9_product_profit": dict(
+        selective_dim_first=True,
         must=[r"partial_sum", r"BroadcastHashJoin"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         hinted_broadcasts=1,  # nation
@@ -1036,6 +1047,7 @@ AUDITS: dict[str, dict] = {
     # scalar threshold rides a 1-row broadcast NLJ; the threshold branch is a
     # zero-shuffle global sum (sum-of-sums identity), not a rollup recompute
     "q11_important_stock": dict(
+        selective_dim_first=True,
         must=[r"partial_sum"],
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=3,  # nation appears in both branches + 1-row threshold
@@ -1051,6 +1063,7 @@ AUDITS: dict[str, dict] = {
         hinted_broadcasts=0,
     ),
     "q20_potential_promo": dict(
+        selective_dim_first=True,
         must=[r"LeftSemi", r"Window"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         hinted_broadcasts=1,  # nation
@@ -1344,6 +1357,42 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=2,  # in-domain unigram + bigram model tables
     ),
+    # round-15 tokenizer envelopes: the stats pair re-run the parent's
+    # distributed Arrow encode (MapInPandas) and join the n_chars
+    # metadata — no hints, strategy left to stats/AQE; the vocab pair
+    # aggregate a driver-materialized bounded model table (LocalTableScan
+    # leaf, |merges| <= 200 / |pieces| <= max(512, alphabet) rows by
+    # construction) — joins of any kind are a spec violation there
+    "bpe_stats_envelope": dict(
+        must=[r"MapInPandas"],
+        must_not=[r"CartesianProduct", r"Window"],
+        hinted_broadcasts=0,
+    ),
+    "unigram_stats_envelope": dict(
+        must=[r"MapInPandas"],
+        must_not=[r"CartesianProduct", r"Window"],
+        hinted_broadcasts=0,
+    ),
+    "bpe_vocab_envelope": dict(
+        must=[r"HashAggregate|SortAggregate"],
+        must_not=[r"CartesianProduct", r"Join", r"Window"],
+        hinted_broadcasts=0,
+    ),
+    "unigram_vocab_envelope": dict(
+        must=[r"HashAggregate|SortAggregate"],
+        must_not=[r"CartesianProduct", r"Join", r"Window"],
+        hinted_broadcasts=0,
+    ),
+    # UNCACHED NB builder frame (consumers plan it as a cached leaf):
+    # model table + the 1-row constant frames (sample-agg, consts
+    # feeding the model, consts feeding the final projection — the
+    # consts subtree materializes per consumer): no driver .first()
+    # jobs — every scalar rides a broadcast crossJoin
+    "nb_scored_builder": dict(
+        must=[r"BroadcastHashJoin", r"TakeOrderedAndProject", r"partial_"],
+        must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window"],
+        hinted_broadcasts=5,
+    ),
 }
 
 
@@ -1379,12 +1428,22 @@ def _ml_scored_builder(spark, sf_dir):
     return lm._ml_scored(spark, sf_dir)
 
 
+def _nb_scored_builder(spark, sf_dir):
+    # same eviction rule as the LM builder (see above)
+    from mr_python_spark.functions import lm
+
+    for k in list(lm._NB_SCORED_CACHE):
+        lm._NB_SCORED_CACHE.pop(k).unpersist()
+    return lm._nb_scored(spark, sf_dir)
+
+
 #: pseudo-entries auditing UNCACHED builder frames that registry
 #: queries only ever consume through a keyed cache
 FRAME_BUILDERS = {
     "lm_scored_builder": _lm_scored_builder,
     "quality_fp_builder": _quality_fp_builder,
     "ml_scored_builder": _ml_scored_builder,
+    "nb_scored_builder": _nb_scored_builder,
 }
 
 
@@ -1418,6 +1477,123 @@ def count_broadcast_exchanges(df) -> int:
         return n
 
     return walk(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+
+
+#: fact tables scale with SF — they must never be FORCED to a
+#: broadcast build side, and should never join each other before any
+#: dimension has shrunk one side (the r13 q5 pathology)
+FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+#: dimension tables for the selective-dim-first rule (constant-size
+#: region/nation plus the SF-scaling-but-filterable customer/
+#: supplier/part)
+DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
+
+
+def _unwrap_stage(node):
+    name = node.getClass().getSimpleName()
+    if name.startswith("AdaptiveSparkPlanExec"):
+        return _unwrap_stage(node.executedPlan())
+    if name.endswith("QueryStageExec"):
+        return _unwrap_stage(node.plan())
+    return node
+
+
+def _scan_table(node) -> str | None:
+    """Table name if ``node`` is a parquet scan of a known fixture."""
+    name = node.getClass().getSimpleName()
+    if not name.startswith(("FileSourceScan", "BatchScan")):
+        return None
+    text = node.toString()
+    for t in FACT_TABLES + DIM_TABLES:
+        if f"{t}.parquet" in text:
+            return t
+    return None
+
+
+def broadcast_fact_builds(df) -> list[str]:
+    """Fact scans on a broadcast build side with nothing bounding them.
+
+    Walks the physical plan; for every ``BroadcastExchange`` it checks
+    whether a fact-table scan is reachable in the broadcast subtree
+    WITHOUT passing a bounding node (global limit / top-k / aggregate).
+    Run on the stats-disabled plan, any hit is a FORCED broadcast of an
+    SF-scaling frame — at 100 TB that build side OOMs every executor.
+    Codifies docs/SCALE.md's "never let a fact table reach the build
+    side" rule (the r14 q5 sf1 pathology, caught then by a hand probe).
+    """
+    hits: list[str] = []
+
+    def unbounded_facts(node) -> list[str]:
+        node = _unwrap_stage(node)
+        name = node.getClass().getSimpleName()
+        if name.startswith(
+            ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+        ) or "Aggregate" in name:
+            return []  # bounded below this point
+        t = _scan_table(node)
+        if t in FACT_TABLES:
+            return [t]
+        out: list[str] = []
+        children = node.children()
+        for i in range(children.size()):
+            out += unbounded_facts(children.apply(i))
+        return out
+
+    def walk(node):
+        node = _unwrap_stage(node)
+        if node.getClass().getSimpleName().startswith("BroadcastExchange"):
+            for t in unbounded_facts(node):
+                hits.append(t)
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    return hits
+
+
+def bare_fact_fact_joins(df) -> list[str]:
+    """Binary joins where both sides are fact-only (no dim applied yet).
+
+    For queries that HAVE a selective dimension (spec opt-in via
+    ``selective_dim_first=True``), a join whose BOTH subtrees contain a
+    fact-table scan while NEITHER contains any dimension scan means the
+    two fact tables met before the dimension filter shrank either side
+    — the r13 q5 shape (lineitem⋈orders first, full fact⋈fact
+    SortMergeJoin, dimension selectivity applied only afterwards).
+    Spark without CBO never reorders DataFrame joins, so the code
+    order IS the plan order; this makes the ordering rule structural
+    instead of a hand probe.
+    """
+    hits: list[str] = []
+
+    def tables(node) -> set:
+        node = _unwrap_stage(node)
+        t = _scan_table(node)
+        out = {t} if t else set()
+        children = node.children()
+        for i in range(children.size()):
+            out |= tables(children.apply(i))
+        return out
+
+    def walk(node):
+        node = _unwrap_stage(node)
+        name = node.getClass().getSimpleName()
+        children = node.children()
+        if "Join" in name and children.size() == 2:
+            sides = [tables(children.apply(i)) for i in range(2)]
+            if all(s & set(FACT_TABLES) for s in sides) and not any(
+                s & set(DIM_TABLES) for s in sides
+            ):
+                facts = sorted(
+                    (sides[0] | sides[1]) & set(FACT_TABLES)
+                )
+                hits.append(f"{name}({','.join(facts)})")
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    return hits
 
 
 def unpartitioned_window_bounds(df) -> list[str]:
@@ -1521,6 +1697,16 @@ def main(argv: list[str]) -> int:
             problems.append(
                 f"unpartitioned windows: expected {expected_upw}, got {got_upw}"
             )
+        # selective-dim-first (opt-in for the TPC-H star queries): no
+        # join may see fact tables on BOTH sides before ANY dimension
+        # has been applied to either side — checked on the default
+        # plan (whatever join strategy stats picked)
+        if spec.get("selective_dim_first"):
+            bare = bare_fact_fact_joins(df)
+            if bare:
+                problems.append(
+                    f"fact⋈fact join before any dim applied: {bare}"
+                )
         expected_hints = spec.get("hinted_broadcasts")
         if expected_hints is not None:
             # disable stats-based broadcasting: any BroadcastExchange
@@ -1530,6 +1716,22 @@ def main(argv: list[str]) -> int:
             try:
                 nostats_df = fn(spark, SF_DIR)
                 got = count_broadcast_exchanges(nostats_df)
+                # default-deny: any hint-forced broadcast whose build
+                # subtree reaches a fact scan unbounded (no limit / no
+                # aggregate between) is a 100 TB OOM — never allowed
+                fact_builds = broadcast_fact_builds(nostats_df)
+                if fact_builds:
+                    problems.append(
+                        "forced broadcast of unbounded fact table(s): "
+                        f"{fact_builds}"
+                    )
+                if spec.get("selective_dim_first"):
+                    bare = bare_fact_fact_joins(nostats_df)
+                    if bare:
+                        problems.append(
+                            "fact⋈fact join before any dim applied "
+                            f"(nostats plan): {bare}"
+                        )
             finally:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
             if got != expected_hints:

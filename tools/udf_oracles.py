@@ -652,6 +652,15 @@ KM_SAMPLE_STRIDE = 7
 KM_SAMPLE_CAP = 2048
 KM_PROBE_CELLS = 4
 KM_QUERY_STRIDE = 50
+
+
+def ANN_QUERY_CAP() -> int:
+    """Mirror the engine's query-set cap (round 15: the stride subset
+    is additionally capped to a fixed size so the broadcast build side
+    is constant at any SF; both engines must cap alike)."""
+    from mr_python_spark.similarity import ANN_QUERY_CAP as cap
+
+    return cap
 KM_TOP_K = 3
 KM_TARGET_CELL = 128
 KM_MAX_CELLS = 512
@@ -865,7 +874,7 @@ WITH v AS (
   SELECT vec_id, pq_cell(e) AS cell, pq_code(e) AS code, e, nrm FROM n
 ), q AS (
   SELECT vec_id AS query_id, unnest(pq_probe(e)) AS cell, e AS qe, nrm AS qnrm
-  FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0
+  FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0 ORDER BY vec_id LIMIT {ANN_QUERY_CAP()}
 ), approx AS (
   SELECT
     q.query_id,
@@ -907,7 +916,7 @@ WITH v AS (
 ), n AS (
   SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
 ), q0 AS (
-  SELECT * FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0
+  SELECT * FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0 ORDER BY vec_id LIMIT {ANN_QUERY_CAP()}
 ), truth AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q0.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -922,7 +931,7 @@ WITH v AS (
   SELECT vec_id, pq_cell(e) AS cell, pq_code(e) AS code, e, nrm FROM n
 ), qp AS (
   SELECT vec_id AS query_id, unnest(pq_probe(e)) AS cell, e AS qe, nrm AS qnrm
-  FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0
+  FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0 ORDER BY vec_id LIMIT {ANN_QUERY_CAP()}
 ), adc AS (
   SELECT
     qp.query_id,
@@ -973,7 +982,7 @@ WITH v AS (
   SELECT vec_id, km_cell(e) AS cell, e, nrm FROM n
 ), q AS (
   SELECT vec_id AS query_id, unnest(km_probe(e)) AS cell, e AS qe, nrm AS qnrm
-  FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0
+  FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0 ORDER BY vec_id LIMIT {ANN_QUERY_CAP()}
 ), scored AS (
   SELECT
     q.query_id,

@@ -354,3 +354,103 @@ def tokenizer_fertility_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_bpe_tokens") >= F.col("n_words")).alias("fertility_ge_one"),
         (F.col("n_bpe_tokens") <= F.col("n_chars")).alias("tokens_le_chars"),
     )
+
+
+def _bool_and(col):
+    """All-true aggregate (MIN over booleans — portable to the oracle)."""
+    return F.min(col.cast("boolean"))
+
+
+_BPE_STATS_ENVELOPE_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))
+           AS nw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(nw AS INTEGER) AS n_words,
+       TRUE AS fertility_ge_one,
+       TRUE AS tokens_le_chars,
+       TRUE AS unique_le_tokens,
+       TRUE AS coverage_valid
+FROM d
+"""
+
+
+@register("bpe_stats_envelope", _BPE_STATS_ENVELOPE_ORACLE)
+def bpe_stats_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracle envelope for :func:`bpe_token_stats` (whose trained
+    encode DuckDB can only replay via Python UDFs): runs the parent's
+    full Arrow encode pass and re-shapes each PER-DOCUMENT row into a
+    column the model-free oracle pins exactly (``n_words`` — the same
+    whitespace tokenization on both engines) plus four invariant flags
+    carrying the BPE outputs: fertility >= 1 (every word encodes to
+    >= 1 subword), tokens <= n_chars (merges only shrink symbol
+    counts), distinct tokens <= tokens, and 0 <= OOV-free words <=
+    words.  Per-doc granularity makes the hash gate row-strong (one
+    broken doc flips its own row); the full token-count gate stays on
+    the parent's udf-oracle in the sweep.  Window policy: udf-tier
+    entries never rotate into the driver window — their envelopes do
+    (docs/COVERAGE.md).
+    """
+    stats = bpe_token_stats(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return stats.join(docs, "doc_id").select(
+        "doc_id",
+        "n_words",
+        (F.col("n_bpe_tokens") >= F.col("n_words")).alias("fertility_ge_one"),
+        (F.col("n_bpe_tokens") <= F.col("n_chars")).alias("tokens_le_chars"),
+        (F.col("n_unique_bpe_tokens") <= F.col("n_bpe_tokens")).alias(
+            "unique_le_tokens"
+        ),
+        (
+            (F.col("n_oov_free_words") >= 0)
+            & (F.col("n_oov_free_words") <= F.col("n_words"))
+        ).alias("coverage_valid"),
+    )
+
+
+_BPE_VOCAB_ENVELOPE_ORACLE = """
+SELECT TRUE AS nonempty,
+       TRUE AS within_cap,
+       TRUE AS ranks_dense,
+       TRUE AS merged_concat_ok,
+       TRUE AS pairs_distinct,
+       TRUE AS parts_nonempty
+"""
+
+
+@register("bpe_vocab_envelope", _BPE_VOCAB_ENVELOPE_ORACLE)
+def bpe_vocab_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracle envelope for :func:`bpe_vocab_merges` (the trained
+    merge table, exactly replayable only via the udf-oracle trainer):
+    one row of structural invariants any correct BPE training run
+    satisfies — the table is non-empty (this corpus repeats pairs),
+    within the ``BPE_NUM_MERGES`` cap, ranks are dense ``0..n-1``,
+    every ``merged`` equals ``left || right``, the ``(left, right)``
+    pairs are distinct (after a pair merges it no longer exists as a
+    pair, so training can never re-pick it), and no part is empty.  A
+    trainer that loops, skips ranks, or emits malformed rows flips a
+    flag and fails the hash gate; merge-for-merge equality stays on
+    the udf-oracle + the pytest differential trainer.
+    """
+    m = bpe_vocab_merges(spark, sf_dir)
+    return m.agg(
+        (F.count(F.lit(1)) >= 1).alias("nonempty"),
+        (F.count(F.lit(1)) <= BPE_NUM_MERGES).alias("within_cap"),
+        (
+            (F.min("rank") == 0)
+            & (F.max("rank") == F.count(F.lit(1)) - 1)
+            & (F.count_distinct("rank") == F.count(F.lit(1)))
+        ).alias("ranks_dense"),
+        _bool_and(F.col("merged") == F.concat("left", "right")).alias(
+            "merged_concat_ok"
+        ),
+        (
+            F.count_distinct(F.struct("left", "right")) == F.count(F.lit(1))
+        ).alias("pairs_distinct"),
+        _bool_and((F.length("left") > 0) & (F.length("right") > 0)).alias(
+            "parts_nonempty"
+        ),
+    )

@@ -855,16 +855,22 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
-    idf_case = (
-        "CASE tok "
-        + " ".join(f"WHEN '{t}' THEN idf{i}" for i, t in enumerate(BM25_QUERY))
-        + " END"
-    )
+    # per-term idf dispatch as COLUMN expressions, not interpolated SQL:
+    # a query term containing a quote/metachar can never break the
+    # parse or silently mis-match (r14 ADVICE)
+    idf_col = F.lit(None).cast("long")
+    for i, t in enumerate(BM25_QUERY):
+        idf_col = F.when(F.col("tok") == F.lit(t), F.col(f"idf{i}")).otherwise(
+            idf_col
+        )
     scored = tf.crossJoin(F.broadcast(stats)).select(
         "doc_id",
-        F.expr(
-            f"({idf_case}) * ((22 * tf * t * {BM25_SCALE}L)"
-            f" div (10 * tf * t + 3 * t + 9 * dl * n))"
+        (
+            idf_col
+            * F.expr(
+                f"(22 * tf * t * {BM25_SCALE}L)"
+                f" div (10 * tf * t + 3 * t + 9 * dl * n)"
+            )
         ).alias("s"),
     )
     return (

@@ -561,3 +561,108 @@ def tokenizer_bakeoff_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("unigram_oov_free_words") <= F.col("n_words"))
         ).alias("unigram_coverage_valid"),
     )
+
+
+_UNIGRAM_STATS_ENVELOPE_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))
+           AS nw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(nw AS INTEGER) AS n_words,
+       TRUE AS fertility_ge_one,
+       TRUE AS tokens_le_chars,
+       TRUE AS unique_le_tokens,
+       TRUE AS coverage_valid
+FROM d
+"""
+
+
+@register("unigram_stats_envelope", _UNIGRAM_STATS_ENVELOPE_ORACLE)
+def unigram_stats_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracle envelope for :func:`unigram_token_stats` (whose
+    Viterbi encode DuckDB can only replay via Python UDFs): runs the
+    parent's full Arrow encode pass and re-shapes each PER-DOCUMENT
+    row into a column the model-free oracle pins exactly (``n_words``
+    — the same whitespace tokenization on both engines) plus four
+    invariant flags carrying the Viterbi outputs: fertility >= 1
+    (every word segments to >= 1 piece), pieces <= n_chars (every
+    piece is >= 1 char of its word), distinct pieces <= pieces, and
+    0 <= OOV-free words <= words.  The BPE twin is
+    ``bpe_stats_envelope``; the full piece-count gate stays on the
+    parent's udf-oracle in the sweep.
+    """
+    from pyspark.sql import functions as F
+
+    stats = unigram_token_stats(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return stats.join(docs, "doc_id").select(
+        "doc_id",
+        "n_words",
+        (F.col("n_unigram_tokens") >= F.col("n_words")).alias(
+            "fertility_ge_one"
+        ),
+        (F.col("n_unigram_tokens") <= F.col("n_chars")).alias(
+            "tokens_le_chars"
+        ),
+        (F.col("n_unique_pieces") <= F.col("n_unigram_tokens")).alias(
+            "unique_le_tokens"
+        ),
+        (
+            (F.col("n_oov_free_words") >= 0)
+            & (F.col("n_oov_free_words") <= F.col("n_words"))
+        ).alias("coverage_valid"),
+    )
+
+
+_UNIGRAM_VOCAB_ENVELOPE_ORACLE = """
+SELECT TRUE AS nonempty,
+       TRUE AS within_cap,
+       TRUE AS ranks_dense,
+       TRUE AS pieces_distinct,
+       TRUE AS pieces_len_valid,
+       TRUE AS counts_nonneg,
+       TRUE AS costs_positive
+"""
+
+
+@register("unigram_vocab_envelope", _UNIGRAM_VOCAB_ENVELOPE_ORACLE)
+def unigram_vocab_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracle envelope for :func:`unigram_vocab` (the trained piece
+    table, exactly replayable only via the udf-oracle trainer): one row
+    of structural invariants any correct unigram-LM training run
+    satisfies — non-empty vocabulary, size within the prune budget
+    (``UNIGRAM_VOCAB``, or the single-char floor when the alphabet
+    alone exceeds it — single chars are prune-exempt), dense ranks
+    ``0..n-1``, distinct pieces, piece lengths in
+    ``1..UNIGRAM_MAX_PIECE``, non-negative counts, and positive
+    integer costs.  A trainer that over-prunes, loops, or emits
+    malformed rows flips a flag and fails the hash gate;
+    piece-for-piece equality stays on the udf-oracle + the pytest
+    differential trainer.  The BPE twin is ``bpe_vocab_envelope``.
+    """
+    from pyspark.sql import functions as F
+
+    v = unigram_vocab(spark, sf_dir)
+    n = F.count(F.lit(1))
+    n_singles = F.sum((F.length("piece") == 1).cast("long"))
+    return v.agg(
+        (n >= 1).alias("nonempty"),
+        (n <= F.greatest(F.lit(UNIGRAM_VOCAB), n_singles)).alias(
+            "within_cap"
+        ),
+        (
+            (F.min("rank") == 0)
+            & (F.max("rank") == n - 1)
+            & (F.count_distinct("rank") == n)
+        ).alias("ranks_dense"),
+        (F.count_distinct("piece") == n).alias("pieces_distinct"),
+        F.min(
+            (F.length("piece") >= 1)
+            & (F.length("piece") <= UNIGRAM_MAX_PIECE)
+        ).alias("pieces_len_valid"),
+        F.min(F.col("count") >= 0).alias("counts_nonneg"),
+        F.min(F.col("cost_bits") > 0).alias("costs_positive"),
+    )

@@ -122,63 +122,92 @@ PRIORITY: list[str] = [
     # streaming_incremental_mv (1×; four streaming reps remain),
     # pii_scrub_canaries + shuffle_shard_order (1×; split/decontaminate/
     # encode keep pipeline).
+    # --- Round-15 rotation (r14 verdict orders #3/#4): TWENTY-TWO
+    # swaps.  In: eighteen never-driver-graded SQL-oracled entries from
+    # the docs/ROUND_NOTES.md "Round-17 rotation runway" (all hash-green
+    # in CHECK_FULL_r16 at two SFs) plus the FOUR new SQL-oracled
+    # envelopes built this round for the udf-tier tokenizer families
+    # (bpe_stats/bpe_vocab/unigram_stats/unigram_vocab — the window
+    # policy in docs/COVERAGE.md: udf-tier entries never rotate into the
+    # window, their envelopes do).  Out (grade counts from
+    # CORRECTNESS_r01–r14; every leaver has same-category kin in-window
+    # and stays hash-gated in the full sweep): q12 (2×; q8 + four
+    # incoming TPC-H), join_asof_forward + join_shuffle_hash_hint (2×;
+    # null_safe + inner_basic), streaming_cdc_apply +
+    # streaming_sessions_tws + streaming_join_semi_live (2×; four
+    # incoming streaming reps + parquet sink), setop_except (2×;
+    # union_by_name_evolution), topk_orders (4×; paged_orders_offset),
+    # cube_grouping_id (4×; crosstab_orders), date_arith_orders (2×;
+    # math_funcs + try_arith), approx_quantile_envelope (2×;
+    # approx_distinct + four new envelopes), pyds_calendar_scan (2×;
+    # binaryfile_scan + pyds_stream_sink_roundtrip),
+    # arrow_grouped_map_langstats + grouped_map_top2_sharded (2×;
+    # arrow_python_udf + grouped_map_top2), unimax_language_budgets
+    # (2×; mixture_resample_sources + moore_lewis),
+    # dedup_incremental_prefix (2×; ccnet/bloom/jaccard_exact),
+    # winnow_fingerprint_report (2×; dedup reps remain), text_normalize
+    # (2×; char_diversity_quality), bigram_lm_perplexity (2×;
+    # moore_lewis + nb_calibration), split_train_val_test +
+    # decontaminate_against_eval (2×; encode_tokens_to_ids keeps
+    # pipeline), multimodal_probe_arrow (2×; resize + audio_resample).
     # TPC-H composites
     "q8_market_share",
-    "q12_priority_shipping",
+    "q11_important_stock",
+    "q16_supplier_cnt",
+    "q19_disjunctive_revenue",
+    "q20_potential_promo",
     "ann_filtered_topk",
     # join shapes
-    "join_asof_forward",
-    "join_shuffle_hash_hint",
+    "join_inner_basic",
     "join_null_safe",
-    # window functions
-    "window_lag_delta",
+    # window functions (lag_delta rotated out 2×-graded; top3 keeps the
+    # category, quality_token_budget took the 50th slot)
     "window_top3_per_customer",
-    # streaming (tws sessions, semi join, parquet sink first-graded r14)
-    "streaming_cdc_apply",
-    "streaming_sessions_tws",
-    "streaming_join_semi_live",
+    # streaming
+    "streaming_attribution_live",
+    "streaming_join_full_live",
+    "streaming_static_enrich",
+    "session_window_dynamic_gap",
     "streaming_parquet_sink",
-    # set ops
-    "setop_except",
-    # sorts / limits
-    "topk_orders",
-    # grouping sets
-    "cube_grouping_id",
+    # set ops / schema evolution
+    "union_by_name_evolution",
+    # sorts / limits / OFFSET paging
+    "paged_orders_offset",
+    # multi-dim aggregates / reshaping
+    "crosstab_orders",
     # scalar function families + typed surfaces
-    "date_arith_orders",
+    "math_funcs_lineitem",
     "sql_pipe_syntax",
     "map_funcs_events",
     "try_arith_lineitem",
     # aggregates (listagg row) + statistics + accuracy envelopes
     "listagg_regions",
-    "approx_quantile_envelope",
     "approx_distinct_envelope",
+    "bpe_stats_envelope",
+    "bpe_vocab_envelope",
+    "unigram_stats_envelope",
+    "unigram_vocab_envelope",
     # sources + sinks
-    "pyds_calendar_scan",
     "binaryfile_scan",
+    "pyds_stream_sink_roundtrip",
     # UDF / UDTF / UDAF surface
-    "arrow_grouped_map_langstats",
-    "grouped_map_top2_sharded",
+    "grouped_map_top2",
     "arrow_python_udf",
     # LLM-pipeline families
-    "unimax_language_budgets",
+    "mixture_resample_sources",
     "negative_sampling_table",
     "moore_lewis_selection",
-    "dedup_incremental_prefix",
+    "dedup_ngram_jaccard_exact",
     "dedup_ccnet_paragraphs",
     "dedup_incremental_bloom",
-    "winnow_fingerprint_report",
-    "text_normalize",
+    "char_diversity_quality",
     "cooccurrence_pmi",
     "lang_id_ngram_profile",
     "search_hybrid_rrf",
-    "bigram_lm_perplexity",
     "nb_calibration_report",
-    "split_train_val_test",
-    "decontaminate_against_eval",
     "encode_tokens_to_ids",
+    "quality_token_budget",
     "embedding_int8_quantize",
-    "multimodal_probe_arrow",
     "multimodal_resize_nearest",
     "multimodal_audio_resample",
     "attribution_last_touch",

@@ -482,20 +482,32 @@ def binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     never pass through the driver on the read side.  The staging
     write is what a real pipeline replaces with its object store.
     """
-    # keyed per sf_dir (the events_by_type pattern) so frames built for
-    # two fixtures never share a directory, AND cleared before staging
-    # so leftover .bin files from a prior run with different fixture
-    # content can't be scanned back in
-    stage = _scratch(f"region_bin_{os.path.basename(sf_dir.rstrip('/'))}")
-    shutil.rmtree(stage, ignore_errors=True)
+    # keyed on (realpath, mtime) of the region fixture itself — not the
+    # sf_dir basename — so two roots with the same leaf name (/a/sf0.01
+    # vs /b/sf0.01) never share a directory, and a REGENERATED fixture
+    # changes the key instead of requiring an rmtree.  Staging is
+    # idempotent + atomic (tmp file, os.replace): a concurrent process
+    # (bench vs check) re-staging the same fixture writes identical
+    # bytes, so a pending lazy binaryFile read in another session can
+    # never observe a half-deleted or half-written directory (the r14
+    # ADVICE race — rmtree of a shared path under a lazy scan).
+    import hashlib
+
+    region_pq = os.path.realpath(os.path.join(sf_dir, "region.parquet"))
+    ident = f"{region_pq}:{os.stat(region_pq).st_mtime_ns}"
+    key = hashlib.sha1(ident.encode()).hexdigest()[:12]
+    stage = _scratch(f"region_bin_{key}")
     os.makedirs(stage, exist_ok=True)
     rows = load_table(spark, sf_dir, "region").select(
         "r_regionkey", "r_name"
     ).collect()
     for r in rows:
         payload = f"{r.r_regionkey}|{r.r_name}".encode()
-        with open(os.path.join(stage, f"r{r.r_regionkey}.bin"), "wb") as fh:
+        final = os.path.join(stage, f"r{r.r_regionkey}.bin")
+        tmp = f"{final}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as fh:
             fh.write(payload)
+        os.replace(tmp, final)
     scan = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")

@@ -147,6 +147,12 @@ REPRESENTATIVE = [
     "streaming_attribution_live",
     "pyds_stream_sink_roundtrip",
     "sql_variables_quota",
+    # round-15 additions: SQL-oracled envelopes for the udf-tier
+    # tokenizer families (the docs/COVERAGE.md window policy)
+    "bpe_stats_envelope",
+    "bpe_vocab_envelope",
+    "unigram_stats_envelope",
+    "unigram_vocab_envelope",
 ]
 # dedup_lsh_eval_report is udf-oracle tier (covered by check_correctness)
 

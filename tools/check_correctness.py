@@ -70,7 +70,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
 
     def canon(v):
-        if isinstance(v, (list, np.ndarray, dict)):
+        # tuple covers pyspark.sql.Row (a tuple subclass): struct cells
+        # arrive from toPandas as Row and must be rejected like
+        # list/dict, not quietly stringified (r14 ADVICE)
+        if isinstance(v, (list, tuple, np.ndarray, dict)):
             raise TypeError(
                 "complex cell value reached the comparison — the driver's "
                 "canonicalizer cannot sort/hash these; project the column "

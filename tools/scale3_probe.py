@@ -75,10 +75,26 @@ QUERIES = [
     "nb_quality_classifier",
     "nb_calibration_report",
     "encode_tokens_to_ids",
+    # round-15 (r14 verdict #7): the q2/q17 semi-push-below-the-rollup
+    # rewrites are new scale-dominant plans — third point for both
+    # (q2 already has its sf1 row in scale_probe; q17 gets both here)
+    "q2_min_cost_supplier",
+    "q17_small_quantity",
 ]
 
 #: every table the probe queries touch; synthesized per-dst on demand
-TABLES = ("documents", "embeddings", "events", "orders", "customer")
+TABLES = (
+    "documents",
+    "embeddings",
+    "events",
+    "orders",
+    "customer",
+    "lineitem",
+    "part",
+    "supplier",
+    "nation",
+    "region",
+)
 
 #: recall-curve fixtures: replica count → n = 2000 × replicas vectors
 RP_POINTS = [4, 16, 32]

@@ -1352,6 +1352,53 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(ratios, schema)
 
 
+_ZRATIO_ENVELOPE_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS raw_bytes,
+       TRUE AS zip_in_range,
+       TRUE AS ratio_consistent,
+       TRUE AS flag_consistent
+FROM documents
+"""
+
+
+@register("compression_ratio_envelope", _ZRATIO_ENVELOPE_ORACLE)
+def compression_ratio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracle envelope for :func:`compression_ratio_quality` (zlib
+    is not portable SQL): runs the parent's full Arrow zlib pass and
+    re-shapes each PER-DOCUMENT row into a column the model-free
+    oracle pins exactly (``raw_bytes`` — UTF-8 byte length, which
+    DuckDB derives as ``octet_length(encode(text))``) plus three
+    invariant flags carrying the zlib outputs: ``zip_in_range``
+    (1 <= zip_bytes <= raw_bytes + 64 — DEFLATE's worst-case stored-
+    block overhead on this corpus's document sizes), and two internal-
+    consistency flags re-deriving the published fixed-point ratio and
+    the repetition flag from the published byte counts.  A broken
+    compress call, byte accounting, or flag threshold flips a row; the
+    exact compressed-byte gate stays on the parent's udf-oracle tier
+    (same-zlib-build precondition documented there).  Window policy:
+    docs/COVERAGE.md — udf-tier entries never rotate into the driver
+    window, their envelopes do.
+    """
+    z = compression_ratio_quality(spark, sf_dir)
+    return z.select(
+        "doc_id",
+        "raw_bytes",
+        (
+            (F.col("zip_bytes") >= 1)
+            & (F.col("zip_bytes") <= F.col("raw_bytes") + 64)
+        ).alias("zip_in_range"),
+        (
+            F.col("ratio_bp")
+            == F.expr("zip_bytes * 10000 div greatest(raw_bytes, 1L)")
+        ).alias("ratio_consistent"),
+        (
+            F.col("flag_repetitive")
+            == (F.col("ratio_bp") < _ZRATIO_FLAG_BP)
+        ).alias("flag_consistent"),
+    )
+
+
 # --- n-gram-profile language ID (Cavnar–Trenkle) ------------------------
 
 #: profile geometry: top-20 trigrams per language, top-10 per document,

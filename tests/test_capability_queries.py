@@ -153,6 +153,7 @@ REPRESENTATIVE = [
     "bpe_vocab_envelope",
     "unigram_stats_envelope",
     "unigram_vocab_envelope",
+    "compression_ratio_envelope",
 ]
 # dedup_lsh_eval_report is udf-oracle tier (covered by check_correctness)
 

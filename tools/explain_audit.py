@@ -1378,6 +1378,14 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"Join", r"Window"],
         hinted_broadcasts=0,
     ),
+    # zlib-ratio envelope: the parent's shuffle-free Arrow pass plus a
+    # row-local projection — joins of any kind are a spec violation
+    "compression_ratio_envelope": dict(
+        must=[r"MapInPandas"],
+        must_not=[r"CartesianProduct", r"Join", r"Window",
+                  r"Exchange hashpartitioning"],
+        hinted_broadcasts=0,
+    ),
     "unigram_vocab_envelope": dict(
         must=[r"HashAggregate|SortAggregate"],
         must_not=[r"CartesianProduct", r"Join", r"Window"],

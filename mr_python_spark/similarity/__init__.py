@@ -1471,3 +1471,43 @@ def prototypicality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_cell"),
         (F.row_number().over(wo) * 4 <= F.count(F.lit(1)).over(w)).alias("pruned"),
     )
+
+
+_PROTO_ENVELOPE_ORACLE = """
+SELECT vec_id,
+       TRUE AS rank_in_cell_range,
+       TRUE AS pruned_consistent,
+       TRUE AS cos_in_range,
+       TRUE AS cell_nonempty
+FROM embeddings
+"""
+
+
+@register("prototypicality_envelope", _PROTO_ENVELOPE_ORACLE)
+def prototypicality_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracle envelope for :func:`prototypicality_rank` (whose
+    trained k-means quantizer DuckDB can only replay via numpy UDFs):
+    runs the parent end-to-end and emits one row PER VECTOR — the
+    exact ``vec_id`` set (so a dropped or duplicated vector changes
+    the row multiset) plus four invariant flags carrying the model
+    outputs: the within-cell rank lies in ``1..n_cell``, the prune
+    flag re-derives from ``rank·4 <= n_cell``, the quantized cosine
+    lies in ``[0, 2·PROTO_SCALE]`` (cos ∈ [-1, 1]), and the row's cell
+    is non-empty.  Rank ORDER (and with it the exact pruned quarter)
+    stays on the udf-oracle + the numpy differential pytest.
+    Window policy: docs/COVERAGE.md.
+    """
+    r = prototypicality_rank(spark, sf_dir)
+    return r.select(
+        "vec_id",
+        (
+            (F.col("proto_rank") >= 1) & (F.col("proto_rank") <= F.col("n_cell"))
+        ).alias("rank_in_cell_range"),
+        (
+            F.col("pruned") == (F.col("proto_rank") * 4 <= F.col("n_cell"))
+        ).alias("pruned_consistent"),
+        (
+            (F.col("cos_fp") >= 0) & (F.col("cos_fp") <= 2 * PROTO_SCALE)
+        ).alias("cos_in_range"),
+        (F.col("n_cell") >= 1).alias("cell_nonempty"),
+    )

@@ -154,6 +154,7 @@ REPRESENTATIVE = [
     "unigram_stats_envelope",
     "unigram_vocab_envelope",
     "compression_ratio_envelope",
+    "prototypicality_envelope",
 ]
 # dedup_lsh_eval_report is udf-oracle tier (covered by check_correctness)
 

@@ -214,6 +214,7 @@ AUDITS: dict[str, dict] = {
         hinted_broadcasts=1,  # nation only
     ),
     "q14_promo_revenue": dict(
+        selective_dim_first=True,
         must=[r"partial_sum"],
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=0,
@@ -543,6 +544,7 @@ AUDITS: dict[str, dict] = {
         hinted_broadcasts=0,
     ),
     "q19_disjunctive_revenue": dict(
+        selective_dim_first=True,
         must=[r"partial_sum"], must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         hinted_broadcasts=0,
     ),
@@ -1058,6 +1060,7 @@ AUDITS: dict[str, dict] = {
         hinted_broadcasts=0,
     ),
     "q16_supplier_cnt": dict(
+        selective_dim_first=True,
         must=[r"LeftAnti", r"HashAggregate"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         hinted_broadcasts=0,
@@ -1376,6 +1379,13 @@ AUDITS: dict[str, dict] = {
     "bpe_vocab_envelope": dict(
         must=[r"HashAggregate|SortAggregate"],
         must_not=[r"CartesianProduct", r"Join", r"Window"],
+        hinted_broadcasts=0,
+    ),
+    # prototypicality envelope: the parent's Arrow score pass + its
+    # cell-keyed window, re-projected row-locally — no joins
+    "prototypicality_envelope": dict(
+        must=[r"MapInPandas", r"Window"],
+        must_not=[r"CartesianProduct", r"Join"],
         hinted_broadcasts=0,
     ),
     # zlib-ratio envelope: the parent's shuffle-free Arrow pass plus a

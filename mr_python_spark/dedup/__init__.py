@@ -1889,6 +1889,65 @@ def dedup_semantic_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEM_LANG_ENVELOPE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       TRUE AS assigned_once,
+       TRUE AS decision_ok
+FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+WHERE d.lang IS NOT NULL
+"""
+
+
+@register("dedup_semantic_lang_envelope", _SEM_LANG_ENVELOPE_ORACLE)
+def dedup_semantic_lang_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracle envelope for :func:`dedup_semantic_within_lang` —
+    the within-language twin of :func:`dedup_semantic_envelope`:
+    re-verifies the language-constrained SemDeDup decision for EVERY
+    vector with an independent JVM-side cosine (sequential
+    ``zip_with`` fold, a different code path from the pass's numpy
+    GEMM) and reduces to an aggregate the model-free oracle pins —
+    ``n_vecs`` is the EXACT embeddings⋈documents count with non-NULL
+    lang (a dropped/duplicated/NULL-leaked vector fails the hash),
+    plus the no-double-assignment and decision-rule flags with the
+    neighbor condition extended by ``a.lang == b.lang`` (a cross-
+    language drop — the translation-collapse failure this operator
+    exists to prevent — flips ``decision_ok``).  Same Σ|cluster|²
+    bound and SEM_TAU boundary pin as the unconstrained envelope.
+    """
+    from mr_python_spark.functions.vectors import cosine, to_double
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    res = dedup_semantic_within_lang(spark, sf_dir).join(emb, "vec_id")
+    a = res.alias("a")
+    b = res.alias("b")
+    nb = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(cosine(F.col("a.v"), F.col("b.v")) >= F.lit(SEM_TAU))
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("has_nb", F.lit(True))
+    )
+    flags = res.join(nb, "vec_id", "left").select(
+        "vec_id",
+        "is_kept",
+        F.coalesce(F.col("has_nb"), F.lit(False)).alias("has_nb"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.count_distinct("vec_id") == F.count(F.lit(1))).alias(
+            "assigned_once"
+        ),
+        F.every(F.col("is_kept") != F.col("has_nb")).alias("decision_ok"),
+    )
+
+
 @register("dedup_semantic_within_lang")  # udf-oracle in tools/udf_oracles.py
 def dedup_semantic_within_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup constrained by document metadata: near-dups only count

@@ -155,6 +155,7 @@ REPRESENTATIVE = [
     "unigram_vocab_envelope",
     "compression_ratio_envelope",
     "prototypicality_envelope",
+    "dedup_semantic_lang_envelope",
 ]
 # dedup_lsh_eval_report is udf-oracle tier (covered by check_correctness)
 

@@ -361,6 +361,14 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         hinted_broadcasts=0,
     ),
+    # within-language twin: same re-verification shape with the
+    # (cell, lang) neighbor condition
+    "dedup_semantic_lang_envelope": dict(
+        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+              r"HashAggregate|SortAggregate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
     # containment shares the jaccard plan: posting-list grouping, pair
     # explosion JVM-side, semi-join-pruned verification — never NLJ
     "dedup_containment": dict(

@@ -2152,6 +2152,83 @@ def dedup_rp_lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_RECALL_ENVELOPE_ORACLE = (
+    "SELECT doc_a, doc_b,\n"
+    "       CAST(FLOOR(jaccard * 1048576) AS BIGINT) AS jac_fp,\n"
+    "       TRUE AS found_defined\n"
+    f"FROM ({_NGRAM_BODY}) WHERE jaccard >= 0.5\n"
+)
+
+
+@register("dedup_lsh_recall_envelope", _LSH_RECALL_ENVELOPE_ORACLE)
+def dedup_lsh_recall_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracle envelope for :func:`dedup_lsh_eval_report` (whose
+    ``found_by_lsh`` flag is xxhash64-banding-tied): runs the parent
+    end-to-end and pins its ENTIRE ground-truth side against an
+    independent plain-string derivation — the exact (doc_a, doc_b)
+    pair set with jaccard ≥ 0.5 and the fixed-point jaccard
+    ``floor(j·2²⁰)`` (exact ints → one IEEE division → one multiply by
+    an exactly-representable power of two, identical on both engines;
+    the hashed-shingle intersection equals the string-shingle
+    intersection absent 64-bit collisions).  A truth side that drops,
+    invents, or mis-scores a pair fails the hash; the banding flag's
+    value gate stays on the parent's udf-oracle + the recall-curve
+    probes.  Window policy: docs/COVERAGE.md.
+    """
+    rep = dedup_lsh_eval_report(spark, sf_dir)
+    return rep.select(
+        "doc_a",
+        "doc_b",
+        F.floor(F.col("jaccard") * (1 << 20)).cast("long").alias("jac_fp"),
+        F.col("found_by_lsh").isNotNull().alias("found_defined"),
+    )
+
+
+_RP_RECALL_ENVELOPE_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+), sc AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(list_zip(a.e, b.e),
+           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (a.nrm * b.nrm) AS cosine
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       CAST(FLOOR((1 + cosine) * 1048576) AS BIGINT) AS cos_fp,
+       TRUE AS found_defined
+FROM sc WHERE cosine >= 0.4
+"""
+
+
+@register("dedup_rp_recall_envelope", _RP_RECALL_ENVELOPE_ORACLE)
+def dedup_rp_recall_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracle envelope for :func:`dedup_rp_lsh_eval_report` (whose
+    ``found_by_rp_lsh`` flag is RP-model-tied): pins the parent's
+    entire ground-truth side — the exact (vec_a, vec_b) pair set with
+    cosine ≥ 0.4 and the fixed-point cosine ``floor((1+cos)·2²⁰)`` —
+    against an independent SQL fold (the ``vector_norms`` bit-equality
+    contract: Spark's sequential ``aggregate``/``zip_with`` fold and
+    DuckDB's ``list_sum(list_transform(list_zip))`` produce identical
+    doubles, and the fixture's closest pair sits ≥ 1e-5 from the
+    threshold).  The banding flag's value gate stays on the parent's
+    udf-oracle + the measured recall curve in
+    docs/scale_probe_sf3.json.  Window policy: docs/COVERAGE.md.
+    """
+    rep = dedup_rp_lsh_eval_report(spark, sf_dir)
+    return rep.select(
+        "vec_a",
+        "vec_b",
+        F.floor((F.lit(1.0) + F.col("cosine")) * (1 << 20))
+        .cast("long")
+        .alias("cos_fp"),
+        F.col("found_by_rp_lsh").isNotNull().alias("found_defined"),
+    )
+
+
 _WINNOW_PAIRS_ORACLE = """
 WITH grams AS (
   SELECT doc_id,

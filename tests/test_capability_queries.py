@@ -156,6 +156,8 @@ REPRESENTATIVE = [
     "compression_ratio_envelope",
     "prototypicality_envelope",
     "dedup_semantic_lang_envelope",
+    "dedup_lsh_recall_envelope",
+    "dedup_rp_recall_envelope",
 ]
 # dedup_lsh_eval_report is udf-oracle tier (covered by check_correctness)
 

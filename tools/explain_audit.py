@@ -361,6 +361,20 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         hinted_broadcasts=0,
     ),
+    # recall-envelope pair: the parents' exact-truth joins re-projected
+    # row-locally; the pair self-join is equi-keyed, never NLJ
+    "dedup_lsh_recall_envelope": dict(
+        must=[r"HashAggregate|SortAggregate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
+    # (the exact-cosine truth side rides the keyed-cached pair frame —
+    # consumers plan an InMemoryTableScan leaf, so no MapInPandas here)
+    "dedup_rp_recall_envelope": dict(
+        must=[r"Join"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
     # within-language twin: same re-verification shape with the
     # (cell, lang) neighbor condition
     "dedup_semantic_lang_envelope": dict(

@@ -432,6 +432,16 @@ def not_in_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-aware anti join to honor that.  o_custkey is non-null here so
     results match the anti join, but the plan shape under test is the
     null-aware variant — the one users silently get from NOT IN.
+
+    100 TB warning (the point of keeping this surface): the null-aware
+    anti join has NO shuffle strategy in Spark — the subquery side is
+    planner-force-broadcast at ANY threshold, so NOT IN over a
+    fact-sized subquery ships the whole subquery to every executor.
+    The registry-wide fact-broadcast sweep (round 15) flags exactly
+    this query, and the audit records the exception explicitly
+    (``accepted_fact_builds`` in tools/explain_audit.py).  Production
+    rewrite when the key is provably non-null: NOT EXISTS / left-anti
+    (``join_left_anti``), which shuffles both sides.
     """
     customer = load_table(spark, sf_dir, "customer")
     big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)

@@ -585,8 +585,17 @@ AUDITS: dict[str, dict] = {
         # canonicalized to LeftOuter with sides swapped
         must=[r"LeftOuter|RightOuter"], must_not=[r"CartesianProduct"]
     ),
+    # NOT IN is the ONE surface Spark can only execute by broadcasting
+    # the subquery side (the null-aware anti join has no shuffle
+    # strategy), so the planner forces that broadcast at ANY threshold
+    # — the known NOT IN scale trap this demo exists to exhibit.  The
+    # accepted_fact_builds entry records the exception EXPLICITLY; the
+    # 100 TB rewrite is NOT EXISTS / left-anti (join_left_anti), per
+    # the query docstring.
     "not_in_subquery_customers": dict(
-        must=[r"LeftAnti"], must_not=[r"CartesianProduct"]
+        must=[r"LeftAnti"], must_not=[r"CartesianProduct"],
+        hinted_broadcasts=1,
+        accepted_fact_builds=["orders"],
     ),
     "agg_minmax_by": dict(
         must=[r"partial_", r"HashAggregate|ObjectHashAggregate"],
@@ -1759,7 +1768,14 @@ def main(argv: list[str]) -> int:
                 # default-deny: any hint-forced broadcast whose build
                 # subtree reaches a fact scan unbounded (no limit / no
                 # aggregate between) is a 100 TB OOM — never allowed
-                fact_builds = broadcast_fact_builds(nostats_df)
+                # unless the spec EXPLICITLY accepts it (only the
+                # null-aware anti join, which Spark cannot shuffle)
+                accepted = spec.get("accepted_fact_builds", [])
+                fact_builds = [
+                    t
+                    for t in broadcast_fact_builds(nostats_df)
+                    if t not in accepted
+                ]
                 if fact_builds:
                     problems.append(
                         "forced broadcast of unbounded fact table(s): "

@@ -328,18 +328,53 @@ def main() -> None:
         "value": total,
         "value_isolated": total_isolated,
         "queries": isolated,
+        "queries_in_suite": in_suite,
         "sf": sf_from_dir(SF_DIR),
         "steady_pass_spread": steady_spread,
         "pinned_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     if quiet:
+        # Per-query spike guard (round 16, r15 verdict order #4): the
+        # suite-level 15% gate accepted r15's pin2 while one query
+        # carried a 29x contention burst (q1_pricing_summary 5.27s vs
+        # pin1's 0.81s).  A quiet SUITE can still have one burst land
+        # on one query, so a per-query value only replaces the stored
+        # pin's when the two steady in-suite passes agree within 2x
+        # for THAT query; otherwise the stored time ships (both
+        # columns), flagged in spike_guarded.  Guarded queries keep
+        # their current samples in docs/bench_detail.json for noise
+        # diagnosis.
+        guarded: list[str] = []
+        if pin is not None and set(pin["queries"]) == set(isolated):
+            p2, p3 = runs[1], runs[2]
+            for name in HEADLINE:
+                lo, hi = sorted((p2[name], p3[name]))
+                if lo > 0 and hi / lo > 2.0 and name in pin["queries"]:
+                    current["queries"][name] = pin["queries"][name]
+                    stored_suite = pin.get("queries_in_suite", {})
+                    if name in stored_suite:
+                        current["queries_in_suite"][name] = stored_suite[name]
+                    guarded.append(name)
+            if guarded:
+                current["value"] = round(
+                    sum(current["queries_in_suite"].values()), 3
+                )
+                current["value_isolated"] = round(
+                    sum(current["queries"].values()), 3
+                )
+                current["spike_guarded"] = guarded
         pin = current
         with open(pin_path, "w") as f:
             json.dump(pin, f, indent=1)
     elif pin is None or set(pin["queries"]) != set(isolated):
         # no comparable pin (first run ever, or the headline set
         # changed under a noisy window): ship the current run, flagged
+        # AND write it as the (noisy) stored pin so queries_full_in
+        # never points at a stale or missing file (r15 ADVICE)
         pin = current
+        pin["noisy_fallback"] = True
+        with open(pin_path, "w") as f:
+            json.dump(pin, f, indent=1)
     shipped_pin = pin is not current
     # "value" stays the in-suite total (comparable to BENCH_r≤12, whose
     # queries column was in-suite best-of-3); the per-query map is the
@@ -361,6 +396,10 @@ def main() -> None:
         "current_run_value": total,
         "current_run_value_isolated": total_isolated,
     }
+    if pin.get("spike_guarded"):
+        out["spike_guarded"] = pin["spike_guarded"]
+    if pin.get("noisy_fallback"):
+        out["noisy_fallback"] = True
     # The driver parses the FINAL stdout line from a 2000-char tail
     # capture: BENCH_r13/r14 both recorded parsed=None because the
     # 68-query map pushed the line to ~2.2 KB and the head was clipped.

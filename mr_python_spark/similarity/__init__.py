@@ -251,14 +251,14 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _blocked_topk(candidates, queries)
 
 
-_IVF_ORACLE = """
+_IVF_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ), n AS (
   SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
 ), q AS (
-  SELECT * FROM n WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 4096
+  SELECT * FROM n WHERE vec_id % 50 = 0 {_Q_CAP_SQL}
 ), scored AS (
   SELECT
     q.vec_id AS query_id,

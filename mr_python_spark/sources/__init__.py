@@ -497,6 +497,15 @@ def binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ident = f"{region_pq}:{os.stat(region_pq).st_mtime_ns}"
     key = hashlib.sha1(ident.encode()).hexdigest()[:12]
     stage = _scratch(f"region_bin_{key}")
+    # GC stale keys (r15 ADVICE): a regenerated fixture changes the key,
+    # so the previous region_bin_* dir can never be read again — remove
+    # any sibling whose key differs instead of accumulating one scratch
+    # dir per regeneration.  Current-key dirs are never touched, so the
+    # no-rmtree-under-a-live-scan guarantee above still holds.
+    if os.path.isdir(_SCRATCH):
+        for d in os.listdir(_SCRATCH):
+            if d.startswith("region_bin_") and d != f"region_bin_{key}":
+                shutil.rmtree(os.path.join(_SCRATCH, d), ignore_errors=True)
     os.makedirs(stage, exist_ok=True)
     rows = load_table(spark, sf_dir, "region").select(
         "r_regionkey", "r_name"

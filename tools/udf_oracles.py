@@ -873,8 +873,12 @@ WITH v AS (
 ), enc AS (
   SELECT vec_id, pq_cell(e) AS cell, pq_code(e) AS code, e, nrm FROM n
 ), q AS (
+  -- cap BEFORE the unnest: DuckDB applies LIMIT after unnest expansion,
+  -- so capping in the same SELECT would count (query, probed-cell) rows
+  -- instead of queries and diverge from the engine's per-query cap
   SELECT vec_id AS query_id, unnest(pq_probe(e)) AS cell, e AS qe, nrm AS qnrm
-  FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0 ORDER BY vec_id LIMIT {ANN_QUERY_CAP()}
+  FROM (SELECT * FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0
+        ORDER BY vec_id LIMIT {ANN_QUERY_CAP()})
 ), approx AS (
   SELECT
     q.query_id,
@@ -930,8 +934,12 @@ WITH v AS (
 ), enc AS (
   SELECT vec_id, pq_cell(e) AS cell, pq_code(e) AS code, e, nrm FROM n
 ), qp AS (
+  -- cap BEFORE the unnest: DuckDB applies LIMIT after unnest expansion,
+  -- so capping in the same SELECT would count (query, probed-cell) rows
+  -- instead of queries and diverge from the engine's per-query cap
   SELECT vec_id AS query_id, unnest(pq_probe(e)) AS cell, e AS qe, nrm AS qnrm
-  FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0 ORDER BY vec_id LIMIT {ANN_QUERY_CAP()}
+  FROM (SELECT * FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0
+        ORDER BY vec_id LIMIT {ANN_QUERY_CAP()})
 ), adc AS (
   SELECT
     qp.query_id,
@@ -981,8 +989,12 @@ WITH v AS (
 ), cells AS (
   SELECT vec_id, km_cell(e) AS cell, e, nrm FROM n
 ), q AS (
+  -- cap BEFORE the unnest: DuckDB applies LIMIT after unnest expansion,
+  -- so capping in the same SELECT would count (query, probed-cell) rows
+  -- instead of queries and diverge from the engine's per-query cap
   SELECT vec_id AS query_id, unnest(km_probe(e)) AS cell, e AS qe, nrm AS qnrm
-  FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0 ORDER BY vec_id LIMIT {ANN_QUERY_CAP()}
+  FROM (SELECT * FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0
+        ORDER BY vec_id LIMIT {ANN_QUERY_CAP()})
 ), scored AS (
   SELECT
     q.query_id,

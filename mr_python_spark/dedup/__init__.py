@@ -2229,6 +2229,57 @@ def dedup_rp_recall_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_LSH_ENVELOPE_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+), truth AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(list_zip(a.e, b.e),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (a.nrm * b.nrm) >= 0.4
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(0 AS BIGINT) AS n_false_positives,
+       TRUE AS precision_one
+FROM truth
+"""
+
+
+@register("dedup_embedding_lsh_envelope", _EMB_LSH_ENVELOPE_ORACLE)
+def dedup_embedding_lsh_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracle envelope for :func:`dedup_embedding_lsh` itself (the
+    rp_recall envelope pins its AUDITOR's truth side; this one pins the
+    LSH output's precision contract directly): runs the full banding +
+    bucket-GEMM pipeline AND the exact block-grid tier, full-joins the
+    two pair sets, and emits the exact true-pair count (content-bearing,
+    SQL-replayable n² fold — the ``vector_norms`` bit-equality contract,
+    threshold margin pinned by test_rp_cosine_threshold_margin) plus
+    the false-positive count, which is structurally ZERO: every
+    LSH-emitted pair passed the identical normalize-then-GEMM ≥ 0.4
+    verification the exact tier uses, so any nonzero value means the
+    verify stage or the canonical emission rule broke.  Recall (which
+    true pairs the banding surfaces) stays model-tied and gated by the
+    parent's udf-oracle + the measured curve in
+    docs/scale_probe_sf3.json (docs/COVERAGE.md window policy).
+    """
+    truth = dedup_embedding_cosine(spark, sf_dir).withColumn("t", F.lit(1))
+    found = dedup_embedding_lsh(spark, sf_dir).withColumn("f", F.lit(1))
+    j = truth.join(found, ["vec_a", "vec_b"], "full")
+    return j.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_true_pairs"),
+        F.sum(F.when(F.col("t").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positives"),
+        (
+            F.sum(F.when(F.col("t").isNull(), 1).otherwise(0)) == 0
+        ).alias("precision_one"),
+    )
+
+
 _WINNOW_PAIRS_ORACLE = """
 WITH grams AS (
   SELECT doc_id,

@@ -890,6 +890,108 @@ def ann_pq_recall_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_ENVELOPE_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+), q AS (
+  SELECT * FROM n WHERE vec_id % {KM_QUERY_STRIDE} = 0 {_Q_CAP_SQL}
+), scored AS (
+  SELECT
+    q.vec_id AS query_id,
+    n.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(q.e, n.e), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (q.nrm * n.nrm) AS score
+  FROM q JOIN n ON q.vec_id <> n.vec_id
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+  )
+  WHERE rank <= {KM_TOP_K}
+)
+SELECT query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(neighbor_id) AS BIGINT) AS truth_id_sum,
+       TRUE AS km_shape_ok
+FROM truth GROUP BY query_id
+"""
+
+
+@register("ann_ivf_kmeans_envelope", _KM_ENVELOPE_ORACLE)
+def ann_ivf_kmeans_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracle envelope for :func:`ann_ivf_kmeans` (whose trained
+    coarse quantizer DuckDB can only replay via Python UDFs): runs the
+    trained-IVF search end-to-end and pairs the model-free columns an
+    oracle CAN replay — the stride-{KM_QUERY_STRIDE} query universe,
+    ``n_true`` and ``truth_id_sum`` from the exact brute-force truth
+    (content-bearing: the blocked-GEMM pipeline hash-gates
+    value-for-value) — with one ``km_shape_ok`` flag carrying the IVF
+    output's structural invariants: every truth query must appear in
+    the IVF result (the inner join drops it otherwise and the row
+    count fails), 1 ≤ n_found ≤ {KM_TOP_K}, ranks exactly 1..n_found
+    (2·Σrank = n·(n+1)), neighbors distinct, and the truth-hit count
+    bounded by min(n_true, n_found).  Which neighbors the trained
+    index finds stays gated by the parent's udf-oracle in the sweep
+    (docs/COVERAGE.md window policy); a search that drops a query,
+    duplicates a neighbor, or mis-ranks flips this envelope.
+    """
+    # each parent is referenced exactly ONCE (a second reference would
+    # duplicate its whole pipeline subtree — 2x the GEMM/assign work
+    # and 2x the constant-size broadcast hints); every per-query stat
+    # falls out of one pair-keyed full join + one aggregate
+    rep = ann_ivf_kmeans(spark, sf_dir).withColumn("fr", F.lit(1))
+    truth_pairs = (
+        ann_brute_topk(spark, sf_dir)
+        .filter(
+            (F.col("rank") <= KM_TOP_K)
+            & (F.col("query_id") % KM_QUERY_STRIDE == 0)
+        )
+        .select("query_id", "neighbor_id", F.lit(1).alias("t"))
+    )
+    j = truth_pairs.join(
+        rep.select("query_id", "neighbor_id", "rank", "fr"),
+        ["query_id", "neighbor_id"],
+        "full",
+    )
+    agg = j.groupBy("query_id").agg(
+        F.coalesce(F.sum("t"), F.lit(0)).alias("n_true"),
+        F.sum(F.when(F.col("t") == 1, F.col("neighbor_id"))).alias(
+            "truth_id_sum"
+        ),
+        F.coalesce(F.sum("fr"), F.lit(0)).alias("n_found"),
+        F.coalesce(
+            F.sum(F.when(F.col("fr") == 1, F.col("rank"))), F.lit(0)
+        ).alias("rank_sum"),
+        F.countDistinct(
+            F.when(F.col("fr") == 1, F.col("neighbor_id"))
+        ).alias("n_nb"),
+        F.sum(
+            F.when((F.col("t") == 1) & (F.col("fr") == 1), 1).otherwise(0)
+        ).alias("n_hits"),
+    )
+    # no n_true > 0 filter: an IVF query outside the truth universe
+    # would surface as an extra (n_true = 0) row and fail the gate
+    return agg.select(
+        "query_id",
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("truth_id_sum").cast("long").alias("truth_id_sum"),
+        (
+            (F.col("n_found") >= 1)
+            & (F.col("n_found") <= KM_TOP_K)
+            & (F.col("rank_sum") * 2
+               == F.col("n_found") * (F.col("n_found") + 1))
+            & (F.col("n_nb") == F.col("n_found"))
+            & F.col("n_hits").between(
+                0, F.least(F.col("n_true"), F.col("n_found"))
+            )
+        ).alias("km_shape_ok"),
+    )
+
+
 _KNN_EVAL_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -158,6 +158,10 @@ REPRESENTATIVE = [
     "dedup_semantic_lang_envelope",
     "dedup_lsh_recall_envelope",
     "dedup_rp_recall_envelope",
+    # round-16 additions: envelopes closing the ANN-IVF and
+    # embedding-LSH udf-tier coverage gap (r15 verdict order #3)
+    "ann_ivf_kmeans_envelope",
+    "dedup_embedding_lsh_envelope",
 ]
 # dedup_lsh_eval_report is udf-oracle tier (covered by check_correctness)
 

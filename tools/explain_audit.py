@@ -375,6 +375,14 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
         hinted_broadcasts=0,
     ),
+    # embedding-LSH precision envelope: exact block-grid tier + the
+    # banding/bucket-GEMM pipeline, pair-keyed full join (no broadcast
+    # — both sides scale with the corpus), one global aggregate
+    "dedup_embedding_lsh_envelope": dict(
+        must=[r"FlatMapGroupsInPandas|GroupedMapPandas", r"HashAggregate|SortAggregate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin", r"BroadcastHashJoin"],
+        hinted_broadcasts=0,
+    ),
     # within-language twin: same re-verification shape with the
     # (cell, lang) neighbor condition
     "dedup_semantic_lang_envelope": dict(
@@ -852,6 +860,15 @@ AUDITS: dict[str, dict] = {
         must=[r"MapInPandas", r"HashAggregate"],
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=3,
+    ),
+    # trained-kmeans IVF envelope: parent (trained assign + probe, 1
+    # hinted query-set broadcast) + the brute truth run (1-row packed
+    # query broadcast) + shape/hit joins and per-query aggregates —
+    # both hints constant-size
+    "ann_ivf_kmeans_envelope": dict(
+        must=[r"MapInPandas", r"HashAggregate"],
+        must_not=[r"CartesianProduct"],
+        hinted_broadcasts=2,
     ),
     # bigram LM scoring: model frames are sample-bounded (safe to hint
     # broadcast at any sf); bigrams built in-array (no Window shuffle);

@@ -2633,17 +2633,21 @@ def dedup_ccnet_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt text is an order-pinned join — every output column is
     exact.
 
-    100 TB posture: the paragraph grid is a JVM ``posexplode``
-    regenerated on EACH side of the keeper join (cheap codegen work —
-    the bigram_fluency trade: recomputing the exploded stream beats
-    materializing it), with no self-pairing and no corpus window —
-    the keeper comes from a map-side-combined ``min(struct)``
-    aggregate, unlike the oracle's ROW_NUMBER formulation which is
-    DuckDB-side only.  Shuffles:
-    winner aggregate + keeper join (both keyed on the block) and the
-    per-doc rebuild — all linear.  At scale the block SHUFFLE key
-    would be ``xxhash64(block)`` with the text carried only on the
-    instance stream (the ``_span_frame`` idiom at
+    100 TB posture (round 16 — the single-regeneration shape the r15
+    docstring designed, measured in): the paragraph grid is tokenized
+    and ``posexplode``d ONCE, and the keeper join is GONE — the
+    per-block aggregate carries both the map-side-combined
+    ``min(struct)`` winner AND the block's instance list (bounded by
+    the block's corpus duplication count, the same Σ|bucket| bound the
+    LSH verify tier relies on), which one ``explode`` turns back into
+    the flagged instance stream.  The r15 shape regenerated the
+    exploded stream on each side of a block-keyed join (3.4x/3.0x
+    DuckDB in both quiet pins); this one shuffles the stream once —
+    the instance row carries the block text to the aggregate, nothing
+    is re-joined against it.  Shuffles: winner aggregate + the per-doc
+    rebuild — all linear, no corpus window, no self-pairing.  At scale
+    the aggregate key would be ``xxhash64(block)`` with the text
+    carried only on the instance stream (the ``_span_frame`` idiom at
     dedup_exact_substring); the string key is kept here so the result
     stays plain-SQL-oracle-able.  Reference scope: tinymr.py's word
     count (docs.rst:27-34) is the flat-map/group/reduce shape this
@@ -2663,14 +2667,18 @@ def dedup_ccnet_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b", "block"),
     )
     win = blocks.groupBy("block").agg(
-        F.min(F.struct("doc_id", "b")).alias("w")
+        F.min(F.struct("doc_id", "b")).alias("w"),
+        F.collect_list(F.struct("doc_id", "b")).alias("inst"),
     )
-    kept = blocks.join(win, "block").select(
-        "doc_id",
-        "b",
+    kept = win.select(
+        "block", "w", F.explode("inst").alias("i")
+    ).select(
+        F.col("i.doc_id").alias("doc_id"),
+        F.col("i.b").alias("b"),
         "block",
         (
-            (F.col("doc_id") == F.col("w.doc_id")) & (F.col("b") == F.col("w.b"))
+            (F.col("i.doc_id") == F.col("w.doc_id"))
+            & (F.col("i.b") == F.col("w.b"))
         ).alias("is_kept"),
     )
     per = kept.groupBy("doc_id").agg(

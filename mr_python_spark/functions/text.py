@@ -1407,6 +1407,50 @@ _LANGID_K = 20
 _LANGID_M = 10
 _LANGID_PENALTY = _LANGID_K + 1
 
+#: (applicationId, documents file identity) → cached per-doc trigram
+#: count frame (doc_id, lang, tri, c) shared by the language-profile
+#: and per-doc-top consumers of :func:`lang_id_ngram_profile`
+_LANGID_DP_CACHE: dict = {}
+
+
+def _langid_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCACHED (doc_id, lang, tri, c) builder: one JVM
+    transform+explode over the ≥3-char documents, one partial-agged
+    shuffle.  ``lang`` rides the grouping for free (doc_id determines
+    lang, so the cardinality is unchanged) and saves the doc→lang join
+    the profile consumer would otherwise need."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.char_length("text") >= 3
+    )
+    tri = spread(docs).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(text) - 2), "
+                "p -> substring(lower(text), p, 3))"
+            )
+        ).alias("tri"),
+    )
+    return tri.groupBy("doc_id", "lang", "tri").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def _langid_dp_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mr_python_spark.dedup import _keyed_df_cache
+
+    def build() -> DataFrame:
+        # cached PRE-PARTITIONED on doc_id: the per-doc-top window's
+        # required ClusteredDistribution(doc_id) is satisfied straight
+        # off the InMemoryTableScan, so the heavier consumer runs
+        # exchange-free (measured 0.65s -> 0.18s at sf0.1); the
+        # profile consumer re-shuffles the deduped rows by (lang, tri)
+        # either way
+        return _langid_dp(spark, sf_dir).repartition("doc_id").cache()
+
+    return _keyed_df_cache(_LANGID_DP_CACHE, spark, sf_dir, build)
+
 _LANGID_NGRAM_ORACLE = f"""
 WITH pos AS (
   -- generate_series as a SCALAR returns a list (lateral table-function
@@ -1469,17 +1513,24 @@ def lang_id_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     — and everything is counts, ranks with total tie-breaks, and
     integer distances: bit-deterministic cross-engine.
 
-    100 TB posture: the trigram stream is regenerated for each of its
-    two consumers (profile aggregate, per-doc tops) — measured
-    back-to-back against a single-aggregate reuse variant and an
-    in-array fold, both slower (docs/ROUND_NOTES.md round 15 wave 2),
-    and against ``tri.persist()`` shared across both consumers (r14:
-    2.33s cached vs 2.20–3.27s uncached at sf0.1 — inside the noise
-    band, i.e. writing+reading a corpus-sized cache costs what the
-    cheap explode recomputation costs, and a corpus-sized persist is
-    against the house scale rules anyway; kept uncached);
-    trigram extraction is one JVM transform+explode per consumer;
-    profiles are word-count-shaped aggregates; the two rank windows
+    100 TB posture: the corpus-sized trigram stream is exploded and
+    shuffled ONCE — both consumers derive from the per-doc count frame
+    ``dp = (doc_id, lang, tri, c)``: the per-doc tops read it directly,
+    and the language profile is ``Σ_docs c`` grouped by (lang, tri)
+    (integer sum of per-doc counts ≡ the direct count, bit-exact).
+    The dp frame is shared through the house keyed cache — exactly the
+    r15-suggested sharing of the POST-AGGREGATE frame, which is
+    |distinct (doc, tri)|-sized, NOT the corpus-sized ``tri.persist()``
+    r14 measured and rejected.  (Exchange reuse was tried first and
+    does not fire: the prof branch's left join infers isnotnull
+    filters the dtop branch lacks, so the two dp subtrees never
+    canonicalize equal.)  The earlier two-regeneration shape measured
+    3.2–3.8x DuckDB in both r15 quiet pins; this one-explode shape
+    drops the second explode + raw-stream shuffle entirely (the
+    profile re-aggregate runs on the already-deduped dp rows).  The
+    uncached builder's plan is policed by the ``langid_dp_builder``
+    pseudo-entry in tools/explain_audit.py.
+    Profiles are word-count-shaped aggregates; the two rank windows
     are PARTITIONED (per lang / per doc, never corpus-global); the
     classify join fans each doc's 10 profile rows out by the
     |langs|-bounded broadcast (the scalar-frame crossJoin idiom) and
@@ -1489,28 +1540,18 @@ def lang_id_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.char_length("text") >= 3
     )
-    tri = spread(docs).select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, char_length(text) - 2), "
-                "p -> substring(lower(text), p, 3))"
-            )
-        ).alias("tri"),
-    )
+    dp = _langid_dp_cached(spark, sf_dir)
     w_lang = Window.partitionBy("lang").orderBy(F.desc("c"), "tri")
     prof = (
-        tri.groupBy("lang", "tri")
-        .agg(F.count(F.lit(1)).alias("c"))
+        dp.groupBy("lang", "tri")
+        .agg(F.sum("c").alias("c"))
         .withColumn("r", F.row_number().over(w_lang))
         .filter(F.col("r") <= _LANGID_K)
         .select("lang", "tri", F.col("r").alias("pr"))
     )
     w_doc = Window.partitionBy("doc_id").orderBy(F.desc("c"), "tri")
     dtop = (
-        tri.groupBy("doc_id", "tri")
-        .agg(F.count(F.lit(1)).alias("c"))
+        dp.select("doc_id", "tri", "c")
         .withColumn("r", F.row_number().over(w_doc))
         .filter(F.col("r") <= _LANGID_M)
     )

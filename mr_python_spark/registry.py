@@ -150,66 +150,107 @@ PRIORITY: list[str] = [
     # moore_lewis + nb_calibration), split_train_val_test +
     # decontaminate_against_eval (2×; encode_tokens_to_ids keeps
     # pipeline), multimodal_probe_arrow (2×; resize + audio_resample).
+    # --- Round-16 rotation (r15 verdict orders #2/#3): TWENTY-SIX
+    # swaps that CLEAR the SQL-oracled never-driver-graded pool (24
+    # entries, recomputed from CORRECTNESS_r01–r15 — matches the r15
+    # verdict's recount) and seat the two round-16 envelopes built for
+    # the last udf-tier families without SQL-oracled kin
+    # (ann_ivf_kmeans_envelope, dedup_embedding_lsh_envelope).  Every
+    # leaver was graded green in the r15 window (at minimum), keeps
+    # same-category kin in-window, and stays hash-gated in the full
+    # sweep.  Pairings — out → kin that remains:
+    # q16/q19/q20 → q8+q11 (TPC-H composites); join_inner_basic →
+    # join_null_safe; streaming_attribution_live →
+    # attribution_last_touch + three streaming reps;
+    # streaming_join_full_live → streaming_join_live (incoming,
+    # direct join-matrix kin); paged_orders_offset →
+    # zorder_bucket_stats (incoming, ordering/bucketing) +
+    # window_top3 (per-group top-k); crosstab_orders →
+    # transpose_region_metrics + unpivot_daily_values (incoming,
+    # reshaping); math_funcs_lineitem + map_funcs_events →
+    # try_arith_lineitem (scalar/ANSI family); sql_pipe_syntax →
+    # sql_variables_quota (incoming, SQL-surface); listagg_regions →
+    # q8/q11 aggregates + freq_items_envelope;
+    # approx_distinct_envelope → freq_items_envelope (incoming,
+    # sketch-stats envelope); bpe_stats_envelope →
+    # bpe_vocab_envelope (stays); unigram_stats_envelope →
+    # unigram_vocab_envelope (stays); arrow_python_udf →
+    # grouped_map_top2 (UDF surface); mixture_resample_sources →
+    # moore_lewis_selection; negative_sampling_table →
+    # stratified/reservoir sampling (incoming);
+    # dedup_ngram_jaccard_exact → dedup_ccnet + dedup_incremental_bloom
+    # + the dedup envelopes; char_diversity_quality →
+    # dup_ngram_char_fraction (incoming) + quality_token_budget;
+    # cooccurrence_pmi → bigram_fluency (incoming, n-gram analysis);
+    # nb_calibration_report → quality_token_budget +
+    # compression_ratio_envelope (incoming); encode_tokens_to_ids →
+    # chunk_documents + pack_training_batches (incoming, pipeline
+    # passes); embedding_int8_quantize → ann_filtered_topk +
+    # ann_ivf_kmeans_envelope (incoming); multimodal_resize_nearest +
+    # multimodal_audio_resample → multimodal_phash_dedup/near
+    # (incoming).  The two r15 perf-weak entries
+    # (lang_id_ngram_profile, dedup_ccnet_paragraphs) KEEP their slots
+    # so the driver re-grades them after this round's perf work.
     # TPC-H composites
     "q8_market_share",
     "q11_important_stock",
-    "q16_supplier_cnt",
-    "q19_disjunctive_revenue",
-    "q20_potential_promo",
     "ann_filtered_topk",
     # join shapes
-    "join_inner_basic",
     "join_null_safe",
-    # window functions (lag_delta rotated out 2×-graded; top3 keeps the
-    # category, quality_token_budget took the 50th slot)
+    # window functions
     "window_top3_per_customer",
-    # streaming
-    "streaming_attribution_live",
-    "streaming_join_full_live",
+    # streaming (join-matrix rep is the incoming live join)
+    "streaming_join_live",
     "streaming_static_enrich",
     "session_window_dynamic_gap",
     "streaming_parquet_sink",
     # set ops / schema evolution
     "union_by_name_evolution",
-    # sorts / limits / OFFSET paging
-    "paged_orders_offset",
-    # multi-dim aggregates / reshaping
-    "crosstab_orders",
-    # scalar function families + typed surfaces
-    "math_funcs_lineitem",
-    "sql_pipe_syntax",
-    "map_funcs_events",
+    # sorts / bucketing / file-layout stats
+    "zorder_bucket_stats",
+    # reshaping (crosstab's kin: transpose + unpivot)
+    "transpose_region_metrics",
+    "unpivot_daily_values",
+    # scalar function families + typed / SQL surfaces
     "try_arith_lineitem",
-    # aggregates (listagg row) + statistics + accuracy envelopes
-    "listagg_regions",
-    "approx_distinct_envelope",
-    "bpe_stats_envelope",
+    "sql_variables_quota",
+    # statistics + accuracy envelopes
+    "freq_items_envelope",
+    "doc_length_quantiles",
+    "doc_length_mad_outliers",
+    "observed_quality_metrics",
     "bpe_vocab_envelope",
-    "unigram_stats_envelope",
     "unigram_vocab_envelope",
+    "compression_ratio_envelope",
+    "prototypicality_envelope",
+    "dedup_semantic_lang_envelope",
+    "dedup_lsh_recall_envelope",
+    "dedup_rp_recall_envelope",
+    "ann_ivf_kmeans_envelope",
+    "dedup_embedding_lsh_envelope",
     # sources + sinks
     "binaryfile_scan",
     "pyds_stream_sink_roundtrip",
     # UDF / UDTF / UDAF surface
     "grouped_map_top2",
-    "arrow_python_udf",
+    # sampling
+    "stratified_sample_documents",
+    "reservoir_sample_per_key",
     # LLM-pipeline families
-    "mixture_resample_sources",
-    "negative_sampling_table",
     "moore_lewis_selection",
-    "dedup_ngram_jaccard_exact",
+    "chunk_documents",
+    "pack_training_batches",
     "dedup_ccnet_paragraphs",
     "dedup_incremental_bloom",
-    "char_diversity_quality",
-    "cooccurrence_pmi",
+    "multimodal_phash_dedup",
+    "multimodal_phash_near",
+    "bigram_fluency",
+    "doc_halves_coherence",
+    "source_drift_report",
+    "dup_ngram_char_fraction",
     "lang_id_ngram_profile",
     "search_hybrid_rrf",
-    "nb_calibration_report",
-    "encode_tokens_to_ids",
     "quality_token_budget",
-    "embedding_int8_quantize",
-    "multimodal_resize_nearest",
-    "multimodal_audio_resample",
     "attribution_last_touch",
 ]
 

@@ -418,9 +418,11 @@ AUDITS: dict[str, dict] = {
     # CCNet paragraph removal: block grid is ONE Generate (no window,
     # no self-join); winner comes from a map-side-combined min(struct)
     # aggregate, keeper join is block-keyed equi
+    # round 16: the keeper JOIN is gone — the per-block aggregate
+    # carries winner + instance list, one explode recovers the flagged
+    # stream; the only join left is the per-doc left join back to docs
     "dedup_ccnet_paragraphs": dict(
-        must=[r"Generate", r"partial_min",
-              r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        must=[r"Generate", r"partial_min"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
                   r"Window"],
         hinted_broadcasts=0,
@@ -742,8 +744,13 @@ AUDITS: dict[str, dict] = {
     # Cavnar–Trenkle langid: JVM trigram explode, word-count-shaped
     # profile aggregates, PARTITIONED rank windows (per lang / per
     # doc), |langs|-bounded broadcast fan-out for the classify join
+    # the (doc_id, lang, tri, c) frame is keyed-cached (round 16):
+    # both consumers plan an InMemoryTableScan leaf, so the explode /
+    # raw-stream shuffle is policed on the langid_dp_builder
+    # pseudo-entry below; here the hint is the |langs|-bounded
+    # classify crossJoin
     "lang_id_ngram_profile": dict(
-        must=[r"Generate", r"partial_", r"Window"],
+        must=[r"InMemoryTableScan", r"partial_", r"Window"],
         must_not=[r"CartesianProduct"],
         hinted_broadcasts=1,
     ),
@@ -1459,6 +1466,13 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"SortMergeJoin", r"Window"],
         hinted_broadcasts=5,
     ),
+    # UNCACHED lang-id per-doc trigram count frame: one explode, one
+    # partial-agged shuffle — no join, no window, nothing broadcast
+    "langid_dp_builder": dict(
+        must=[r"Generate", r"partial_"],
+        must_not=[r"CartesianProduct", r"Join", r"Window"],
+        hinted_broadcasts=0,
+    ),
 }
 
 
@@ -1503,6 +1517,15 @@ def _nb_scored_builder(spark, sf_dir):
     return lm._nb_scored(spark, sf_dir)
 
 
+def _langid_dp_builder(spark, sf_dir):
+    # same eviction rule as the LM builder (see above)
+    from mr_python_spark.functions import text
+
+    for k in list(text._LANGID_DP_CACHE):
+        text._LANGID_DP_CACHE.pop(k).unpersist()
+    return text._langid_dp(spark, sf_dir)
+
+
 #: pseudo-entries auditing UNCACHED builder frames that registry
 #: queries only ever consume through a keyed cache
 FRAME_BUILDERS = {
@@ -1510,6 +1533,7 @@ FRAME_BUILDERS = {
     "quality_fp_builder": _quality_fp_builder,
     "ml_scored_builder": _ml_scored_builder,
     "nb_scored_builder": _nb_scored_builder,
+    "langid_dp_builder": _langid_dp_builder,
 }
 
 

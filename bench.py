@@ -147,6 +147,38 @@ def sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def apply_spike_guard(current: dict, pin: dict | None, runs: list[dict]) -> list[str]:
+    """Per-query spike guard (round 16, r15 verdict order #4).
+
+    The suite-level 15% gate accepted r15's pin2 while one query
+    carried a 29x contention burst (q1_pricing_summary 5.27s vs pin1's
+    0.81s).  A quiet SUITE can still have one burst land on one query,
+    so a per-query value only replaces the stored pin's when the two
+    steady in-suite passes agree within 2x for THAT query; otherwise
+    the stored time ships (both columns), flagged in
+    ``current["spike_guarded"]``.  Guarded queries keep their current
+    samples in docs/bench_detail.json for noise diagnosis.  Mutates
+    ``current`` in place and returns the guarded names.
+    """
+    guarded: list[str] = []
+    if pin is None or set(pin["queries"]) != set(current["queries"]):
+        return guarded
+    p2, p3 = runs[1], runs[2]
+    for name in current["queries"]:
+        lo, hi = sorted((p2[name], p3[name]))
+        if lo > 0 and hi / lo > 2.0 and name in pin["queries"]:
+            current["queries"][name] = pin["queries"][name]
+            stored_suite = pin.get("queries_in_suite", {})
+            if name in stored_suite:
+                current["queries_in_suite"][name] = stored_suite[name]
+            guarded.append(name)
+    if guarded:
+        current["value"] = round(sum(current["queries_in_suite"].values()), 3)
+        current["value_isolated"] = round(sum(current["queries"].values()), 3)
+        current["spike_guarded"] = guarded
+    return guarded
+
+
 def main() -> None:
     from mr_python_spark.session import get_spark
 
@@ -334,35 +366,7 @@ def main() -> None:
         "pinned_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     if quiet:
-        # Per-query spike guard (round 16, r15 verdict order #4): the
-        # suite-level 15% gate accepted r15's pin2 while one query
-        # carried a 29x contention burst (q1_pricing_summary 5.27s vs
-        # pin1's 0.81s).  A quiet SUITE can still have one burst land
-        # on one query, so a per-query value only replaces the stored
-        # pin's when the two steady in-suite passes agree within 2x
-        # for THAT query; otherwise the stored time ships (both
-        # columns), flagged in spike_guarded.  Guarded queries keep
-        # their current samples in docs/bench_detail.json for noise
-        # diagnosis.
-        guarded: list[str] = []
-        if pin is not None and set(pin["queries"]) == set(isolated):
-            p2, p3 = runs[1], runs[2]
-            for name in HEADLINE:
-                lo, hi = sorted((p2[name], p3[name]))
-                if lo > 0 and hi / lo > 2.0 and name in pin["queries"]:
-                    current["queries"][name] = pin["queries"][name]
-                    stored_suite = pin.get("queries_in_suite", {})
-                    if name in stored_suite:
-                        current["queries_in_suite"][name] = stored_suite[name]
-                    guarded.append(name)
-            if guarded:
-                current["value"] = round(
-                    sum(current["queries_in_suite"].values()), 3
-                )
-                current["value_isolated"] = round(
-                    sum(current["queries"].values()), 3
-                )
-                current["spike_guarded"] = guarded
+        apply_spike_guard(current, pin, runs)
         pin = current
         with open(pin_path, "w") as f:
             json.dump(pin, f, indent=1)

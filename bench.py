@@ -172,6 +172,33 @@ def apply_spike_guard(current: dict, pin: dict | None, runs: list[dict]) -> list
             if name in stored_suite:
                 current["queries_in_suite"][name] = stored_suite[name]
             guarded.append(name)
+    # Second rule (added after the first r16 pin attempt): a burst can
+    # also land ONLY on the isolated phase — run 1 recorded
+    # tokenizer_bakeoff_report at 13.73s isolated vs 1.41s in-suite in
+    # the SAME run (identical plan, 3 consecutive samples all slow)
+    # while the suite-level gate and rule 1 both passed.  Isolated
+    # best-of-3 runs consecutively on a warm session, so it cannot
+    # honestly exceed the query's own in-suite best by 2x AND >0.5s
+    # absolute; when it does, only contention explains the gap — ship
+    # the smaller of (current, stored) isolated values.  min() rather
+    # than stored-unconditionally so a contaminated STORED value can
+    # never outlive a clean measurement (the exact failure the first
+    # r16 pin stored).
+    for name in current["queries"]:
+        if name in guarded:
+            continue
+        iso = current["queries"][name]
+        suite_best = current["queries_in_suite"].get(name)
+        stored_iso = pin["queries"].get(name)
+        if (
+            suite_best
+            and stored_iso is not None
+            and iso > 2.0 * suite_best
+            and iso - suite_best > 0.5
+            and stored_iso < iso
+        ):
+            current["queries"][name] = stored_iso
+            guarded.append(name)
     if guarded:
         current["value"] = round(sum(current["queries_in_suite"].values()), 3)
         current["value_isolated"] = round(sum(current["queries"].values()), 3)

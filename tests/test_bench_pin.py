@@ -95,3 +95,44 @@ def test_old_format_pin_without_in_suite_map(benchmod):
     assert benchmod.apply_spike_guard(current, pin, runs) == ["q"]
     assert current["queries"]["q"] == 0.8
     assert current["queries_in_suite"]["q"] == 7.0
+
+
+def test_isolated_burst_vs_own_suite_guarded(benchmod):
+    # rule 2: steady passes AGREE (rule 1 passes) but the isolated
+    # phase caught a sustained burst — 13.7s isolated vs 1.4s in-suite
+    # on an identical plan (the first r16 pin's actual failure).  The
+    # smaller stored value ships.
+    runs = [
+        {"q": 1.5},
+        {"q": 1.4},
+        {"q": 1.5},
+    ]
+    current = _current({"q": 13.7}, {"q": 1.4})
+    pin = {"queries": {"q": 1.1}, "queries_in_suite": {"q": 1.3}}
+    assert benchmod.apply_spike_guard(current, pin, runs) == ["q"]
+    assert current["queries"]["q"] == 1.1
+    # in-suite passed agreement, so the in-suite column keeps the
+    # current measurement
+    assert current["queries_in_suite"]["q"] == 1.4
+    assert current["value_isolated"] == 1.1
+
+
+def test_contaminated_stored_isolated_cannot_outlive_clean_run(benchmod):
+    # the stored pin carries a burst value (13.7s); the current run is
+    # clean — min() means the clean measurement ships and the
+    # contamination is gone
+    runs = [{"q": 1.5}, {"q": 1.4}, {"q": 1.5}]
+    current = _current({"q": 1.2}, {"q": 1.4})
+    pin = {"queries": {"q": 13.7}, "queries_in_suite": {"q": 1.3}}
+    assert benchmod.apply_spike_guard(current, pin, runs) == []
+    assert current["queries"]["q"] == 1.2
+
+
+def test_cheap_query_jitter_not_guarded(benchmod):
+    # 2x on a 0.05s query is jitter, not a burst: the absolute >0.5s
+    # floor keeps the current measurement
+    runs = [{"q": 0.05}, {"q": 0.05}, {"q": 0.06}]
+    current = _current({"q": 0.12}, {"q": 0.05})
+    pin = {"queries": {"q": 0.04}, "queries_in_suite": {"q": 0.05}}
+    assert benchmod.apply_spike_guard(current, pin, runs) == []
+    assert current["queries"]["q"] == 0.12

@@ -7,10 +7,13 @@ over ``mapInPandas``.  Image decode is REAL for BMP, binary netpbm,
 :mod:`mr_python_spark.multimodal.jpeg` — huffman + dequantize +
 IDCT), progressive JPEG (spectral selection + successive
 approximation, Annex G; round 11 closed the roundtrip with a
-spectral-selection ENCODER) and lossless JPEG (SOF3 Annex H
-predictive, round 13 — bit-exact roundtrip), all pure stdlib+numpy;
-Pillow is used instead when importable.  Only formats beyond those
-(arithmetic-coded JPEG, WebP, …) remain library-gated behind
+spectral-selection ENCODER), lossless JPEG (SOF3 Annex H predictive,
+round 13 — bit-exact roundtrip), and arithmetic-coded sequential
+JPEG (SOF9, round 16: the T.81 Annex D QM-coder + the Annex F DC/AC
+conditioning models, :mod:`mr_python_spark.multimodal.jpeg_arith`),
+all pure stdlib+numpy; Pillow is used instead when importable.  Only
+formats beyond those (WebP-class codecs, progressive-arithmetic/
+hierarchical JPEG, …) remain library-gated behind
 :func:`decode_image`'s ``NotImplementedError``, with
 :func:`fake_probe` as the deterministic tested stand-in.
 
@@ -459,12 +462,15 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive from the payload length (the fixture step — this container
     ships no image corpus): a 24-bit BMP for doc_id ≡ 0 (mod 4), a
     REAL zlib-deflated grayscale PNG for ≡ 1, an RGBA PNG for ≡ 2,
-    and (round 9) a REAL baseline-sequential JPEG for ≡ 3 — every
-    PNG's scanlines exercise all five filter types and the JPEG path
-    runs a full huffman decode + dequantize + IDCT
-    (:mod:`mr_python_spark.multimodal.jpeg`), so :func:`decode_image`
-    performs an actual format parse inside the Arrow-batched UDF, not
-    a magic-number sniff.
+    and a REAL JPEG for ≡ 3 — baseline huffman (round 9), or
+    progressive for doc_id ≡ 7 (mod 8) (round 11), or ARITHMETIC
+    sequential for doc_id ≡ 3 (mod 16) (round 16: SOF9, the T.81
+    Annex D QM-coder) — every PNG's scanlines exercise all five
+    filter types and the JPEG paths run full entropy decode +
+    dequantize + IDCT (:mod:`mr_python_spark.multimodal.jpeg`,
+    :mod:`~mr_python_spark.multimodal.jpeg_arith`), so
+    :func:`decode_image` performs an actual format parse inside the
+    Arrow-batched UDF, not a magic-number sniff.
     With Pillow present the same bytes go through Pillow; without it
     the pure-stdlib parsers decode them — either way the decode is a
     real format parse, so a corrupted header, deflate stream, or
@@ -505,17 +511,24 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         if fmt == 0:
             return encode_bmp(w, h)
         if fmt == 3:  # round 9: REAL baseline JPEG (huffman + IDCT);
-            # round 11: every other JPEG doc is PROGRESSIVE (SOF2
-            # spectral-selection scans), so the Annex G decode path is
-            # driver-gated too.  Same (w, h) law either way — the
+            # round 11: doc_id % 8 == 7 is PROGRESSIVE (SOF2
+            # spectral-selection scans) so the Annex G decode path is
+            # driver-gated; round 16: doc_id % 16 == 3 is ARITHMETIC
+            # sequential (SOF9, QM-coder) so the Annex D path is
+            # driver-gated too.  Same (w, h) law every way — the
             # oracle is encoding-agnostic.
             from mr_python_spark.multimodal.jpeg import (
                 encode_jpeg,
                 encode_jpeg_progressive,
             )
+            from mr_python_spark.multimodal.jpeg_arith import (
+                encode_jpeg_arith,
+            )
 
             if doc_id % 8 == 7:
                 return encode_jpeg_progressive(w, h, seed=doc_id % 97)
+            if doc_id % 16 == 3:
+                return encode_jpeg_arith(w, h, seed=doc_id % 97)
             return encode_jpeg(w, h, seed=doc_id % 97)
         return _encode_png(w, h, 1 if fmt == 1 else 4, seed=doc_id % 97)
 

@@ -268,12 +268,15 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg_pixels(payload: bytes):
     """Baseline-sequential (SOF0), progressive (SOF2: spectral
-    selection + successive approximation, T.81 Annex G), or lossless
-    (SOF3: predictive, T.81 Annex H) JPEG → (width, height, channels,
-    raster) or None for anything malformed or out of scope
-    (arithmetic coding, hierarchical/extended processes, 12-bit,
-    >3 components, sampling factors > 2, subsampled or
-    restart-marked or multi-scan lossless)."""
+    selection + successive approximation, T.81 Annex G), lossless
+    (SOF3: predictive, T.81 Annex H), or arithmetic-coded sequential
+    (SOF9, T.81 Annex D QM-coder + F.2.2 —
+    :mod:`mr_python_spark.multimodal.jpeg_arith`) JPEG → (width,
+    height, channels, raster) or None for anything malformed or out
+    of scope (progressive-arithmetic/hierarchical/extended processes,
+    12-bit, >3 components, sampling factors > 2, subsampled or
+    restart-marked or multi-scan lossless, restart-marked
+    arithmetic)."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8" or len(payload) < 20:
@@ -281,6 +284,7 @@ def decode_jpeg_pixels(payload: bytes):
     try:
         qt: dict[int, "np.ndarray"] = {}
         huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+        dac: dict[tuple[int, int], int] = {}  # (class, id) -> conditioning
         frame = None
         restart_interval = 0
         coef = None  # progressive: comp id -> (by, bx, 64) zigzag store
@@ -332,7 +336,7 @@ def decode_jpeg_pixels(payload: bytes):
                     i += 17 + nsym
                 if i != len(seg):
                     return None
-            elif marker in (0xC0, 0xC2, 0xC3):  # SOF0 / SOF2 / SOF3 lossless
+            elif marker in (0xC0, 0xC2, 0xC3, 0xC9):  # SOF0/2/3/9
                 prec, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
                 if prec != 8 or nf not in (1, 3) or w == 0 or h == 0:
                     return None
@@ -353,6 +357,7 @@ def decode_jpeg_pixels(payload: bytes):
                     "comps": comps,
                     "prog": marker == 0xC2,
                     "lossless": marker == 0xC3,
+                    "arith": marker == 0xC9,
                 }
                 if frame["prog"]:
                     hmax = max(c["h"] for c in comps)
@@ -366,9 +371,21 @@ def decode_jpeg_pixels(payload: bytes):
                         )
                         for c in comps
                     }
-            elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # extended/arithmetic/hierarchical: out of scope
+                # extended-Huffman / progressive-arithmetic /
+                # hierarchical processes: out of scope
+                return None
+            elif marker == 0xCC:  # DAC: arithmetic conditioning
+                i = 0
+                while i + 2 <= len(seg):
+                    tc, tb = seg[i] >> 4, seg[i] & 0x0F
+                    if tc > 1 or tb > 3:
+                        return None
+                    dac[(tc, tb)] = seg[i + 1]
+                    i += 2
+                if i != len(seg):
+                    return None
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack_from(">H", seg, 0)
             elif marker == 0xDA:  # SOS: entropy-coded data follows
@@ -391,6 +408,17 @@ def decode_jpeg_pixels(payload: bytes):
                     return _decode_lossless_scan(
                         payload, pos + 2 + seg_len, frame, order, scan,
                         ss, ah_al & 0x0F, huff, np,
+                    )
+                if frame.get("arith"):
+                    if ns != len(frame["comps"]):
+                        return None
+                    from mr_python_spark.multimodal.jpeg_arith import (
+                        decode_arith_scan,
+                    )
+
+                    return decode_arith_scan(
+                        payload, pos + 2 + seg_len, frame, scan, qt, dac,
+                        restart_interval, np,
                     )
                 if not frame["prog"]:
                     if ns != len(frame["comps"]):
@@ -482,7 +510,14 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval, np):
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
-    # upsample to full resolution (nearest) and crop
+    return _planes_to_raster(frame, planes, comps, hmax, vmax, np)
+
+
+def _planes_to_raster(frame, planes, comps, hmax, vmax, np):
+    """Upsample component planes to full resolution (nearest), crop,
+    and apply the JFIF YCbCr->RGB transform — the shared tail of the
+    Huffman and arithmetic sequential scan decoders."""
+    w, h = frame["w"], frame["h"]
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -931,6 +966,27 @@ def _frame_segments(w: int, h: int, sof_marker: int) -> bytes:
         + dht(1, 1, HT_AC_CHROMA)
     )
     return dqt + sof + dhts
+
+
+def _frame_segments_arith(w: int, h: int) -> bytes:
+    """DQT + SOF9 + DAC segments for the arithmetic sequential encoder:
+    no Huffman tables; the DAC carries the default conditioning
+    explicitly (DC tables 0/1: Cs = (U=1)<<4 | (L=0); AC tables 0/1:
+    Cs = Kx = 5) so decoders exercise the marker, not the default."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes(QT_LUMA)) + seg(0xDB, b"\x01" + bytes(QT_CHROMA))
+    sof = seg(
+        0xC9,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + struct.pack(">BBB", 1, 0x11, 0)
+        + struct.pack(">BBB", 2, 0x11, 1)
+        + struct.pack(">BBB", 3, 0x11, 1),
+    )
+    dac = seg(0xCC, bytes([0x00, 0x10, 0x01, 0x10, 0x10, 5, 0x11, 5]))
+    return dqt + sof + dac
 
 
 def encode_jpeg(

@@ -700,6 +700,131 @@ def test_jpeg_lossless_roundtrip_exact():
     assert decode_jpeg_pixels(bytes(bad)) is None
 
 
+def test_qm_table_sanity():
+    """Structural invariants of the Table D.3 transcription the whole
+    QM coder hangs off: every transition index is in range, every Qe
+    renormalizes (0 < Qe < 0x8000, so the renorm loops terminate),
+    and the sign state self-loops without ever switching MPS."""
+    from mr_python_spark.multimodal.jpeg_arith import FIXED_STATE, QM_TABLE
+
+    assert len(QM_TABLE) == 114
+    for i, (qe, nmps, nlps, sw) in enumerate(QM_TABLE):
+        assert 0 < qe < 0x8000, i
+        assert 0 <= nmps < len(QM_TABLE), i
+        assert 0 <= nlps < len(QM_TABLE), i
+        assert sw in (0, 1), i
+    qe, nmps, nlps, sw = QM_TABLE[FIXED_STATE]
+    assert (nmps, nlps, sw) == (FIXED_STATE, FIXED_STATE, 0)
+    assert QM_TABLE[0][:2] == (0x5A1D, 1) and QM_TABLE[0][3] == 1
+
+
+def test_qm_coder_roundtrip_fuzz():
+    """The two independent QM realizations face off: the big-int
+    encoder's packed bytes decode back to the exact decision sequence
+    through the windowed-register decoder, across adversarial decision
+    mixes — long all-MPS runs (drives the state to the top of the
+    estimation chains and forces 0xFF byte-stuffing), alternating
+    worst-case, pure-random, and multi-context interleaves."""
+    import random
+
+    from mr_python_spark.multimodal.jpeg_arith import (
+        _new_stats,
+        _QMDecoder,
+        _QMEncoder,
+    )
+
+    rng = random.Random(20260817)
+    patterns = []
+    patterns.append([0] * 5000)                      # all-MPS run
+    patterns.append([1] * 300)                       # all-LPS (flip-heavy)
+    patterns.append([i & 1 for i in range(2000)])    # alternating
+    for _ in range(12):
+        n = rng.randrange(1, 1500)
+        p = rng.random() * 0.9 + 0.05
+        patterns.append([1 if rng.random() < p else 0 for _ in range(n)])
+    for pat in patterns:
+        n_ctx = rng.choice([1, 3, 8])
+        ctxs = [rng.randrange(n_ctx) for _ in pat]
+        enc, senc = _QMEncoder(), _new_stats(n_ctx)
+        for d, cx in zip(pat, ctxs):
+            enc.encode(senc, cx, d)
+        body = enc.flush() + b"\xff\xd9"
+        dec, sdec = _QMDecoder(body, 0), _new_stats(n_ctx)
+        got = [dec.decode(sdec, cx) for cx in ctxs]
+        assert got == pat, (len(pat), n_ctx)
+        assert senc == sdec  # adaptation walked the same chain
+
+
+def test_jpeg_arith_roundtrip_matches_baseline():
+    """Arithmetic-coded sequential (SOF9) encodes decode to pixels
+    BYTE-IDENTICAL to the Huffman baseline encode of the same raster
+    (shared quantized-coefficient pipeline; the entropy layer is
+    lossless), across block-aligned, unaligned, and 1x1 shapes.  The
+    stream is genuinely arithmetic: SOF9 + DAC present, no DHT, and
+    the adaptive coder beats the fixed Annex K Huffman tables on
+    entropy size for every shape."""
+    import numpy as np
+
+    from mr_python_spark.multimodal import decode_image
+    from mr_python_spark.multimodal.jpeg import decode_jpeg_pixels, encode_jpeg
+    from mr_python_spark.multimodal.jpeg_arith import encode_jpeg_arith
+
+    for (w, h, seed) in [(8, 8, 0), (16, 8, 1), (17, 13, 2), (33, 9, 6),
+                         (1, 1, 5), (64, 64, 96), (5, 41, 77)]:
+        arith = encode_jpeg_arith(w, h, seed=seed)
+        base = decode_jpeg_pixels(encode_jpeg(w, h, seed=seed))
+        got = decode_jpeg_pixels(arith)
+        assert got is not None and got[:3] == (w, h, 3)
+        assert np.array_equal(
+            np.frombuffer(got[3], dtype=np.uint8),
+            np.frombuffer(base[3], dtype=np.uint8),
+        ), (w, h, seed)
+        assert b"\xff\xc9" in arith and b"\xff\xcc" in arith
+        assert b"\xff\xc4" not in arith and b"\xff\xc0" not in arith
+        assert len(arith) < len(encode_jpeg(w, h, seed=seed))
+        # the dispatch surface takes the same path
+        assert decode_image(arith) == (w, h, 3)
+
+    # explicit-raster surface matches the baseline on the same bytes
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8).tobytes()
+    a = decode_jpeg_pixels(encode_jpeg_arith(17, 24, rgb=img))
+    b = decode_jpeg_pixels(encode_jpeg(17, 24, rgb=img))
+    assert a == b
+
+
+def test_jpeg_arith_out_of_scope_and_malformed():
+    """Scope fences for the arithmetic path: restart-marked arithmetic
+    (DRI spliced in), progressive-arithmetic SOF10, invalid DAC
+    conditioning, and header truncation all return None — never
+    garbage rasters or exceptions."""
+    import struct
+
+    from mr_python_spark.multimodal.jpeg import decode_jpeg_pixels
+    from mr_python_spark.multimodal.jpeg_arith import encode_jpeg_arith
+
+    payload = encode_jpeg_arith(16, 16, seed=9)
+    sos_at = payload.index(b"\xff\xda")
+
+    # DRI + arithmetic: out of scope -> None
+    dri = struct.pack(">BBHH", 0xFF, 0xDD, 4, 2)
+    with_dri = payload[:sos_at] + dri + payload[sos_at:]
+    assert decode_jpeg_pixels(with_dri) is None
+
+    # progressive arithmetic (SOF10): out of scope -> None
+    sof10 = payload.replace(b"\xff\xc9", b"\xff\xca")
+    assert decode_jpeg_pixels(sof10) is None
+
+    # invalid AC conditioning (Kx = 0) -> None
+    dac_at = payload.index(b"\xff\xcc")
+    bad = bytearray(payload)
+    bad[dac_at + 9] = 0  # AC table 0's Cs byte (pairs: 00 10 01 10 10 05..)
+    assert decode_jpeg_pixels(bytes(bad)) is None
+
+    # header truncation -> None
+    assert decode_jpeg_pixels(payload[: sos_at - 2]) is None
+
+
 def test_jpeg_rejects_corrupt_and_out_of_scope():
     """Malformed or out-of-scope JPEGs reject cleanly with None:
     truncation (header and mid-scan), progressive SOF2, oversized

@@ -165,11 +165,12 @@ def _decode_png_pixels(payload: bytes):
 def _decode_builtin(payload: bytes):
     """Pure-stdlib REAL decode for the formats whose layout is public
     knowledge and needs no third-party library — BMP
-    (BITMAPINFOHEADER), binary PGM/PPM, and zlib-deflated PNG — so the
-    real-decode branch is exercisable even in containers without an
-    imaging library.  Returns (width, height, channels) or None when
-    the format isn't one of these (other compressed formats genuinely
-    need a decoder library)."""
+    (BITMAPINFOHEADER), binary PGM/PPM, zlib-deflated PNG, JPEG
+    (baseline/progressive/lossless/arithmetic), and lossless WebP
+    (VP8L) — so the real-decode branch is exercisable even in
+    containers without an imaging library.  Returns (width, height,
+    channels) or None when the format isn't one of these (lossy-VP8
+    WebP and the like genuinely need a decoder library)."""
     import struct
 
     if payload[:8] == _PNG_SIG:
@@ -180,6 +181,11 @@ def _decode_builtin(payload: bytes):
 
         jpg = decode_jpeg_pixels(payload)
         return None if jpg is None else jpg[:3]
+    if payload[:4] == b"RIFF" and payload[8:16] == b"WEBPVP8L":
+        from mr_python_spark.multimodal.webp import decode_webp_pixels
+
+        wp = decode_webp_pixels(payload)
+        return None if wp is None else wp[:3]
     if payload[:2] == b"BM" and len(payload) >= 54:
         # BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER: uint32
         # pixel-data offset at 10, uint32 biSize at 14, int32 width at
@@ -530,6 +536,14 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             if doc_id % 16 == 3:
                 return encode_jpeg_arith(w, h, seed=doc_id % 97)
             return encode_jpeg(w, h, seed=doc_id % 97)
+        if fmt == 2 and doc_id % 16 == 2:
+            # round 16: lossless WebP (VP8L) — 4 channels like the
+            # RGBA PNG it stands in for, so the dims oracle is
+            # untouched while the prefix-code/transform/color-cache
+            # machinery gets driver-gated
+            from mr_python_spark.multimodal.webp import encode_webp
+
+            return encode_webp(w, h, seed=doc_id % 97)
         return _encode_png(w, h, 1 if fmt == 1 else 4, seed=doc_id % 97)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -808,13 +822,16 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Formats cycle doc_id mod 4 (the ``multimodal_decode_real``
     fixture pattern): grayscale PNG (≡1, zlib inflate + all five
-    unfilter branches), RGBA PNG (≡2), and LOSSLESS JPEG (≡3 —
-    SOF3 Annex H predictive, the one JPEG process that roundtrips
-    bit-exactly, so its decode is pixel-oracle-able; the lossy
-    baseline/progressive processes stay gated by
-    ``multimodal_decode_real``'s dims contract instead).  BMP (≡0)
-    is excluded: its fixture raster is constant, every BMP would
-    collapse into one degenerate all-equal cluster.
+    unfilter branches), RGBA PNG (≡2) — with doc_id ≡ 2 (mod 16)
+    carried as lossless WebP/VP8L instead (round 16: prefix codes,
+    color cache, predictor-transform inverse; bit-exact, so the same
+    pixel law holds) — and LOSSLESS JPEG (≡3 — SOF3 Annex H
+    predictive, the one JPEG process that roundtrips bit-exactly, so
+    its decode is pixel-oracle-able; the lossy baseline/progressive/
+    arithmetic processes stay gated by ``multimodal_decode_real``'s
+    dims contract instead).  BMP (≡0) is excluded: its fixture
+    raster is constant, every BMP would collapse into one degenerate
+    all-equal cluster.
 
     The grid reads channel 0 (R / gray) at positions
     ``x_j = j*w // 9``, ``y_i = i*h // 8`` — resize-free sampling, so
@@ -896,6 +913,20 @@ def _fixture_image_decode(d: int, plen: int):
             w, h, rgb=law_raster(w, h, 3, seed), seed=seed
         )
         dec = decode_jpeg_pixels(payload)
+    elif fmt == 2 and d % 16 == 2:
+        # round 16: lossless WebP (VP8L) carries the SAME law raster
+        # as the RGBA PNG it replaces, so the pixel-level phash/resize
+        # oracles hold unchanged while a real VP8L parse (prefix
+        # codes, color cache, transform inverses) sits in the gate
+        from mr_python_spark.multimodal.webp import (
+            decode_webp_pixels,
+            encode_webp,
+        )
+
+        payload = encode_webp(
+            w, h, rgba=law_raster(w, h, 4, seed), predictor_bits=2
+        )
+        dec = decode_webp_pixels(payload)
     else:
         ch = 1 if fmt == 1 else 4
         payload = _encode_png(w, h, ch, seed=seed)

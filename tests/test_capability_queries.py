@@ -825,6 +825,120 @@ def test_jpeg_arith_out_of_scope_and_malformed():
     assert decode_jpeg_pixels(payload[: sos_at - 2]) is None
 
 
+def test_webp_vp8l_roundtrip_bit_exact():
+    """Lossless WebP (VP8L) roundtrips BIT-EXACTLY across the whole
+    option matrix — subtract-green on/off, per-block predictor
+    transform, color cache widths, LZ77 run references, two-group
+    meta prefix codes, and their compositions — plus random rasters
+    and the constant raster that drives the LZ77/simple-code paths
+    hard.  The decode_image dispatch takes the same path."""
+    import random
+
+    from mr_python_spark.multimodal import decode_image
+    from mr_python_spark.multimodal.webp import (
+        _synth_rgba,
+        decode_webp_pixels,
+        encode_webp,
+    )
+
+    for (w, h, seed) in [(1, 1, 0), (8, 8, 1), (13, 7, 3), (32, 32, 9),
+                         (64, 17, 42), (3, 64, 5)]:
+        want = _synth_rgba(w, h, None, seed)
+        for kwargs in [
+            dict(),
+            dict(subtract_green=False),
+            dict(cache_bits=0),
+            dict(use_lz77=False),
+            dict(predictor_bits=2),
+            dict(predictor_bits=3, subtract_green=False),
+            dict(meta_bits=2),
+            dict(meta_bits=3),
+            dict(cache_bits=3, predictor_bits=4, meta_bits=3),
+            dict(cache_bits=11),
+        ]:
+            payload = encode_webp(w, h, seed=seed, **kwargs)
+            got = decode_webp_pixels(payload)
+            assert got is not None and got[:3] == (w, h, 4), (w, h, kwargs)
+            assert got[3] == want, (w, h, seed, kwargs)
+        assert decode_image(encode_webp(w, h, seed=seed)) == (w, h, 4)
+
+    rng = random.Random(7)
+    for _ in range(4):
+        w, h = rng.randrange(1, 40), rng.randrange(1, 40)
+        raster = bytes(rng.randrange(256) for _ in range(w * h * 4))
+        payload = encode_webp(
+            w, h, rgba=raster,
+            predictor_bits=rng.choice([0, 2, 3]),
+            cache_bits=rng.choice([0, 4, 8]),
+        )
+        got = decode_webp_pixels(payload)
+        assert got is not None and got[3] == raster
+
+    raster = bytes([10, 200, 30, 255]) * (16 * 16)
+    got = decode_webp_pixels(encode_webp(16, 16, rgba=raster))
+    assert got is not None and got[3] == raster
+
+
+def test_webp_vp8l_color_indexing_bundled():
+    """The color-indexing transform roundtrips for every bundling
+    width: 2/4-color palettes pack 8 and 4 indices per coded pixel,
+    16-color packs 2, and >16 colors take the unbundled path —
+    including non-multiple-of-bundle image widths."""
+    import random
+
+    from mr_python_spark.multimodal.webp import (
+        decode_webp_pixels,
+        encode_webp_indexed,
+    )
+
+    rng = random.Random(13)
+    for ncol in (2, 3, 4, 9, 16, 17, 200):
+        pal = [(0xFF << 24) | rng.randrange(1 << 24) for _ in range(ncol)]
+        w, h = 21, 13  # 21 is not a multiple of any bundle width
+        idx = [rng.randrange(ncol) for _ in range(w * h)]
+        payload = encode_webp_indexed(w, h, idx, pal)
+        want = bytearray()
+        for i in idx:
+            c = pal[i]
+            want += bytes(
+                [(c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF, (c >> 24) & 0xFF]
+            )
+        got = decode_webp_pixels(payload)
+        assert got is not None and got[:3] == (w, h, 4), ncol
+        assert got[3] == bytes(want), ncol
+
+
+def test_webp_vp8l_malformed_and_out_of_scope():
+    """Corruption fences: bad VP8L signature byte, nonzero version,
+    truncation, a lossy VP8 chunk, and a decompression-bomb dimension
+    header all return None — never garbage or exceptions."""
+    from mr_python_spark.multimodal.webp import decode_webp_pixels, encode_webp
+
+    payload = encode_webp(16, 16, seed=4)
+    assert decode_webp_pixels(payload) is not None
+
+    bad = bytearray(payload)
+    bad[20] = 0x2E  # wrong VP8L signature byte
+    assert decode_webp_pixels(bytes(bad)) is None
+
+    bad = bytearray(payload)
+    bad[24] |= 0xE0  # version bits (bits 29..31 of the header word)
+    assert decode_webp_pixels(bytes(bad)) is None
+
+    assert decode_webp_pixels(payload[:24]) is None
+    assert decode_webp_pixels(payload[: len(payload) // 2]) is None
+
+    lossy = bytearray(payload)
+    lossy[12:16] = b"VP8 "  # lossy chunk: genuinely library-gated
+    assert decode_webp_pixels(bytes(lossy)) is None
+
+    # 16384 x 16384 dims (all-ones 28-bit header) exceed the pixel cap
+    bomb = bytearray(payload)
+    bomb[21] = bomb[22] = bomb[23] = 0xFF
+    bomb[24] |= 0x0F
+    assert decode_webp_pixels(bytes(bomb)) is None
+
+
 def test_jpeg_rejects_corrupt_and_out_of_scope():
     """Malformed or out-of-scope JPEGs reject cleanly with None:
     truncation (header and mid-scan), progressive SOF2, oversized

@@ -481,14 +481,26 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pure-stdlib parsers decode them — either way the decode is a
     real format parse, so a corrupted header, deflate stream, or
     raster length would FAIL the gate, which is exactly what the
-    fake-probe queries cannot promise.  Scale shape is identical to
-    ``multimodal_probe``: payload bytes ride Arrow batches, per-batch
-    vectorized Python, no shuffle.
+    fake-probe queries cannot promise.
+
+    Scale (round 16 — the ``_phash_hashes`` move applied here): the
+    fixture encoder derives everything from (doc_id, payload length),
+    so only the LENGTH rides the ``spread`` repartition — corpus
+    bytes never shuffle — and the CPU-heavy decode runs on every
+    core instead of serializing onto the single partition a small
+    parquet scan yields locally (at real scale the scan is already
+    wide and spread() is a no-op; the payload-bytes-through-Arrow
+    shape itself is carried by ``multimodal_probe``/``_meta``).
     """
     import struct
 
     docs = load_table(spark, sf_dir, "documents")
-    with_payload = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    with_payload = spread(
+        docs.select(
+            "doc_id",
+            F.octet_length(F.col("text").cast("binary")).alias("plen"),
+        )
+    )
 
     dec_schema = T.StructType(
         [
@@ -511,8 +523,8 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             + b"\x00" * body
         )
 
-    def encode(doc_id: int, payload: bytes) -> bytes:
-        w, h = 1 + len(payload) % 64, 1 + (len(payload) * 3) % 64
+    def encode(doc_id: int, plen: int) -> bytes:
+        w, h = 1 + plen % 64, 1 + (plen * 3) % 64
         fmt = doc_id % 4
         if fmt == 0:
             return encode_bmp(w, h)
@@ -551,8 +563,8 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             dims = [
-                decode_image(encode(int(d), p))
-                for d, p in zip(pdf["doc_id"], pdf["payload"])
+                decode_image(encode(int(d), int(p)))
+                for d, p in zip(pdf["doc_id"], pdf["plen"])
             ]
             yield pd.DataFrame(
                 {

@@ -287,7 +287,7 @@ def _decode_dc_diff(dec, stats, ctx, cond):
     return (-v if sign else v), nctx
 
 
-def _encode_dc_diff(enc, stats, fixed, ctx, cond, diff):
+def _encode_dc_diff(enc, stats, ctx, cond, diff):
     """Mirror of :func:`_decode_dc_diff`; returns next context."""
     low, up = cond
     st = ctx
@@ -529,7 +529,7 @@ def encode_jpeg_arith(
                 diff = int(zz[0]) - pred[ci]
                 pred[ci] = int(zz[0])
                 dc_ctx[ci] = _encode_dc_diff(
-                    enc, dc_stats[ti], fixed, dc_ctx[ci], cond, diff
+                    enc, dc_stats[ti], dc_ctx[ci], cond, diff
                 )
                 _encode_ac_coefs(enc, ac_stats[ti], fixed, kx, zz)
     body = enc.flush()

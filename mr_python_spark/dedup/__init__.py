@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from mr_python_spark.functions.text import tokens_col
 from mr_python_spark.registry import register
-from mr_python_spark.session import load_table, spread
+from mr_python_spark.session import load_table, scan_partitions, spread, table_count
 
 #: MinHash parameters: 64 hashes = 16 bands × 4 rows
 MINHASH_HASHES = 64
@@ -578,6 +578,33 @@ def minhash_band_frame(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bhash")
 
 
+#: (applicationId, documents identity) → cached (doc_id, band, bhash)
+#: band frame; see :func:`cached_band_frame`
+_BAND_FRAME_CACHE: dict = {}
+#: (applicationId, documents identity) → cached corpus LSH buckets at
+#: the default cap (:func:`dedup_minhash_lsh`)
+_LSH_BUCKETS_CACHE: dict = {}
+#: (applicationId, documents identity) → cached corpus-side incremental
+#: buckets (:func:`dedup_incremental_minhash`)
+_INC_BUCKETS_CACHE: dict = {}
+
+
+def cached_band_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-cached :func:`minhash_band_frame` over the corpus
+    signatures — shared by the batch LSH pass and the incremental
+    probe.  Building the frame per call re-analyzed the 16-band ×
+    4-hash expression tree on the driver (~0.2 s/call) and
+    re-registered the same cache plan; one keyed entry per (session,
+    corpus identity) makes repeat builds free, same rule as the
+    signature cache it derives from."""
+    return _keyed_df_cache(
+        _BAND_FRAME_CACHE,
+        spark,
+        sf_dir,
+        lambda: minhash_band_frame(minhash_signatures(spark, sf_dir)).cache(),
+    )
+
+
 @register("dedup_minhash_lsh")  # driver-tier rows-only; udf-oracle in tools/udf_oracles.py
 def dedup_minhash_lsh(
     spark: SparkSession,
@@ -613,16 +640,29 @@ def dedup_minhash_lsh(
     # signature frame and the shingle frame hit their keyed caches —
     # materializing the table here would force the cache-bypass branch
     # and re-run the 64-min aggregate on every call
-    sig = minhash_signatures(spark, sf_dir, docs=docs)
-    bands = minhash_band_frame(sig)
-    # cached: buckets feed both the candidate pairs and the
-    # candidate-doc semi-join key (same pruning as the ngram path)
-    buckets = (
-        bands.groupBy("band", "bhash")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= bucket_cap))
-        .cache()
-    )
+    def build_buckets(bands: DataFrame) -> DataFrame:
+        # buckets feed both the candidate pairs and the candidate-doc
+        # semi-join key (same pruning as the ngram path)
+        return (
+            bands.groupBy("band", "bhash")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .filter((F.size("ds") >= 2) & (F.size("ds") <= bucket_cap))
+            .cache()
+        )
+
+    if docs is None and bucket_cap == LSH_BUCKET_CAP:
+        # registered corpus path: the band frame AND the bucket frame
+        # come from keyed caches, so a repeat build costs no driver
+        # re-analysis and no duplicate cache registration
+        buckets = _keyed_df_cache(
+            _LSH_BUCKETS_CACHE,
+            spark,
+            sf_dir,
+            lambda: build_buckets(cached_band_frame(spark, sf_dir)),
+        )
+    else:
+        sig = minhash_signatures(spark, sf_dir, docs=docs)
+        buckets = build_buckets(minhash_band_frame(sig))
     pair = F.explode(
         F.expr(
             """
@@ -727,34 +767,25 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles come from the run-wide caches, so the standing-index
     framing is real: only the probe + verify work is new per batch.
     """
-    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
-    sig = minhash_signatures(spark, sf_dir)
-    # cached: bands feed BOTH the corpus-bucket index and the batch
-    # probe side — without the cache the batch probe recomputes every
-    # signature just to keep 10% of the rows
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                        ).alias("bhash"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bhash").cache()
+    # keyed-cached band frame (the same (doc_id, band, bhash) law as
+    # the batch LSH pass): it feeds BOTH the corpus-bucket index and
+    # the batch probe side — without the cache the batch probe
+    # recomputes every signature just to keep 10% of the rows, and the
+    # per-call rebuild re-analyzed the 64-hash expression tree on the
+    # driver (~0.3 s/call, the dominant cost of a warm build)
+    bands = cached_band_frame(spark, sf_dir)
     is_batch = F.col("doc_id") % 10 == 0
-    corpus_buckets = (
-        bands.filter(~is_batch)
-        .groupBy("band", "bhash")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") <= LSH_BUCKET_CAP)
-        .cache()
+    corpus_buckets = _keyed_df_cache(
+        _INC_BUCKETS_CACHE,
+        spark,
+        sf_dir,
+        lambda: (
+            bands.filter(~is_batch)
+            .groupBy("band", "bhash")
+            .agg(F.collect_list("doc_id").alias("ds"))
+            .filter(F.size("ds") <= LSH_BUCKET_CAP)
+            .cache()
+        ),
     )
     cand = (
         bands.filter(is_batch)
@@ -882,7 +913,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count(xor).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = spread(docs).select("doc_id", F.explode(tokens_col()).alias("tok")).select(
+    toks = spread(docs, parts=scan_partitions(spark, sf_dir, "documents")).select("doc_id", F.explode(tokens_col()).alias("tok")).select(
         "doc_id", F.xxhash64("tok").alias("h")
     )
     bit_sums = toks.groupBy("doc_id").agg(
@@ -1002,9 +1033,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # one cheap count picks the grid width (adaptive planning, like the
     # LSH band sizing): P grows with n so the per-cell GEMM stays at a
-    # constant ~128 MB regardless of corpus size
-    P = cosine_grid_blocks(base.count())
-    emb = spread(base)
+    # constant ~128 MB regardless of corpus size; keyed-cached per
+    # (session, file identity) like every planning scalar
+    P = cosine_grid_blocks(table_count(spark, sf_dir, "embeddings"))
+    emb = spread(base, parts=scan_partitions(spark, sf_dir, "embeddings"))
     cells = emb.select(
         "vec_id",
         "embedding",
@@ -1274,11 +1306,16 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # one cheap count to pick band width + count — adaptive planning
-    # like AQE's stats, not a data collect
-    n = base.count()
+    # like AQE's stats, not a data collect; keyed-cached per (session,
+    # file identity) so repeat builds don't re-run the count job
+    n = table_count(spark, sf_dir, "embeddings")
     bits_per_band = rp_bits_per_band(n)
     n_bands = rp_num_bands(bits_per_band)
-    bands = rp_band_key_frame(spread(base), bits_per_band, n_bands)
+    bands = rp_band_key_frame(
+        spread(base, parts=scan_partitions(spark, sf_dir, "embeddings")),
+        bits_per_band,
+        n_bands,
+    )
 
     pair_schema = T.StructType(
         [T.StructField("vec_a", T.LongType()), T.StructField("vec_b", T.LongType())]
@@ -1823,7 +1860,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from mr_python_spark.similarity import _trained_model
 
-    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        parts=scan_partitions(spark, sf_dir, "embeddings"),
+    )
     return _semantic_dedup(spark, emb, [], _trained_model(spark, sf_dir)["C_norm"])
 
 
@@ -2131,7 +2171,10 @@ def dedup_rp_lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from mr_python_spark.functions.vectors import cosine, to_double
 
-    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        parts=scan_partitions(spark, sf_dir, "embeddings"),
+    )
     v = emb.select("vec_id", to_double(F.col("embedding")).alias("e"))
     va = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
     vb = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
@@ -2654,7 +2697,9 @@ def dedup_ccnet_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     extends to reconstruction.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = spread(docs).select("doc_id", tokens_col().alias("t"))
+    toks = spread(docs, parts=scan_partitions(spark, sf_dir, "documents")).select(
+        "doc_id", tokens_col().alias("t")
+    )
     blocks = toks.filter(F.expr("size(t) > 0")).select(
         "doc_id",
         F.posexplode(

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mr_python_spark.registry import register
-from mr_python_spark.session import load_table, spread
+from mr_python_spark.session import load_table, scan_partitions, spread, table_count
 
 #: training-sample posture: stride subset then hard cap — constant
 #: driver memory at any corpus size (the 100× rule)
@@ -265,7 +265,10 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        parts=scan_partitions(spark, sf_dir, "documents"),
+    )
     return docs.mapInPandas(stats, _BPE_STATS_SCHEMA)
 
 

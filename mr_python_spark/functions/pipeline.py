@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from mr_python_spark.functions.text import STOPWORDS, tokens_col
 from mr_python_spark.registry import register
-from mr_python_spark.session import load_table, spread
+from mr_python_spark.session import load_table, scan_partitions, spread, table_count
 
 
 _REPETITION_ORACLE = """
@@ -728,7 +728,7 @@ def encode_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_encode_tokens_to_ids_pure_python_mirror``.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = spread(docs).select(
+    toks = spread(docs, parts=scan_partitions(spark, sf_dir, "documents")).select(
         "doc_id", F.posexplode(tokens_col()).alias("i", "tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))

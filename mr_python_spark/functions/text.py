@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mr_python_spark.registry import register
-from mr_python_spark.session import load_table, spread
+from mr_python_spark.session import load_table, scan_partitions, spread, table_count
 
 #: tiny English stopword list used by quality scoring (deterministic)
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "be")
@@ -392,7 +392,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread(
+        load_table(spark, sf_dir, "documents"),
+        parts=scan_partitions(spark, sf_dir, "documents"),
+    )
     toks = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
@@ -487,7 +490,9 @@ def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven at scale by word_count / dedup's inverted index.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = spread(docs).select("doc_id", tokens_col().alias("t"))
+    toks = spread(docs, parts=scan_partitions(spark, sf_dir, "documents")).select(
+        "doc_id", tokens_col().alias("t")
+    )
     bg = toks.select(
         "doc_id",
         F.explode(
@@ -565,7 +570,10 @@ def char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # spread the raw (doc_id, text) rows BEFORE exploding — exploding
     # first would shuffle one row per corpus CHARACTER
-    chars = spread(docs.select("doc_id", "text")).select(
+    chars = spread(
+        docs.select("doc_id", "text"),
+        parts=scan_partitions(spark, sf_dir, "documents"),
+    ).select(
         "doc_id",
         F.explode(F.regexp_extract_all("text", F.lit("(?s)."), 0)).alias("ch"),
     )
@@ -1248,7 +1256,9 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan, wider codegen type.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = spread(docs).select("doc_id", tokens_col().alias("t"))
+    toks = spread(docs, parts=scan_partitions(spark, sf_dir, "documents")).select(
+        "doc_id", tokens_col().alias("t")
+    )
     offsets = [
         F.expr(
             f"filter(zip_with(t, slice(t, {k + 1}, size(t)), (x, y) -> "
@@ -1333,7 +1343,10 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
+    docs = spread(
+        load_table(spark, sf_dir, "documents"),
+        parts=scan_partitions(spark, sf_dir, "documents"),
+    ).select(
         "doc_id", "text"
     )
 
@@ -1737,7 +1750,9 @@ def doc_halves_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-corpus linear scan, bit-deterministic fixed-point output.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toked = spread(docs).select("doc_id", tokens_col().alias("t")).filter(
+    toked = spread(docs, parts=scan_partitions(spark, sf_dir, "documents")).select(
+        "doc_id", tokens_col().alias("t")
+    ).filter(
         F.size("t") >= 2
     )
     halves = toked.select(

@@ -43,7 +43,7 @@ from mr_python_spark.functions.bpe import (
     _words,
 )
 from mr_python_spark.registry import register
-from mr_python_spark.session import load_table, spread
+from mr_python_spark.session import load_table, scan_partitions, spread
 
 #: longest piece considered anywhere (seeding, Viterbi window)
 UNIGRAM_MAX_PIECE = 8
@@ -313,7 +313,10 @@ def unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        parts=scan_partitions(spark, sf_dir, "documents"),
+    )
     return docs.mapInPandas(stats, _UNIGRAM_STATS_SCHEMA)
 
 
@@ -432,7 +435,7 @@ def tokenizer_bakeoff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from mr_python_spark.functions.bpe import encode_word
-    from mr_python_spark.session import load_table, spread
+    from mr_python_spark.session import load_table, scan_partitions, spread
 
     b_ranks, b_vocab = budgeted_bpe_model(spark, sf_dir)
     u_costs = budgeted_unigram_costs(spark, sf_dir)
@@ -446,7 +449,10 @@ def tokenizer_bakeoff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return toks, all(t in u_costs for t in toks)
 
     docs = load_table(spark, sf_dir, "documents")
-    text = spread(docs.select("doc_id", "text"))
+    text = spread(
+        docs.select("doc_id", "text"),
+        parts=scan_partitions(spark, sf_dir, "documents"),
+    )
     bpe = _budget_stats_pass(text, bpe_enc).select(
         "doc_id",
         F.col("n_words").alias("n_words_b"),

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mr_python_spark.registry import register
-from mr_python_spark.session import load_table, spread
+from mr_python_spark.session import load_table, scan_partitions, spread, table_count
 
 
 def _pillow():
@@ -499,7 +499,8 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             F.octet_length(F.col("text").cast("binary")).alias("plen"),
-        )
+        ),
+        parts=scan_partitions(spark, sf_dir, "documents"),
     )
 
     dec_schema = T.StructType(
@@ -1186,7 +1187,7 @@ def _resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_len = spread(docs.select(
         "doc_id", F.octet_length(F.col("text").cast("binary")).alias("plen")
-    ))
+    ), parts=scan_partitions(spark, sf_dir, "documents"))
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = _RESIZE_N
@@ -1292,7 +1293,7 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     docs = load_table(spark, sf_dir, "documents")
-    with_payload = spread(docs).select(
+    with_payload = spread(docs, parts=scan_partitions(spark, sf_dir, "documents")).select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
 

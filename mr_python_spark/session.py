@@ -244,7 +244,7 @@ def load_all(spark: SparkSession, sf_dir: str):
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
-def spread(df, min_factor: int = 2):
+def spread(df, min_factor: int = 2, *, parts: int | None = None):
     """Repartition a narrow scan before CPU-heavy per-row work.
 
     Small single-row-group parquet files scan as ONE partition, which
@@ -253,8 +253,61 @@ def spread(df, min_factor: int = 2):
     (the check, not the shuffle, is what ships); locally it spreads
     the work across the cluster for the price of shuffling the input
     once.
+
+    ``parts`` lets the caller supply the scan's partition count when it
+    is already known (see :func:`scan_partitions`): the fallback
+    ``df.rdd.getNumPartitions()`` probe converts the plan to an RDD on
+    the driver — ~60 ms per call, paid on EVERY query build — while the
+    decision it feeds depends only on the underlying scan, which narrow
+    transformations preserve.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * min_factor <= parallelism:
+    if parts is None:
+        parts = df.rdd.getNumPartitions()
+    if parts * min_factor <= parallelism:
         return df.repartition(parallelism)
     return df
+
+
+#: (applicationId, table realpath, mtime_ns) → scan partition count;
+#: see :func:`scan_partitions`
+_SCAN_NPART_CACHE: dict = {}
+
+
+def scan_partitions(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Partition count of a base-table scan, once per (session, file
+    identity) — the :func:`spread` decision input.  Keyed like every
+    other planning scalar: the count is a property of (file bytes,
+    ``spark.sql.files.maxPartitionBytes``), not of any query, and a
+    long-lived deployment derives it from table statistics rather than
+    re-building an RDD per query call."""
+    return keyed_cache(
+        _SCAN_NPART_CACHE,
+        spark,
+        sf_dir,
+        lambda: load_table(spark, sf_dir, table).rdd.getNumPartitions(),
+        table=table,
+    )
+
+
+#: (applicationId, table realpath, mtime_ns) → row count;
+#: see :func:`table_count`
+_TABLE_COUNT_CACHE: dict = {}
+
+
+def table_count(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Row count of a base table, once per (session, file identity).
+
+    Adaptive-planning scalar (LSH band sizing, GEMM grid width): the
+    cluster analogue is catalog statistics (ANALYZE / parquet row-group
+    metadata), computed once per dataset — re-running the count job on
+    every query build charged ~0.23 s of driver+job time per call at
+    sf0.1.  Same key/eviction rule as every corpus-derived cache, so a
+    regenerated file can never serve a stale count."""
+    return keyed_cache(
+        _TABLE_COUNT_CACHE,
+        spark,
+        sf_dir,
+        lambda: load_table(spark, sf_dir, table).count(),
+        table=table,
+    )

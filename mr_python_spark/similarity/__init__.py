@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 from mr_python_spark.functions.vectors import cosine, to_double
 from mr_python_spark.registry import register
-from mr_python_spark.session import load_table, spread
+from mr_python_spark.session import load_table, scan_partitions, spread, table_count
 
 #: every QUERY_STRIDE-th vector is a query point (deterministic subset)
 QUERY_STRIDE = 25
@@ -485,7 +485,9 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     v = emb.select("vec_id", to_double(F.col("embedding")).alias("e"))
-    cells = spread(emb).mapInPandas(assign, _CELL_SCHEMA).join(v, "vec_id")
+    cells = spread(
+        emb, parts=scan_partitions(spark, sf_dir, "embeddings")
+    ).mapInPandas(assign, _CELL_SCHEMA).join(v, "vec_id")
     queries = _cap_queries(
         emb.filter(F.col("vec_id") % KM_QUERY_STRIDE == 0)
     ).mapInPandas(probe, probe_q_schema)
@@ -640,7 +642,9 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    enc = spread(emb).mapInPandas(encode, _ENC_SCHEMA)
+    enc = spread(
+        emb, parts=scan_partitions(spark, sf_dir, "embeddings")
+    ).mapInPandas(encode, _ENC_SCHEMA)
     queries = _cap_queries(
         emb.filter(F.col("vec_id") % KM_QUERY_STRIDE == 0)
     ).mapInPandas(

@@ -1331,20 +1331,35 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus; buckets are recovered INSIDE the group with one argsort
     # and verified bucket-by-bucket with the identical GEMM + canonical
     # emission rule.
+    # group count sized from the TOTAL exploded row count (n · L · b)
+    # so per-group rows stay ~BUCKET_GROUP_ROWS at any corpus.  The
+    # group key is ONE hash of the full bucket id (band, bval) rather
+    # than the old (band, pmod(bval)) pair: same per-task row bound,
+    # but the dispatch count no longer carries the ×L band factor when
+    # the parallelism floor binds (local bench: 256 pandas group
+    # dispatches → 32, ~0.2 s off the verify stage; at scale the
+    # group count is row-bound either way).
     groups = max(
         spark.sparkContext.defaultParallelism,
-        -(-(n * bits_per_band) // BUCKET_GROUP_ROWS),
+        -(-(n * bits_per_band * n_bands) // BUCKET_GROUP_ROWS),
     )
 
     def group_verify(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        band = pdf["band"].to_numpy(dtype=np.int64)
         bv = pdf["bval"].to_numpy(dtype=np.int64)
-        order = np.argsort(bv, kind="stable")
+        # composite sort key: bval < 2^20 (mask·2^16 + masked_val), so
+        # (band << 32) | bval orders by bucket id exactly
+        bucket = (band << np.int64(32)) + bv
+        order = np.argsort(bucket, kind="stable")
+        bucket = bucket[order]
         bv = bv[order]
         ids_all = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
         fv_all = pdf["fval"].to_numpy(dtype=np.int64)[order]
-        ev_all = pdf["e"].to_numpy()[order]
-        starts = np.flatnonzero(np.r_[True, bv[1:] != bv[:-1]])
-        bounds = np.r_[starts, len(bv)]
+        # ONE Arrow-cells → matrix conversion per group (then pure
+        # slices per bucket) instead of a list() rebuild per bucket
+        E_all = np.array(list(pdf["e"].to_numpy()[order]), dtype=np.float64)
+        starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+        bounds = np.r_[starts, len(bucket)]
         out_a: list = []
         out_b: list = []
         for s, t in zip(bounds[:-1], bounds[1:]):
@@ -1355,8 +1370,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             if m < 2 or m > RP_BUCKET_CAP:
                 continue
             ids = ids_all[s:t]
-            mat = np.array(list(ev_all[s:t]), dtype=np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)  # exact-tier float path
+            # each row belongs to exactly one bucket, so normalizing
+            # the slice in place touches it once — identical float
+            # path to the exact tier
+            mat = E_all[s:t]
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
             sims = mat @ mat.T
             ai, bi = np.nonzero(sims >= 0.4)
             a, b_ = ids[ai], ids[bi]
@@ -1381,11 +1399,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would fold the byte-small shuffle and serialize the GEMMs); it
     # satisfies the groupBy clustering, so no second exchange.
     par = spark.sparkContext.defaultParallelism
-    gid = F.pmod("bval", F.lit(groups)).cast("int").alias("gid")
+    gid = (
+        F.pmod(F.xxhash64("band", "bval"), F.lit(groups)).cast("int").alias("gid")
+    )
     return (
         bands.select("band", "bval", "vec_id", "fval", "e", gid)
-        .repartition(par, "band", "gid")
-        .groupBy("band", "gid")
+        .repartition(par, "gid")
+        .groupBy("gid")
         .applyInPandas(group_verify, pair_schema)
         .distinct()
     )

@@ -350,58 +350,77 @@ def budgeted_unigram_costs(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     return {p: _piece_cost(counts[p], total, v) for p in keep}
 
 
-_BAKEOFF_STATS_SCHEMA = T.StructType(
+_BAKEOFF_FUSED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_words", T.IntegerType()),
-        T.StructField("n_tokens", T.IntegerType()),
-        T.StructField("n_oov_free_words", T.IntegerType()),
+        T.StructField("bpe_toks", T.IntegerType()),
+        T.StructField("bpe_cov", T.IntegerType()),
+        T.StructField("uni_toks", T.IntegerType()),
+        T.StructField("uni_cov", T.IntegerType()),
     ]
 )
 
 
-def _budget_stats_pass(docs, encode) -> DataFrame:
-    """Arrow-batched per-doc stats under ``encode(word) -> (pieces,
-    oov_free)`` — the shared ``mapInPandas`` shape of both token-stats
-    passes, with the per-batch distinct-word cache."""
+def _fused_stats_pass(docs, bpe_enc, uni_enc) -> DataFrame:
+    """Arrow-batched per-doc stats for BOTH tokenizers in ONE pass over
+    the text (per-batch distinct-word cache per model).
+
+    This was two ``mapInPandas`` passes joined on doc_id; the fusion
+    halves the dominant costs — the corpus text crossing the Python
+    boundary and the per-doc word split — and removes the stats join
+    entirely (guide §4.1: the Python boundary is paid per column pass;
+    §2.4: one fewer exchange/broadcast).  The per-doc integers are
+    computed by the identical encode calls, so the fused frame is
+    row-for-row the old joined frame.
+    """
     from typing import Iterator
 
     import pandas as pd
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[str, tuple[list[str], bool]] = {}
+        cache_b: dict[str, tuple[int, bool]] = {}
+        cache_u: dict[str, tuple[int, bool]] = {}
 
-        def enc(w: str) -> tuple[list[str], bool]:
+        def enc(w: str, cache: dict, encode) -> tuple[int, bool]:
             hit = cache.get(w)
             if hit is None:
-                hit = encode(w)
+                toks, ok = encode(w)
+                hit = (len(toks), ok)
                 cache[w] = hit
             return hit
 
         for pdf in batches:
             if pdf.empty:
                 continue
-            n_words, n_tok, n_cov = [], [], []
+            n_words, b_tok, b_cov, u_tok, u_cov = [], [], [], [], []
             for text in pdf["text"]:
                 ws = _words(text)
-                tot = cov = 0
+                tb = cb = tu = cu = 0
                 for w in ws:
-                    wt, ok = enc(w)
-                    tot += len(wt)
-                    cov += ok
+                    nt, ok = enc(w, cache_b, bpe_enc)
+                    tb += nt
+                    cb += ok
+                    nt, ok = enc(w, cache_u, uni_enc)
+                    tu += nt
+                    cu += ok
                 n_words.append(len(ws))
-                n_tok.append(tot)
-                n_cov.append(cov)
+                b_tok.append(tb)
+                b_cov.append(cb)
+                u_tok.append(tu)
+                u_cov.append(cu)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_words": n_words,
-                    "n_tokens": n_tok,
-                    "n_oov_free_words": n_cov,
+                    "bpe_toks": b_tok,
+                    "bpe_cov": b_cov,
+                    "uni_toks": u_tok,
+                    "uni_cov": u_cov,
                 }
             )
 
-    return docs.mapInPandas(stats, _BAKEOFF_STATS_SCHEMA)
+    return docs.mapInPandas(stats, _BAKEOFF_FUSED_SCHEMA)
 
 
 @register("tokenizer_bakeoff_report")  # udf-oracle in tools/udf_oracles.py
@@ -422,13 +441,15 @@ def tokenizer_bakeoff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     and OOV-free coverage (fraction of words whose encoding never
     leaves the model vocab) for BOTH tokenizers.
 
-    ONE equi-join of the two per-doc stats frames (each an
-    Arrow-batched ``mapInPandas`` encode), a second equi-join to the
-    documents metadata, then a |langs|-row aggregate: every sum is an
-    exact integer; each ratio is a final single IEEE division on
-    identical operands — bit-deterministic cross-engine.  At 100 TB
-    the two stats passes stream (per-batch word cache, models ship by
-    closure), the doc_id joins are AQE-planned shuffles of narrow int
+    ONE fused Arrow-batched ``mapInPandas`` pass computes BOTH models'
+    per-doc stats (the text crosses the Python boundary once and each
+    doc is word-split once — this was two passes + a doc_id stats
+    join until r16-opt), one equi-join attaches the documents
+    metadata, then a |langs|-row aggregate: every sum is an exact
+    integer; each ratio is a final single IEEE division on identical
+    operands — bit-deterministic cross-engine.  At 100 TB the stats
+    pass streams (per-batch word cache per model, models ship by
+    closure), the doc_id join is an AQE-planned shuffle of narrow int
     frames (text never shuffles), and the aggregate is partial →
     |langs| rows.
     """
@@ -453,25 +474,14 @@ def tokenizer_bakeoff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text"),
         parts=scan_partitions(spark, sf_dir, "documents"),
     )
-    bpe = _budget_stats_pass(text, bpe_enc).select(
-        "doc_id",
-        F.col("n_words").alias("n_words_b"),
-        F.col("n_tokens").alias("bpe_toks"),
-        F.col("n_oov_free_words").alias("bpe_cov"),
-    )
-    uni = _budget_stats_pass(text, uni_enc).select(
-        "doc_id",
-        F.col("n_tokens").alias("uni_toks"),
-        F.col("n_oov_free_words").alias("uni_cov"),
-    )
+    fused = _fused_stats_pass(text, bpe_enc, uni_enc)
     meta = docs.select("doc_id", "lang", "n_chars")
     g = (
-        bpe.join(uni, "doc_id")
-        .join(meta, "doc_id")
+        fused.join(meta, "doc_id")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_words_b").alias("n_words"),
+            F.sum("n_words").alias("n_words"),
             F.sum("n_chars").alias("n_chars"),
             F.sum("bpe_toks").alias("bpe_tokens"),
             F.sum("uni_toks").alias("unigram_tokens"),

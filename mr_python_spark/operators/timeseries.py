@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mr_python_spark.registry import register
-from mr_python_spark.session import load_table
+from mr_python_spark.session import load_table, table_max
 
 
 _GAPFILL_ORACLE = """
@@ -247,7 +247,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    max_key = table_max(spark, sf_dir, "orders", "o_orderkey")
     updates = (
         orders.filter(F.col("o_orderkey") % 10 == 0)
         .withColumn(

@@ -311,3 +311,27 @@ def table_count(spark: SparkSession, sf_dir: str, table: str) -> int:
         lambda: load_table(spark, sf_dir, table).count(),
         table=table,
     )
+
+
+#: (applicationId, table realpath, mtime_ns) → column max;
+#: see :func:`table_max`
+_TABLE_MAX_CACHE: dict = {}
+
+
+def table_max(spark: SparkSession, sf_dir: str, table: str, column: str):
+    """Column max of a base table, once per (session, file identity).
+
+    Planning scalar for the CDC/MERGE family (insert-key offset): like
+    :func:`table_count`, the cluster analogue is parquet column min/max
+    statistics read from footers — not a full aggregate job per query
+    build (~0.25 s of driver+job time per call at sf0.1).  Same
+    key/eviction rule as every corpus-derived cache."""
+    return keyed_cache(
+        _TABLE_MAX_CACHE.setdefault(column, {}),
+        spark,
+        sf_dir,
+        lambda: load_table(spark, sf_dir, table)
+        .agg({column: "max"})
+        .collect()[0][0],
+        table=table,
+    )

@@ -222,12 +222,20 @@ def pyds_stream_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that actually steps all micro-batches until the offset stops
     # advancing — test-scoped by contract, like the other memory sinks
     sink = f"pyds_ticks_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .start()
-    )
+    # state keys = |buckets|, a small constant by the source contract,
+    # so 4 state partitions bound ALL state at any scale — each extra
+    # partition is one more near-empty store paying a per-micro-batch
+    # commit (this source steps MANY micro-batches); parallelism at
+    # scale comes from the downstream shuffle, not the state store
+    from mr_python_spark.streaming import _scoped_shuffle_partitions
+
+    with _scoped_shuffle_partitions(spark, 4):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:

@@ -34,7 +34,11 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from mr_python_spark.registry import register
-from mr_python_spark.streaming import run_to_memory, staged_events_stream
+from mr_python_spark.streaming import (
+    run_to_memory,
+    staged_events_stream,
+    stream_state_partitions,
+)
 
 
 _SLIDE_LIVE_ORACLE = """
@@ -70,7 +74,10 @@ def streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_to_memory(spark, agg, "stream_sliding", output_mode="complete")
+    return run_to_memory(
+        spark, agg, "stream_sliding", output_mode="complete",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+    )
 
 
 _SDEDUP_ORACLE = """
@@ -93,7 +100,10 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_to_memory(spark, deduped, "stream_dedup")
+    return run_to_memory(
+        spark, deduped, "stream_dedup",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+    )
 
 
 _SSESSION_ORACLE = """
@@ -204,7 +214,10 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return run_to_memory(spark, sessions, "stream_sessions")
+    return run_to_memory(
+        spark, sessions, "stream_sessions",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+    )
 
 
 def _has_protobuf() -> bool:
@@ -321,7 +334,10 @@ def streaming_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
                 timeMode="eventTime",
             )
         )
-        return run_to_memory(spark, sessions, "stream_sessions_tws")
+        return run_to_memory(
+            spark, sessions, "stream_sessions_tws",
+            state_partitions=stream_state_partitions(spark, sf_dir),
+        )
     finally:
         if prior_provider is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -434,7 +450,10 @@ def streaming_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     stream = staged_events_stream(spark, sf_dir, watermark_sentinel=True)
     sessions = sessions_timeout_frame(stream)
-    result = run_to_memory(spark, sessions, "stream_sessions_to")
+    result = run_to_memory(
+        spark, sessions, "stream_sessions_to",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+    )
     # sentinel users (negative ids) filtered from the materialized sink
     return result.filter(F.col("user_id") >= 0)
 
@@ -527,7 +546,10 @@ def streaming_attribution_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    mem = run_to_memory(spark, attributed, "stream_attr")
+    mem = run_to_memory(
+        spark, attributed, "stream_attr",
+        state_partitions=stream_state_partitions(spark, sf_dir),
+    )
     return mem.groupBy("channel").agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum("v_fp").cast("long").alias("value_fp"),

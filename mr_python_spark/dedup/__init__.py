@@ -1472,25 +1472,46 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each round is one join + one aggregate on the (small) edge set —
     the document corpus itself is never re-read.
     """
-    # edge set: exact jaccard >= 0.5 (reuse the inverted-index pipeline)
+    return _cluster_labels(spark, sf_dir).select("doc_id", "cluster_id")
+
+
+#: (applicationId, documents file identity) → converged min-label
+#: frame; see :func:`_cluster_labels`
+_CLUSTER_LABELS_CACHE: dict = {}
+
+
+def _cc_shingle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) hashed-shingle instance stream of the CC edge
+    build — the exact-jaccard inverted-index input."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
+    return (
         shingle_sets(docs)
         .select("doc_id", F.explode("sh").alias("shingle"))
         .select("doc_id", F.xxhash64("shingle").alias("sh"))
-        .cache()
     )
+
+
+def _cc_edges(sh: DataFrame) -> DataFrame:
+    """Exact jaccard ≥ 0.5 edge set from the shingle stream: posting
+    self-join → common-shingle counts → size join → threshold filter.
+    Extracted so tools/explain_audit.py's ``cc_edges_builder``
+    pseudo-entry audits the uncached plan (the registry query returns
+    the checkpointed labels, a plan-less leaf)."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     pair_counts = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    edges = (
+    return (
         pair_counts.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(
@@ -1499,45 +1520,82 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.5
         )
         .select("doc_a", "doc_b")
-        .cache()
     )
-    bidir = edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).cache()
-    labels = (
-        bidir.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .cache()
+
+
+def _cc_round(bidir: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE min-label propagation round — the CC iteration kernel
+    (equi-join on the bidirected edges, partial+final min, left join
+    back onto the labels).  Extracted for the ``cc_round_builder``
+    audit pseudo-entry."""
+    neigh = (
+        bidir.join(labels, bidir.doc_b == labels.doc_id)
+        .groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("cluster_id").alias("neigh_min"))
     )
-    while True:
-        neigh = (
-            bidir.join(labels, bidir.doc_b == labels.doc_id)
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("neigh_min"))
-        )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("neigh_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
+    return labels.join(neigh, "doc_id", "left").select(
+        "doc_id",
+        F.least(
+            F.col("cluster_id"), F.coalesce("neigh_min", F.col("cluster_id"))
+        ).alias("cluster_id"),
+    )
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged component labels, keyed-cached per (session, corpus).
+
+    The CC fixed point is deterministic (min doc_id labels), so the
+    converged frame is a corpus property — exactly like the shingle /
+    signature / LM frames.  Before this cache every caller
+    (``dedup_clusters``, ``dedup_cluster_survivors``,
+    ``dedup_canonical``) re-built the edge set AND re-ran the whole
+    label-propagation loop, each run leaving its own sh/edges/bidir
+    ``.cache()`` frames registered forever (CacheManager churn, the
+    minhash-family defect).  The builder now fully materializes the
+    converged labels, then unpersists every intermediate."""
+
+    def build() -> DataFrame:
+        # intra-build caches: the sh frame feeds both the sizes and the
+        # self-join; edges feed both union arms; labels iterate
+        sh = _cc_shingle_stream(spark, sf_dir).cache()
+        edges = _cc_edges(sh).cache()
+        bidir = edges.union(
+            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ).cache()
+        labels = (
+            bidir.select(F.col("doc_a").alias("doc_id"))
+            .distinct()
+            .select("doc_id", F.col("doc_id").alias("cluster_id"))
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        while True:
+            new_labels = _cc_round(bidir, labels).cache()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        # pin the converged frame via localCheckpoint: the loop's
+        # per-round unpersist of the PREVIOUS labels recompiles (and
+        # empties) every dependent cache entry — Spark's non-cascading
+        # uncache drops dependents' buffers — so a plain .cache() here
+        # never actually holds data and every consumer re-ran the whole
+        # loop.  The checkpoint stores the |labels| rows lineage-free,
+        # after which every builder frame can be released for real.
+        final = labels.localCheckpoint(eager=True)
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select("doc_id", "cluster_id")
+        bidir.unpersist()
+        edges.unpersist()
+        sh.unpersist()
+        return final
+
+    return _keyed_df_cache(_CLUSTER_LABELS_CACHE, spark, sf_dir, build)
 
 
 _SURVIVORS_ORACLE_TMPL = """

@@ -114,6 +114,58 @@ SELECT doc_id, pr AS "rank" FROM r{PR_ITERATIONS}
     )
 
 
+#: (applicationId, documents file identity) → materialized PageRank
+#: fixed point — deterministic, so a corpus property like the labels
+_PAGERANK_CACHE: dict = {}
+
+#: (applicationId, documents file identity) → materialized bidirected
+#: near-dup edge frame; see :func:`neardup_bidir`
+_BIDIR_CACHE: dict = {}
+
+
+def neardup_bidir(spark: SparkSession, sf_dir: str):
+    """Bidirected jaccard-≥0.2 edge frame, keyed-cached per corpus.
+
+    Shared by :func:`pagerank_dedup_graph` (3 join-aggregate rounds)
+    and :func:`reach_flagged_neighborhood` (a recursive CTE that
+    re-scans the edge list once per recursion depth): both previously
+    built their own copy, and the CTE's per-step re-execution re-ran
+    the whole verify pipeline each hop.  Bounded by the LSH candidate
+    budget like the pair frame itself."""
+    from mr_python_spark.dedup import _keyed_df_cache, dedup_ngram_jaccard
+
+    def build():
+        pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        bidir = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        ).cache()
+        bidir.count()
+        return bidir
+
+    return _keyed_df_cache(_BIDIR_CACHE, spark, sf_dir, build)
+
+
+def pagerank_round(edges, verts, rank, base: int):
+    """ONE PageRank round — the iteration kernel the fixed point
+    repeats: neighbor-contribution aggregate (equi-join on the edge
+    list, partial+final sum) re-joined onto the vertex set.  Extracted
+    so tools/explain_audit.py's ``pagerank_round_builder`` pseudo-entry
+    audits the exact plan the loop executes (the registry query itself
+    returns the checkpointed fixed point, a plan-less leaf)."""
+    contrib = (
+        edges.join(rank, edges.src == rank.doc_id)
+        .select("dst", F.expr("rank div d").alias("c"))
+        .groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.sum("c").alias("contrib"))
+    )
+    return verts.join(contrib, "doc_id").select(
+        "doc_id",
+        (F.expr(f"({PR_DAMP_PCT} * contrib) div 100") + F.lit(base)).alias("rank"),
+    )
+
+
 @register("pagerank_dedup_graph", _oracle())
 def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank (3 rounds, d=0.85) on the near-dup graph.
@@ -126,38 +178,36 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle to aggregate neighbor contributions, one broadcast-size
     join back onto the vertex set; the edge list is cached once.
     """
-    from mr_python_spark.dedup import dedup_ngram_jaccard
+    def build():
+        bidir = neardup_bidir(spark, sf_dir)
+        deg = bidir.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        edges = bidir.join(deg, "src").cache()  # (src, dst, d)
+        verts = bidir.select(F.col("src").alias("doc_id")).distinct().cache()
+        n = verts.count()  # driver scalar: one long, the loop's constant
+        init = PR_SCALE // n
+        base = (15 * init) // 100
+        rank = verts.select("doc_id", F.lit(init).cast("long").alias("rank"))
+        inter = []
+        for _ in range(PR_ITERATIONS):
+            rank = pagerank_round(edges, verts, rank, base).cache()
+            inter.append(rank)
+        out = rank.select("doc_id", F.col("rank").cast("long").alias("rank"))
+        # pin the fixed point via localCheckpoint (lineage-free store of
+        # the |verts| rows): unpersisting ANY ancestor frame recompiles
+        # and empties dependent cache entries (Spark's non-cascading
+        # uncache), so a plain .cache() on out could never survive the
+        # cleanup below.  After the checkpoint every builder frame is
+        # released; bidir stays — it is owned by the shared keyed cache.
+        out = out.localCheckpoint(eager=True)
+        for df in inter:
+            df.unpersist()
+        verts.unpersist()
+        edges.unpersist()
+        return out
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    bidir = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).cache()
-    deg = bidir.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    edges = bidir.join(deg, "src").cache()  # (src, dst, d)
-    verts = bidir.select(F.col("src").alias("doc_id")).distinct().cache()
-    n = verts.count()  # driver scalar: one long, the loop's constant
-    init = PR_SCALE // n
-    base = (15 * init) // 100
-    rank = verts.select("doc_id", F.lit(init).cast("long").alias("rank"))
-    cached = []
-    for _ in range(PR_ITERATIONS):
-        contrib = (
-            edges.join(rank, edges.src == rank.doc_id)
-            .select("dst", F.expr("rank div d").alias("c"))
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.sum("c").alias("contrib"))
-        )
-        rank = verts.join(contrib, "doc_id").select(
-            "doc_id",
-            (F.expr(f"({PR_DAMP_PCT} * contrib) div 100") + F.lit(base)).alias("rank"),
-        ).cache()
-        cached.append(rank)
-    out = rank.select("doc_id", F.col("rank").cast("long").alias("rank"))
-    # materialization happens at the driver's action; frames stay cached
-    # for the run (tiny: |verts| rows) — matching dedup_clusters' pattern
-    return out
+    from mr_python_spark.dedup import _keyed_df_cache
+
+    return _keyed_df_cache(_PAGERANK_CACHE, spark, sf_dir, build)
 
 
 _REACH_ORACLE = """
@@ -193,15 +243,7 @@ def reach_flagged_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines.  The edge list is the same capped jaccard ≥ 0.2
     graph as :func:`pagerank_dedup_graph`, registered as a temp view.
     """
-    from mr_python_spark.dedup import dedup_ngram_jaccard
-
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    bidir = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    bidir.createOrReplaceTempView("neardup_edges")
+    neardup_bidir(spark, sf_dir).createOrReplaceTempView("neardup_edges")
     return spark.sql(
         """
         WITH RECURSIVE w(node, depth) AS (

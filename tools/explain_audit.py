@@ -675,10 +675,13 @@ AUDITS: dict[str, dict] = {
         must=[r"Window", r"HashAggregate|SortAggregate", r"partial_"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
-    # iterative join-aggregate kernel: equi-joins on the edge list
-    # only, never a cartesian or nested-loop anywhere in the 3 rounds
+    # the registry query returns the checkpointed fixed point (a
+    # lineage-free leaf — r16: the loop's unpersists emptied any plain
+    # cache entry, so every consumer re-ran all 3 rounds); the
+    # iteration kernel's join-aggregate structure is policed on the
+    # pagerank_round_builder pseudo-entry below
     "pagerank_dedup_graph": dict(
-        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"partial_sum"],
+        must=[r"Scan ExistingRDD|InMemoryTableScan"],
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     ),
     # decontamination: hash equi-join of two inverted indexes, both
@@ -1475,6 +1478,28 @@ AUDITS: dict[str, dict] = {
         must_not=[r"CartesianProduct", r"Join", r"Window"],
         hinted_broadcasts=0,
     ),
+    # ONE PageRank round (the kernel the checkpointed fixed point
+    # repeats): equi-joins on the edge list + partial+final sum,
+    # never a cartesian or nested loop
+    "pagerank_round_builder": dict(
+        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"partial_sum"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
+    # ONE connected-components min-label round: edge equi-join +
+    # partial+final min + label left join
+    "cc_round_builder": dict(
+        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"partial_min"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
+    # UNCACHED CC edge build: posting self-join (equi on the shingle
+    # hash), two size equi-joins, threshold filter — no cartesian
+    "cc_edges_builder": dict(
+        must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", r"xxhash64"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        hinted_broadcasts=0,
+    ),
 }
 
 
@@ -1528,6 +1553,45 @@ def _langid_dp_builder(spark, sf_dir):
     return text._langid_dp(spark, sf_dir)
 
 
+def _pagerank_round_builder(spark, sf_dir):
+    # one iteration of the kernel over the (cached-leaf) edge frame —
+    # the joins/aggregate above the leaf are what this entry polices
+    from pyspark.sql import functions as F
+
+    from mr_python_spark.operators.graph import neardup_bidir, pagerank_round
+
+    bidir = neardup_bidir(spark, sf_dir)
+    deg = bidir.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges = bidir.join(deg, "src")
+    verts = bidir.select(F.col("src").alias("doc_id")).distinct()
+    rank = verts.select("doc_id", F.lit(1).cast("long").alias("rank"))
+    return pagerank_round(edges, verts, rank, 0)
+
+
+def _cc_round_builder(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mr_python_spark import dedup
+
+    sh = dedup._cc_shingle_stream(spark, sf_dir)
+    edges = dedup._cc_edges(sh)
+    bidir = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        bidir.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    return dedup._cc_round(bidir, labels)
+
+
+def _cc_edges_builder(spark, sf_dir):
+    from mr_python_spark import dedup
+
+    return dedup._cc_edges(dedup._cc_shingle_stream(spark, sf_dir))
+
+
 #: pseudo-entries auditing UNCACHED builder frames that registry
 #: queries only ever consume through a keyed cache
 FRAME_BUILDERS = {
@@ -1536,6 +1600,9 @@ FRAME_BUILDERS = {
     "ml_scored_builder": _ml_scored_builder,
     "nb_scored_builder": _nb_scored_builder,
     "langid_dp_builder": _langid_dp_builder,
+    "pagerank_round_builder": _pagerank_round_builder,
+    "cc_round_builder": _cc_round_builder,
+    "cc_edges_builder": _cc_edges_builder,
 }
 
 

@@ -76,6 +76,20 @@ QUERIES = [
     "q8_market_share",
     "q2_min_cost_supplier",
     "encode_tokens_to_ids",
+    # round-16 optimization round: the restructured operators must
+    # hold their shapes under 10x data — the checkpointed graph fixed
+    # points (the warm column here measures the cached-leaf consumer
+    # path; their one-time LOOP cost is timed separately under
+    # "cold_builds"), the volume-sized stateful-stream state
+    # partitions (sf1 saturates the [4, cores] clamp), the fused
+    # bakeoff encode, and the cached-scalar scorers
+    "dedup_clusters",
+    "pagerank_dedup_graph",
+    "streaming_join_full_live",
+    "streaming_parquet_sink",
+    "cooccurrence_pmi",
+    "tokenizer_bakeoff_report",
+    "dsir_importance_weights",
 ]
 
 
@@ -223,6 +237,32 @@ def run() -> None:
         timings["total"] = round(sum(timings.values()), 3)
         result[sf_name] = timings
     result["method"] = "both SFs warmed, per-query best-of-3"
+    # Cold-build scaling of the round-16 checkpointed fixed points:
+    # the warm column above reads their cached leaves, so the loop
+    # cost (edge build + iterations to convergence / 3 PR rounds) is
+    # timed here with the keyed caches explicitly evicted first.
+    from mr_python_spark import dedup as _dedup
+    from mr_python_spark.operators import graph as _graph
+
+    cold: dict[str, dict[str, float]] = {}
+    for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+        t_cold = {}
+        for cache, name in (
+            (_dedup._CLUSTER_LABELS_CACHE, "dedup_clusters"),
+            (_graph._PAGERANK_CACHE, "pagerank_dedup_graph"),
+        ):
+            for k in list(cache):
+                cache.pop(k)
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t_cold[name] = round(time.perf_counter() - t0, 3)
+        cold[sf_name] = t_cold
+    result["cold_builds"] = cold
+    result["cold_builds_ratio_10x"] = {
+        k: round(cold["sf1"][k] / cold["sf0.1"][k], 2)
+        for k in cold["sf0.1"]
+        if cold["sf0.1"][k] > 0
+    }
     result["ratio_10x_data"] = {
         k: round(result["sf1"][k] / result["sf0.1"][k], 2)
         for k in result["sf0.1"]

@@ -147,6 +147,73 @@ def sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def bench_cpus() -> int:
+    """Core count of this bench run — the same resolution rule as
+    session.get_spark, so the pin key always matches the master the
+    queries actually ran under."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+
+
+def pin_path_for(sf: float, cpus: int) -> str:
+    """Stored-pin file for ONE (sf, cpus) configuration.
+
+    Round-17 contract fix (r16 verdict order #1): the pin was a single
+    file regardless of core count, so the driver's 8-core scaling
+    probe was answered with the stored 32-core numbers verbatim
+    (BENCH_r16_c8: every ratio exactly 1.0).  A pin may only ever be
+    compared to — or shipped in place of — a run at the SAME (sf,
+    cpus); any other configuration gets its own file and, until one
+    exists, ships its own measurements.  The canonical (sf0.1, 32-core)
+    configuration keeps the historical ``docs/bench_pin.json`` name.
+    """
+    if sf == 0.1 and cpus == 32:
+        return os.path.join(REPO, "docs", "bench_pin.json")
+    return os.path.join(REPO, "docs", f"bench_pin_sf{sf}_c{cpus}.json")
+
+
+def load_pin(path: str, sf: float, cpus: int) -> dict | None:
+    """Load a stored pin, refusing any whose recorded (sf, cpus)
+    disagree with this run.  Legacy pins (written before the cpus key
+    existed) are only trusted for the canonical 32-core configuration
+    they were measured at."""
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        pin = json.load(f)
+    if pin.get("sf") != sf:
+        return None
+    if pin.get("cpus", 32) != cpus:
+        return None
+    return pin
+
+
+def _prev_round_line_queries() -> set:
+    """Query names the latest driver BENCH artifact's parsed line carried.
+
+    These are protected from the printed-line budget trim: omitting a
+    query the previous round's line printed is exactly what the driver
+    records as "dropped_from_bench" (15 artifacts in PERF_r16), while a
+    query that line itself omitted can be re-omitted without reading as
+    a drop.  Only the main per-round artifacts count (BENCH_r<N>.json,
+    not the _c8 scaling probes)."""
+    import glob
+    import re
+
+    best, names = -1, set()
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if not m or int(m.group(1)) <= best:
+            continue
+        try:
+            with open(p) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except Exception:
+            continue
+        if parsed.get("queries"):
+            best, names = int(m.group(1)), set(parsed["queries"])
+    return names
+
+
 def apply_spike_guard(current: dict, pin: dict | None, runs: list[dict]) -> list[str]:
     """Per-query spike guard (round 16, r15 verdict order #4).
 
@@ -322,7 +389,12 @@ def main() -> None:
         # totals and this committed file keeps the full pair.
         "queries_in_suite": in_suite,
         "queries_isolated": isolated,
+        # explicit alias for the audit trail (r16 verdict order #1):
+        # whatever the printed line ships (pinned / spike-guarded), the
+        # numbers THIS run measured are always here, keyed identically.
+        "current_queries": dict(isolated),
         "sf": sf_from_dir(SF_DIR),
+        "cpus": bench_cpus(),
         "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     # Cross-SF scaling evidence (tools/scale_probe.py: synthetic sf1 =
@@ -375,20 +447,19 @@ def main() -> None:
     # pin unchanged (flagged via pinned=true, with its own totals in
     # current_run_* for transparency), falling back to its own numbers
     # only when no same-query-set pin exists yet.
-    pin_path = os.path.join(REPO, "docs", "bench_pin.json")
+    cpus = bench_cpus()
+    pin_path = pin_path_for(sf_from_dir(SF_DIR), cpus)
     t2, t3 = (sum(r.values()) for r in runs[1:])
     steady_spread = round(abs(t3 - t2) / min(t2, t3), 3)
     quiet = steady_spread <= 0.15
-    pin = None
-    if os.path.exists(pin_path):
-        with open(pin_path) as f:
-            pin = json.load(f)
+    pin = load_pin(pin_path, sf_from_dir(SF_DIR), cpus)
     current = {
         "value": total,
         "value_isolated": total_isolated,
-        "queries": isolated,
-        "queries_in_suite": in_suite,
+        "queries": dict(isolated),
+        "queries_in_suite": dict(in_suite),
         "sf": sf_from_dir(SF_DIR),
+        "cpus": cpus,
         "steady_pass_spread": steady_spread,
         "pinned_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
@@ -420,6 +491,7 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in pin["queries"].items()},
         "queries_col": "isolated_best_of_3",
         "sf": pin["sf"],
+        "cpus": cpus,
         # pin provenance: quiet_window=this run qualified and IS the
         # pin; pinned=true means a noisy run shipped the stored pin
         "quiet_window": quiet,
@@ -427,6 +499,12 @@ def main() -> None:
         "current_run_value": total,
         "current_run_value_isolated": total_isolated,
     }
+    if shipped_pin or pin.get("spike_guarded"):
+        # r16 verdict order #1: whenever the line carries any value
+        # this run did not itself measure, name the file it came from;
+        # the run's own per-query numbers are always in
+        # docs/bench_detail.json#current_queries.
+        out["pinned_from"] = os.path.relpath(pin_path, REPO)
     if pin.get("spike_guarded"):
         out["spike_guarded"] = pin["spike_guarded"]
     if pin.get("noisy_fallback"):
@@ -434,19 +512,41 @@ def main() -> None:
     # The driver parses the FINAL stdout line from a 2000-char tail
     # capture: BENCH_r13/r14 both recorded parsed=None because the
     # 68-query map pushed the line to ~2.2 KB and the head was clipped.
-    # Keep the line parseable by dropping the CHEAPEST queries from the
-    # printed map until it fits (the full map always ships in the
-    # committed docs/bench_pin.json + docs/bench_detail.json); totals
-    # stay exact regardless of what the printed map omits.
+    # Fitting the budget (r16 verdict order #2 — 15 queries read as
+    # "dropped_from_bench" in PERF_r16) now sheds weight in this order:
+    #   1. optional provenance fields (all mirrored in the committed
+    #      docs/bench_pin.json + docs/bench_detail.json);
+    #   2. cheapest queries that the PREVIOUS round's parsed line did
+    #      not carry either (omitting them cannot read as a drop);
+    #   3. cheapest protected queries (last resort — with the full
+    #      68-query map at ~1.88 KB bare, steps 1-2 normally suffice).
+    # Totals stay exact regardless of what the printed map omits.
     budget = 1900
+    protected = _prev_round_line_queries()
+    droppable = [
+        "spike_guarded",
+        "current_run_value_isolated",
+        "value_isolated",
+        "queries_col",
+        "quiet_window",
+    ]
     line = json.dumps(out, separators=(",", ":"))
     omitted = 0
-    while len(line) > budget and out["queries"]:
-        cheapest = min(out["queries"], key=out["queries"].get)
-        del out["queries"][cheapest]
-        omitted += 1
-        out["queries_omitted_cheapest"] = omitted
-        out["queries_full_in"] = "docs/bench_pin.json"
+    while len(line) > budget:
+        for field in droppable:
+            if field in out:
+                del out[field]
+                break
+        else:
+            if not out["queries"]:
+                break
+            unprotected = [k for k in out["queries"] if k not in protected]
+            pool = unprotected or list(out["queries"])
+            cheapest = min(pool, key=out["queries"].get)
+            del out["queries"][cheapest]
+            omitted += 1
+            out["queries_omitted_cheapest"] = omitted
+            out["queries_full_in"] = os.path.relpath(pin_path, REPO)
         line = json.dumps(out, separators=(",", ":"))
     if quiet and not os.environ.get("SPARK_GRAFT_NO_STAGE"):
         import subprocess

@@ -95,6 +95,24 @@ def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
     )
 
 
+def _evict_frame(df: DataFrame) -> None:
+    """Release an evicted cached frame's storage — BOTH tiers.
+
+    ``df.unpersist()`` only clears SQL CacheManager entries; a
+    ``localCheckpoint``-pinned frame (the graph fixed points) stores
+    its rows as RDD blocks OUTSIDE the CacheManager, reachable through
+    the checkpointed Dataset's LogicalRDD leaf.  Without releasing that
+    RDD, evicting a regenerated corpus leaked the old label/rank blocks
+    for the application lifetime (r16 ADVICE).  Non-checkpointed frames
+    have no ``rdd()`` accessor on their logical plan — the probe just
+    no-ops for them."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)  # noqa: SLF001
+    except Exception:
+        pass  # not a LogicalRDD-backed (checkpointed) frame
+    df.unpersist()
+
+
 def _keyed_df_cache(cache: dict, spark: SparkSession, sf_dir: str, build) -> DataFrame:
     """Keyed cache for PERSISTED corpus-derived frames.
 
@@ -105,9 +123,7 @@ def _keyed_df_cache(cache: dict, spark: SparkSession, sf_dir: str, build) -> Dat
     """
     from mr_python_spark.session import keyed_cache
 
-    return keyed_cache(
-        cache, spark, sf_dir, build, on_evict=lambda df: df.unpersist()
-    )
+    return keyed_cache(cache, spark, sf_dir, build, on_evict=_evict_frame)
 
 
 #: (applicationId, documents.parquet realpath, mtime_ns) → cached

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mr_python_spark.registry import register
-from mr_python_spark.session import load_table, scan_partitions, spread, table_count
+from mr_python_spark.session import load_table, scan_partitions, spread
 
 #: training-sample posture: stride subset then hard cap — constant
 #: driver memory at any corpus size (the 100× rule)

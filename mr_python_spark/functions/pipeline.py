@@ -26,7 +26,6 @@ from mr_python_spark.session import (
     load_table,
     scan_partitions,
     spread,
-    table_count,
 )
 
 

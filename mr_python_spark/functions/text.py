@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mr_python_spark.registry import register
-from mr_python_spark.session import load_table, scan_partitions, spread, table_count
+from mr_python_spark.session import load_table, scan_partitions, spread
 
 #: tiny English stopword list used by quality scoring (deterministic)
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "be")

@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 from mr_python_spark.functions.vectors import cosine, to_double
 from mr_python_spark.registry import register
-from mr_python_spark.session import load_table, scan_partitions, spread, table_count
+from mr_python_spark.session import load_table, scan_partitions, spread
 
 #: every QUERY_STRIDE-th vector is a query point (deterministic subset)
 QUERY_STRIDE = 25

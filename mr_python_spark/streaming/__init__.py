@@ -217,7 +217,15 @@ def stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
 class _scoped_shuffle_partitions:
     """Set ``spark.sql.shuffle.partitions`` around a stream start and
     restore it afterwards (streams capture the conf at ``.start()``;
-    batch queries built later must see the session default again)."""
+    batch queries built later must see the session default again).
+
+    SINGLE-THREADED BY CONTRACT: this mutates the session-global conf
+    for the duration of the ``start()`` call, so concurrent stream
+    starts — or any batch query planned on another thread inside the
+    window — would race on the value (r16 ADVICE).  The engine's
+    entry points all build queries serially on the driver thread; a
+    deployment that starts streams concurrently must instead give each
+    stream its own ``spark.newSession()`` and set the conf there."""
 
     def __init__(self, spark: SparkSession, n: int | None):
         self.spark, self.n = spark, n

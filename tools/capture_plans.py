@@ -5,8 +5,9 @@ Usage::
     python tools/capture_plans.py before           # all headline queries
     python tools/capture_plans.py after q1 word_count
 
-Writes ``plans/r16/<query>_<tag>.txt`` — the optimization round's
-evidence files (the judge reads these instead of running Spark).
+Writes ``plans/<round>/<query>_<tag>.txt`` — the optimization round's
+evidence files (the judge reads these instead of running Spark).  The
+round defaults to r17; override via ``SPARK_GRAFT_PLAN_ROUND``.
 """
 
 from __future__ import annotations
@@ -18,7 +19,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(REPO, "plans", "r16")
+OUT_DIR = os.path.join(
+    REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r17")
+)
 
 
 def main(argv: list[str]) -> int:

@@ -247,17 +247,30 @@ def run() -> None:
     cold: dict[str, dict[str, float]] = {}
     for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
         t_cold = {}
-        for cache, name in (
-            (_dedup._CLUSTER_LABELS_CACHE, "dedup_clusters"),
-            (_graph._PAGERANK_CACHE, "pagerank_dedup_graph"),
+        # evict the fixed point AND its private edge frame (r16 ADVICE:
+        # pagerank's bidirected edge cache survived the old eviction,
+        # so its "cold" time excluded the edge build while
+        # dedup_clusters' did not — asymmetric artifact).  The shared
+        # UPSTREAM keyed caches (hashed shingles, posting candidates,
+        # verified pairs) stay warm by design: both cold timings cover
+        # the edge construction + iterations over the shared pair
+        # machinery, which docs/cold_warm artifacts time separately.
+        for caches, name in (
+            ((_dedup._CLUSTER_LABELS_CACHE,), "dedup_clusters"),
+            ((_graph._PAGERANK_CACHE, _graph._BIDIR_CACHE), "pagerank_dedup_graph"),
         ):
-            for k in list(cache):
-                cache.pop(k)
+            for cache in caches:
+                for k in list(cache):
+                    cache.pop(k)
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             t_cold[name] = round(time.perf_counter() - t0, 3)
         cold[sf_name] = t_cold
     result["cold_builds"] = cold
+    result["cold_builds_note"] = (
+        "fixed-point caches evicted (incl. pagerank's bidirected edge frame); "
+        "shared upstream keyed caches (shingles/postings/verified pairs) warm"
+    )
     result["cold_builds_ratio_10x"] = {
         k: round(cold["sf1"][k] / cold["sf0.1"][k], 2)
         for k in cold["sf0.1"]

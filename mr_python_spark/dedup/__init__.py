@@ -517,6 +517,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (applicationId, documents file identity) → cached VERIFIED capped-
+#: ngram pair frame; see :func:`cached_jaccard_pairs`
+_NGRAM_PAIRS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def cached_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-cached VERIFIED near-dup pair frame — the materialized
+    ``dedup_ngram_jaccard`` result (doc_a, doc_b, jaccard ≥ 0.2).
+
+    The pair FAMILY is consumed by several downstream operators —
+    source attribution (``dedup_cross_source_matrix``), the graph
+    edge builds (:func:`mr_python_spark.operators.graph.neardup_bidir`
+    behind pagerank and the recursive reach CTE) — and each consumer
+    re-planned and re-executed the whole verify subtree (candidate
+    join + array_intersect verification, ~60 Exchanges in the matrix's
+    r16 before-plan) even though the upstream cand/sh_small frames
+    were cached.  The verified pair set is tiny (bounded by true
+    near-dups, NOT corpus size — well under 0.1% of document rows at
+    every measured SF), so it is exactly the §5 cache case: reused AND far
+    cheaper to hold than to recompute.  ``dedup_ngram_jaccard`` itself
+    keeps building the uncached plan (its bench timing stays an honest
+    measure of the verify join); only the family consumers read this
+    frame.  Cold-build vs warm-read cost is recorded per round in
+    docs/cold_warm_r17.json (tools/cold_warm_probe.py)."""
+    return _keyed_df_cache(
+        _NGRAM_PAIRS_CACHE,
+        spark,
+        sf_dir,
+        lambda: dedup_ngram_jaccard(spark, sf_dir).cache(),
+    )
+
+
 #: (applicationId, documents file identity) → cached signature frame;
 #: see :func:`minhash_signatures`
 _SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
@@ -2628,13 +2660,16 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the quantized ``floor(j * PROV_SCALE)`` summand — and therefore
     ``jsum_fp`` — is exact; ``n_strong`` counts pairs at or above
     jaccard 1/2 with the same determinism.  Plan: the pair frame is
-    bounded by verified near-dups (not corpus size); attributing
-    sources is two doc_id-keyed joins against a narrow (doc_id,
-    source) projection — corpus-scaling, so NOT broadcast-hinted (the
-    round-2 policy); AQE picks the strategy.  The final aggregate is
-    at most |sources|² rows.
+    the keyed-cached verified family frame
+    (:func:`cached_jaccard_pairs` — r16 verdict order #4: every
+    consumer used to re-execute the whole verify subtree, 60 Exchanges
+    in this query's r16 before-plan; now an InMemoryTableScan leaf);
+    attributing sources is two doc_id-keyed joins against a narrow
+    (doc_id, source) projection — corpus-scaling, so NOT
+    broadcast-hinted (the round-2 policy); AQE picks the strategy.
+    The final aggregate is at most |sources|² rows.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    pairs = cached_jaccard_pairs(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))

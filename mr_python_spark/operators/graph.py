@@ -131,11 +131,14 @@ def neardup_bidir(spark: SparkSession, sf_dir: str):
     re-scans the edge list once per recursion depth): both previously
     built their own copy, and the CTE's per-step re-execution re-ran
     the whole verify pipeline each hop.  Bounded by the LSH candidate
-    budget like the pair frame itself."""
-    from mr_python_spark.dedup import _keyed_df_cache, dedup_ngram_jaccard
+    budget like the pair frame itself.  The pair source is the shared
+    keyed-cached verified family frame (r17: the bidirect build reads
+    the InMemoryTableScan leaf instead of re-planning the verify
+    subtree)."""
+    from mr_python_spark.dedup import _keyed_df_cache, cached_jaccard_pairs
 
     def build():
-        pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        pairs = cached_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
         bidir = pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         ).union(

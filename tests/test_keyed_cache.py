@@ -87,3 +87,24 @@ def test_scan_cache_serves_per_session_and_evicts_stale(spark, tmp_path):
     path = os.path.realpath(str(tmp_path / "documents.parquet"))
     same_path = [k for k in _SCAN_CACHE if k[2] == path]
     assert len(same_path) == 1  # the stale entry was evicted
+
+
+def test_cached_jaccard_pairs_shared_and_consistent(spark):
+    """r17: the verified pair frame is keyed-cached and consumed by the
+    family (cross-source matrix, graph edge builds) — repeat calls must
+    return the SAME cached object, and its rows must equal a fresh
+    uncached build of dedup_ngram_jaccard (evicting the cache first so
+    the CacheManager cannot rewrite the fresh plan to the cached
+    relation)."""
+    from mr_python_spark import dedup
+
+    sf = "/root/testdata/sf0.001"
+    p1 = dedup.cached_jaccard_pairs(spark, sf)
+    assert dedup.cached_jaccard_pairs(spark, sf) is p1  # keyed-cache hit
+    got = sorted(tuple(r) for r in p1.collect())
+    for k in list(dedup._NGRAM_PAIRS_CACHE):
+        dedup._evict_frame(dedup._NGRAM_PAIRS_CACHE.pop(k))
+    fresh = sorted(
+        tuple(r) for r in dedup.dedup_ngram_jaccard(spark, sf).collect()
+    )
+    assert got == fresh
